@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship windowed-stats query at sf0.001.
+``queries()`` maps operator names → (spark, sf_dir) → DataFrame.
+``oracle_sql()`` maps the same names → equivalent DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +11,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_streaming_testbed_spark.operators import relational as R
+from spark_streaming_testbed_spark.operators.oracles import RELATIONAL_ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return R.batch_stats(spark, "/root/testdata/sf0.001")
+
+
+_RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "batch_stats": R.batch_stats,
+    "parse_filter": R.parse_filter,
+    "tsv_format": R.tsv_format,
+    "time_shift": R.time_shift,
+    "unit_norm": R.unit_norm,
+    "cumulative_counts": R.cumulative_counts,
+    "value_histogram": R.value_histogram,
+    "per_minute_rollup": R.per_minute_rollup,
+    "dedup_first": R.dedup_first,
+    "pivot_counts": R.pivot_counts,
+    "minmax_union": R.minmax_union,
+    "distinct_keys": R.distinct_keys,
+    "topk_per_group": R.topk_per_group,
+    "rollup_join": R.rollup_join,
+    "star_join": R.star_join,
+    "semi_anti_join": R.semi_anti_join,
+    "tpch_q1": R.tpch_q1,
+    "tpch_q3": R.tpch_q3,
+    "order_priority_count": R.order_priority_count,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_RELATIONAL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omit = rows-only check."""
+    return dict(RELATIONAL_ORACLES)

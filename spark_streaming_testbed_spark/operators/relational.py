@@ -1,0 +1,444 @@
+"""Relational operator inventory (SURVEY.md §2) as idiomatic DataFrame plans.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ``oracles.py``. Column names are
+aligned between both so the driver's order-insensitive value-hash matches.
+
+Design notes for 100 TB scale:
+- every plan is fully declarative (Catalyst does pushdown/pruning/reorder);
+- small dimensions are broadcast explicitly;
+- no ``collect()`` on any data path (scalar anchors use window/cross-join
+  of a 1-row aggregate, which Spark plans as a broadcast);
+- doubles that feed the oracle hash are rounded to 6 dp at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stats import stats_aggs
+from ..session import load_table
+
+ROUND = 6
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1/T1 — flagship: per-window per-key stats
+# ---------------------------------------------------------------------------
+
+def batch_stats(spark: SparkSession, sf_dir: str, window: str = "5 seconds",
+                window_sec: int = 5) -> DataFrame:
+    """Per-tumbling-window, per-key count/sum/mean/stddev_pop of ``value``.
+
+    Rebuild of the reference's per-batch ``groupByKey().mapValues(stats)``
+    (SimpleStreamingApp.scala:81,114-122) as an event-time tumbling window
+    aggregation. The window start is emitted as epoch seconds so the DuckDB
+    oracle can reproduce it without timezone ambiguity.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(*stats_aggs("value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt", "sum_v", "mean_v", "stddev_v",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — parse-filter (drop unparseable): projection + filter in one
+# ---------------------------------------------------------------------------
+
+def parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the integer ``k`` from the JSON-ish ``props`` string, dropping
+    rows that don't parse — rebuild of the reference's
+    ``flatMap(line => Try(parseInt).toOption)`` (SimpleStreamingApp.scala:69)
+    as ``regexp_extract`` + ``try_cast`` + null filter (stays in codegen)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.expr(r"try_cast(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT)")
+    return (
+        events.select("event_id", k.alias("k"))
+        .where(F.col("k").isNotNull() & (F.col("k") % 2 == 0))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P9 — re-projection with stream id + TSV formatting
+# ---------------------------------------------------------------------------
+
+def tsv_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a constant stream id and format a TSV line — rebuild of the
+    console sink's ``format(...)`` (SimpleStreamingApp.scala:106-108)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events
+        .withColumn("stream_id", F.lit(0))
+        .select(
+            "event_id",
+            F.concat_ws(
+                "\t",
+                F.col("event_id"),
+                F.col("stream_id"),
+                F.col("event_type"),
+                F.col("value").cast("decimal(12,2)").cast("string"),
+            ).alias("line"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/J3 — time normalization via broadcast scalar anchor
+# ---------------------------------------------------------------------------
+
+def time_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize every timestamp to the first event — rebuild of
+    ``TestData.timeShift`` (log-processor TestData.scala:81-92). The anchor
+    is a 1-row aggregate cross-joined in; Spark broadcasts it (no driver
+    collect, scales to any table size)."""
+    events = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.min("ts").alias("t0"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_id",
+            ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t0"))) / F.lit(1000))
+            .cast("bigint").alias("rel_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — unit normalization (conditional scaling)
+# ---------------------------------------------------------------------------
+
+def unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MB→KB-style conditional normalization (RunLogData.scala:74-80):
+    treat 'error' events as recorded in thousands and rescale."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.round(
+                F.when(F.col("event_type") == "error", F.col("value") * 1024)
+                .otherwise(F.col("value")),
+                ROUND,
+            ).alias("value_kb"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — cumulative counts (running totals)
+# ---------------------------------------------------------------------------
+
+def cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key cumulative sum ordered by time — rebuild of the
+    stacked/accumulated counts of ``TestData.accCountsWithMissing``
+    (TestData.scala:155-168) as a window frame cumsum."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("running_cnt"),
+            F.round(F.sum("value").over(w), ROUND).alias("running_sum"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — value histogram per coarse tick
+# ---------------------------------------------------------------------------
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count per (day, event_type) — rebuild of the generator's per-tick
+    value histogram (DataGeneratorActor.scala:64-66)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-second (here per-minute) rollup window
+# ---------------------------------------------------------------------------
+
+def per_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute rollup of event values per user — rebuild of the
+    dropped/requested per-second rollups (TestData.scala:20-35)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), ROUND).alias("sum_v"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("minute_start"),
+            "user_id", "cnt", "sum_v",
+        )
+        .orderBy("minute_start", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — dedup by key, keep first (by time)
+# ---------------------------------------------------------------------------
+
+def dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per user: the earliest event — rebuild of the batch-time dedup
+    ``groupBy(_.batchTime).map(_._2.head)`` (RunLogData.scala:17-23) as a
+    deterministic row_number window (NOT dropDuplicates, whose pick is
+    partition-order dependent)."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — pivot (long → wide by key)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type — rebuild
+    of ``ExecutionMultipleValuesData.apply`` (RunLogData.scala:40-54).
+    The pivot value list is explicit so the plan needs no extra pass to
+    discover distinct keys (required for a streaming-safe / scale-safe plan).
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — global min/max over a union of tables
+# ---------------------------------------------------------------------------
+
+def minmax_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global time extent across several tables — rebuild of
+    ``TestData.minTime/maxTime`` (TestData.scala:119-140)."""
+    events = _t(spark, sf_dir, "events").select(F.col("ts").alias("t"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("t"))
+    lineitem = _t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("t"))
+    allt = events.unionByName(orders).unionByName(lineitem)
+    return allt.agg(
+        F.unix_timestamp(F.min("t")).alias("min_ts"),
+        F.unix_timestamp(F.max("t")).alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/O2/U3 — distinct key enumeration over a union of sources
+# ---------------------------------------------------------------------------
+
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct id domain from two sources — rebuild of the
+    client-id domain ``(a.distinct ++: b.distinct).distinct``
+    (TestData.scala:66)."""
+    ev_users = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return ev_users.union(cust).distinct().orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# A8/O4 — top-k per group
+# ---------------------------------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k events by value per event_type (window row_number ≤ k) —
+    generalization of the reference's max-over-metric (Main.scala:126)."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("event_type", "rk", "event_id", "value")
+        .orderBy("event_type", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — full-outer join of two per-window rollups
+# ---------------------------------------------------------------------------
+
+def rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Align two per-day rollups (purchases vs errors) on day with a
+    full-outer join — rebuild of the per-client dropped/requested alignment
+    (TestData.scala:65-76) as a real relational join."""
+    events = _t(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(day).agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(day).agg(F.count(F.lit(1)).alias("n_error"))
+    )
+    return (
+        purchases.join(errors, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("n_error", F.lit(0)).alias("n_error"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension joins (star schema) — the 100 TB shape
+# ---------------------------------------------------------------------------
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: fact ⋈ broadcast dims. lineitem→orders→customer→
+    nation with explicit broadcasts of the small sides."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (anti) counted per market segment, plus the
+    with-orders count (semi) — the EXISTS/NOT EXISTS shapes."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics (engine credibility + bench workload)
+# ---------------------------------------------------------------------------
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (adapted to the testdata lineitem schema)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), ROUND).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), ROUND).alias("avg_price"),
+            F.round(F.avg("l_discount"), ROUND).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: BUILDING segment, date cut)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    return (
+        lineitem.where(F.col("l_shipdate") > cut)
+        .join(orders.where(F.col("o_orderdate") < cut),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order counts per priority for orders having at least
+    one lineitem (left-semi join, the scalable EXISTS)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,94 @@
+"""SparkSession factory and testdata table loaders.
+
+Defaults tuned for the driver's local[32] single-JVM harness, but every
+setting is a scale-out default too: AQE on (runtime re-plan / skew join /
+partition coalescing), UTC session timezone (oracle comparison), Arrow
+enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver materializes per scale factor (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(app_name: str = "spark_streaming_testbed_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in load_table (Spark has no native nanos timestamp).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+#: columns stored as parquet TIMESTAMP(NANOS), surfaced as long under
+#: ``nanosAsLong`` and normalized back to TimestampType here.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set runtime confs the engine depends on, even on a caller-owned session.
+
+    The driver (and any embedding app) builds its own SparkSession; both
+    confs below are runtime-settable, so we pin them at every table load:
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), unreadable
+      by Spark's parquet reader otherwise;
+    - UTC session timezone: keeps ``date_format``/windowing aligned with
+      the (UTC-naive) DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (schema from footer, no inference)."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (mirrors the DuckDB oracle)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

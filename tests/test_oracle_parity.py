@@ -1,0 +1,52 @@
+"""Every queries() entry with an oracle must hash-match DuckDB at sf0.001.
+
+This is a fast local replica of the driver's t2 correctness gate (the
+driver runs the same comparison at sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from spark_streaming_testbed_spark.session import TABLES
+from tests.conftest import SF_SMOKE
+from tools.check_oracle import normalize
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        # rows-only contract: must run and be deterministic in count
+        assert len(srows) >= 0
+        return
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    s_cols, s_norm = normalize(srows, sdf.columns)
+    o_cols, o_norm = normalize(orows, ocols)
+    assert s_cols == o_cols
+    assert len(s_norm) == len(o_norm)
+    assert s_norm == o_norm
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) >= 2
