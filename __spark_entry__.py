@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_testbed_spark.operators import relational as R
 from spark_streaming_testbed_spark.operators.oracles import RELATIONAL_ORACLES
+from spark_streaming_testbed_spark.sources.profile_source import (
+    PROFILE_FIXED_RAMP_ORACLE,
+    profile_fixed_ramp,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,6 +44,11 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": R.tpch_q1,
     "tpch_q3": R.tpch_q3,
     "order_priority_count": R.order_priority_count,
+    "profile_fixed_ramp": profile_fixed_ramp,
+}
+
+_EXTRA_ORACLES: dict[str, str] = {
+    "profile_fixed_ramp": PROFILE_FIXED_RAMP_ORACLE,
 }
 
 
@@ -50,4 +59,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omit = rows-only check."""
-    return dict(RELATIONAL_ORACLES)
+    return {**RELATIONAL_ORACLES, **_EXTRA_ORACLES}
