@@ -12,7 +12,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_testbed_spark.operators import relational as R
+from spark_streaming_testbed_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from spark_streaming_testbed_spark.operators.multimodal import (
+    MULTIMODAL_ORACLES,
+    MULTIMODAL_QUERIES,
+)
 from spark_streaming_testbed_spark.operators.oracles import RELATIONAL_ORACLES
+from spark_streaming_testbed_spark.operators.similarity import (
+    SIMILARITY_ORACLES,
+    SIMILARITY_QUERIES,
+)
+from spark_streaming_testbed_spark.operators.text import TEXT_ORACLES, TEXT_QUERIES
 from spark_streaming_testbed_spark.sources.profile_source import (
     PROFILE_FIXED_RAMP_ORACLE,
     profile_fixed_ramp,
@@ -45,10 +55,18 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": R.tpch_q3,
     "order_priority_count": R.order_priority_count,
     "profile_fixed_ramp": profile_fixed_ramp,
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
     "profile_fixed_ramp": PROFILE_FIXED_RAMP_ORACLE,
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **MULTIMODAL_ORACLES,
 }
 
 

@@ -1,0 +1,336 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §7 M7).
+
+Exact (hash-groupBy), MinHash + LSH banding, n-gram Jaccard, and SimHash —
+each expressed as declarative DataFrame plans over the ``documents`` table.
+
+Scale design (the point of each plan shape):
+- exact dedup is one hash aggregation on a fingerprint — the minimal
+  single-shuffle dedup at any scale;
+- minhash signatures are computed row-local with higher-order array
+  functions (no explode, no shuffle) and are oracle-checkable because the
+  hash is md5-derived (see ``text.md5h``);
+- LSH candidate generation shuffles once on (band, band_hash) — the
+  standard banding trick that avoids the O(n²) cross join;
+- the exact n-gram Jaccard join uses an inverted index (explode shingle →
+  equi-join) so Catalyst plans a shuffled hash join keyed on shingle —
+  quadratic only within a posting list, never globally;
+- simhash is 60 per-bit conditional aggregations in ONE HashAggregate
+  pass (Catalyst fuses them), then pairs within hamming ≤ threshold via
+  band join on bit-chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h
+
+SHINGLE_N = 4
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
+JACCARD_THRESHOLD = 0.4
+SIMHASH_BITS = 60
+
+
+def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document (row-local, no shuffle)."""
+    return (
+        df.withColumn("tokens", F.split(F.trim(F.col("text")), " "))
+        .withColumn(
+            "shingles",
+            F.expr(
+                f"CASE WHEN size(tokens) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(tokens) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(tokens, i, {n})))) "
+                "ELSE array() END"
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = f"""
+CASE WHEN len(tokens) >= {SHINGLE_N} THEN
+  list_distinct(list_transform(range(1, len(tokens) - {SHINGLE_N} + 2),
+                i -> array_to_string(tokens[i:i+{SHINGLE_N}-1], ' ')))
+ELSE [] END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on a normalized fingerprint
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5 of normalized text → (fingerprint,
+    group size, keeper = min doc_id). Mirrors the reference's
+    key-dedup-keep-first shape (log-processor RunLogData.scala:17-23) at
+    document granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    return (
+        docs.select("doc_id", F.expr(f"md5({norm})").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       count(*) AS group_size,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1 ORDER BY keeper_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (oracle-checkable: md5-derived hash family)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-permutation MinHash signature per document, one column per hash.
+
+    Hash family: ``md5h(j || ':' || shingle)`` for j in [0, K) — portable
+    to the DuckDB oracle. Row-local (no shuffle, no UDF)."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig_cols = [
+        F.expr(
+            "array_min(transform(shingles, s -> "
+            f"cast(conv(substring(md5(concat('{j}:', s)), 1, 15), 16, 10) as bigint)))"
+        ).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return (
+        docs.where(F.size("shingles") > 0)
+        .select("doc_id", *sig_cols)
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_oracle() -> str:
+    hashes = ",\n       ".join(
+        "list_min(list_transform(shingles, s -> "
+        + MD5H_SQL_TEMPLATE.format(expr=f"concat('{j}:', s)")
+        + f")) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok)
+SELECT doc_id,
+       {hashes}
+FROM sh WHERE len(shingles) > 0
+ORDER BY doc_id
+"""
+
+
+MINHASH_SIGNATURES_ORACLE = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LSH near-dup candidate pairs → verified pairs → survivors
+# ---------------------------------------------------------------------------
+
+def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash)."""
+    r = MINHASH_K // LSH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            md5h(
+                "concat_ws(':', "
+                + ", ".join(f"mh{b * r + i}" for i in range(r))
+                + ")"
+            ).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    exploded = (
+        docs_with_sig.select("doc_id", "shingles", F.explode(bands).alias("b"))
+        .select("doc_id", "shingles", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+    left = exploded.alias("l")
+    right = exploded.select("doc_id", "band", "bh", "shingles").alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    Rows-only check (LSH candidate generation is probabilistic recall by
+    design — the exact-join twin ``ngram_jaccard_pairs`` is the oracle-
+    checked variant)."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig_cols = [
+        F.expr(
+            "array_min(transform(shingles, s -> "
+            f"cast(conv(substring(md5(concat('{j}:', s)), 1, 15), 16, 10) as bigint)))"
+        ).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    with_sig = docs.where(F.size("shingles") > 0).select("doc_id", "shingles", *sig_cols)
+    pairs = _lsh_candidates(with_sig)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup decision: drop any doc that has a verified near-duplicate
+    with a smaller doc_id (greedy keep-first, deterministic). Rows-only."""
+    pairs = lsh_near_dup_pairs(spark, sf_dir).select("doc_b").distinct()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(pairs, docs.doc_id == pairs.doc_b, "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the oracle-checked near-dup ground truth)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted index:
+    explode → equi-join on shingle → per-pair common count → filter.
+    One shuffle keyed on shingle; never a global cross join."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    base = docs.where(F.size("shingles") > 0).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    inv = base.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6)
+    return (
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+         WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE round(common * 1.0 / (na + nb - common), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (oracle-checkable: per-bit votes over portable token hashes)
+# ---------------------------------------------------------------------------
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: explode tokens, one conditional SUM per
+    bit (Catalyst fuses all 60 into a single aggregation pass), recombine
+    positive-vote bits into one bigint."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"))
+        .select("doc_id", md5h("t").alias("h"))
+    )
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint") * (1 << b)).otherwise(0)
+        sim = term if sim is None else (sim + term)
+    return votes.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    h = MD5H_SQL_TEMPLATE.format(expr="t")
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents)),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, {recombine} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle()
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "lsh_near_dup_pairs": lsh_near_dup_pairs,
+    "dedup_minhash_survivors": dedup_minhash_survivors,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash": simhash,
+}
+
+DEDUP_ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "minhash_signatures": MINHASH_SIGNATURES_ORACLE,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
+    "simhash": SIMHASH_ORACLE,
+    # lsh_near_dup_pairs / dedup_minhash_survivors: rows-only by design
+    # (LSH recall is probabilistic; the exact twin is oracle-checked).
+}

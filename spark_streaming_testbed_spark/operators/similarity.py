@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M7).
+
+Brute-force cosine top-k as the correctness baseline (oracle-checked
+against DuckDB's list arithmetic), plus a random-hyperplane-LSH bucketed
+variant as the scale path.
+
+Scale design:
+- the query set is the SMALL side — it is broadcast, so the candidate
+  scan streams once over the (arbitrarily large) corpus with no shuffle
+  of the corpus itself; top-k per query is a partial-aggregating window;
+- cosine math uses built-in higher-order functions (``zip_with`` +
+  ``aggregate``) entirely JVM-side, accumulating in double for engine-
+  portable results;
+- the LSH variant buckets both sides on sign-bit signatures of seeded
+  random hyperplanes (numpy, fixed seed) and only scores within buckets —
+  the 100 TB ANN path where brute force stops being affordable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+TOP_K = 5
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+LSH_PLANES = 8
+LSH_SEED = 42
+DIM = 64
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Sequential-fold cosine in double — bit-matched by the DuckDB twin."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate({a}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate({b}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the query vectors (vec_id <
+    N_QUERIES) over the whole corpus; rank ties broken by neighbor id.
+    The query side is broadcast — the corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "rk", "c_id", "cosine")
+        .orderBy("q_id", "rk")
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         round(
+           list_dot_product(q_emb, c_emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) *
+            sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM q, c WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, rk, c_id, cosine FROM ranked
+WHERE rk <= {TOP_K} ORDER BY q_id, rk
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and dimension — the cheap embedding-column
+    sanity scan (also demonstrates array aggregation pushdown)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(embedding, cast(0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return (
+        emb.select(
+            "vec_id", "label",
+            F.size("embedding").alias("dim"),
+            F.round(norm, 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_NORMS_ORACLE = """
+SELECT vec_id, label, len(embedding) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def _lsh_signature_col() -> F.Column:
+    """Sign-bit signature against seeded random hyperplanes (driver-side
+    constants folded into the plan — no UDF, no broadcast variable)."""
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, DIM)
+    sig = None
+    for p in range(LSH_PLANES):
+        coeffs = ", ".join(repr(float(c)) for c in planes[p])
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, array({coeffs}), "
+            "(x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sig.alias("bucket")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: score only candidates in the same hyperplane-LSH
+    bucket as the query. Rows-only check (approximate recall by design);
+    the exact twin ``cosine_topk`` is the oracle-checked baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_signature_col()
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(queries), on="bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "rk", "c_id", "cosine")
+        .orderBy("q_id", "rk")
+    )
+
+
+SIMILARITY_QUERIES = {
+    "cosine_topk": cosine_topk,
+    "embedding_norms": embedding_norms,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+SIMILARITY_ORACLES = {
+    "cosine_topk": COSINE_TOPK_ORACLE,
+    "embedding_norms": EMBEDDING_NORMS_ORACLE,
+    # ann_lsh_topk: rows-only (approximate by design)
+}

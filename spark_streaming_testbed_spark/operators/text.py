@@ -1,0 +1,253 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §7 M7).
+
+Language-ID, quality scoring, token statistics, and document
+fingerprinting over the ``documents`` table. Everything stays JVM-side
+(built-in higher-order array functions — no Python UDFs in the hot path),
+so the plans survive whole-stage codegen at 100 TB.
+
+Hash portability: 60-bit integer hashes are derived from the first 15 hex
+chars of md5, which both Spark (``conv(substr(md5(x),1,15),16,10)``) and
+DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``) compute identically —
+that makes minhash/simhash oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+ROUND = 6
+
+#: deterministic marker words per language (synthetic corpus vocabulary);
+#: the heuristic is a stopword-family vote — n-gram-frequency LID reduced
+#: to its deterministic core so the DuckDB oracle can mirror it.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("data", "row", "table"),
+    "es": ("scan", "filter", "sort"),
+    "fr": ("join", "merge", "group"),
+    "zh": ("fast", "slow", "value"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def md5h(expr: str) -> Column:
+    """Portable 60-bit hash of a SQL expression: first 15 hex md5 chars."""
+    return F.expr(f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)")
+
+
+MD5H_SQL_TEMPLATE = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    """Whitespace tokenization of ``text`` (single-space corpus)."""
+    return df.withColumn("tokens", F.split(F.trim(F.col("text")), " "))
+
+
+TOKENS_SQL = "string_split(trim(text), ' ')"
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: total, distinct, mean token length."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size("tokens").alias("n_tokens"),
+            F.size(F.array_distinct("tokens")).alias("n_distinct"),
+            F.round(
+                F.aggregate(
+                    "tokens", F.lit(0).cast("double"),
+                    lambda acc, t: acc + F.length(t),
+                ) / F.size("tokens"),
+                ROUND,
+            ).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_STATS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       len(list_distinct(tokens)) AS n_distinct,
+       round(list_sum(list_transform(tokens, t -> length(t))) * 1.0
+             / len(tokens), {ROUND}) AS mean_token_len
+FROM tok ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + stopword ratio +
+    alpha-character ratio, combined into one [0,1] score."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size("tokens")
+    n_stop = F.size(F.expr(
+        "filter(tokens, t -> array_contains("
+        + "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + "), t))"
+    ))
+    alpha_len = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    stop_ratio = n_stop / n_tokens
+    len_sat = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    alpha_ratio = alpha_len / F.length("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(stop_ratio, ROUND).alias("stopword_ratio"),
+            F.round(alpha_ratio, ROUND).alias("alpha_ratio"),
+            F.round(
+                0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio, ROUND
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+QUALITY_SCORE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, text, {TOKENS_SQL} AS tokens FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(list_filter(tokens, t -> list_contains({_STOP_LIST_SQL}, t))) * 1.0
+           / len(tokens) AS stop_ratio,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+           / length(text) AS alpha_ratio,
+         least(1.0, len(tokens) / 100.0) AS len_sat
+  FROM tok)
+SELECT doc_id,
+       round(stop_ratio, {ROUND}) AS stopword_ratio,
+       round(alpha_ratio, {ROUND}) AS alpha_ratio,
+       round(0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio,
+             {ROUND}) AS quality
+FROM feats ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language identification (deterministic marker vote)
+# ---------------------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by counting per-language marker tokens; ties break
+    in fixed language order. Deterministic so the oracle can mirror it."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = ",".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            F.size(F.expr(
+                f"filter(tokens, t -> array_contains(array({arr}), t))"
+            )).alias(f"s_{lang}")
+        )
+    scored = docs.select("doc_id", "lang", *score_cols)
+    langs = list(LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}") if langs.index(other) > langs.index(lang) \
+                else F.col(f"s_{lang}") > F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return (
+        scored.select(
+            "doc_id",
+            F.coalesce(expr, F.lit(langs[-1])).alias("lang_pred"),
+            (F.coalesce(expr, F.lit(langs[-1])) == F.col("lang")).alias("matches_label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    score_sql = ",\n         ".join(
+        "len(list_filter(tokens, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS s_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {TOKENS_SQL} AS tokens FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {score_sql}
+  FROM tok)
+SELECT doc_id, {case_sql} AS lang_pred,
+       ({case_sql}) = lang AS matches_label
+FROM scored ORDER BY doc_id
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized text plus a
+    portable 60-bit integer variant (for bucketing / shard routing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"md5({norm})").alias("fp"),
+            F.expr(
+                f"cast(conv(substring(md5({norm}), 1, 15), 16, 10) as bigint)"
+            ).alias("fp64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS fp,
+       CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fp64
+FROM n ORDER BY doc_id
+"""
+
+TEXT_ORACLES = {
+    "token_stats": TOKEN_STATS_ORACLE,
+    "quality_score": QUALITY_SCORE_ORACLE,
+    "lang_id": LANG_ID_ORACLE,
+    "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+}
+
+TEXT_QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
