@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_testbed_spark.operators import relational as R
 from spark_streaming_testbed_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from spark_streaming_testbed_spark.operators.loglake_queries import (
+    LOGLAKE_ORACLES,
+    LOGLAKE_QUERIES,
+)
 from spark_streaming_testbed_spark.operators.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -59,6 +63,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
+    **LOGLAKE_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -67,6 +72,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
+    **LOGLAKE_ORACLES,
 }
 
 
