@@ -27,6 +27,10 @@ from spark_streaming_testbed_spark.operators.similarity import (
     SIMILARITY_QUERIES,
 )
 from spark_streaming_testbed_spark.operators.text import TEXT_ORACLES, TEXT_QUERIES
+from spark_streaming_testbed_spark.streaming.pipeline import (
+    STREAMING_ORACLES,
+    STREAMING_QUERIES,
+)
 from spark_streaming_testbed_spark.sources.profile_source import (
     PROFILE_FIXED_RAMP_ORACLE,
     profile_fixed_ramp,
@@ -64,6 +68,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **LOGLAKE_QUERIES,
+    **STREAMING_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -73,6 +78,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **SIMILARITY_ORACLES,
     **MULTIMODAL_ORACLES,
     **LOGLAKE_ORACLES,
+    **STREAMING_ORACLES,
 }
 
 

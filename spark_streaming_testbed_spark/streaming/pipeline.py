@@ -1,0 +1,211 @@
+"""Structured Streaming rebuild of the reference's streaming query
+(SURVEY.md §2.6 T1/T6/T8, §2.1 S3/S4, §3.1).
+
+The reference pipeline: N socket streams → parse-filter → per-record CPU
+kernel → per-batch per-value stats → union → console TSV sink
+(simple-streaming-app SimpleStreamingApp.scala:51-91). Rebuilt as:
+profile/file streams (+``stream_id``) → ``unionByName`` →  event-time
+tumbling window aggregation → ``foreachBatch``/memory sink, driven by
+``availableNow`` for deterministic tests.
+
+Late data: the reference never drops late items (scheduler drains
+``time <= now``, DataGeneratorActor.scala:123-136); Structured Streaming
+watermarks do. Queries here default to NO watermark (exact parity,
+bounded test data); pass ``watermark=`` for the unbounded-scale variant —
+the documented T5 semantic divergence.
+"""
+
+from __future__ import annotations
+
+import functools
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stats import stats_aggs
+from ..plans.phases import TestPlan, parse_plan
+from ..sources.profile_source import (
+    DEFAULT_EPOCH_MS,
+    _FIXED_RAMP_PLAN_JSON,
+    profile_stream,
+)
+
+
+def union_streams(streams: list[DataFrame]) -> DataFrame:
+    """Multi-source fan-in (S3/U1): streaming unions are first-class."""
+    return functools.reduce(DataFrame.unionByName, streams)
+
+
+def windowed_stats(
+    stream: DataFrame,
+    window: str = "5 seconds",
+    watermark: str | None = None,
+    by_stream: bool = True,
+) -> DataFrame:
+    """The flagship A1 aggregation on a (streaming) DataFrame: per
+    tumbling event-time window, per value (and stream), count/sum/mean/
+    population-stddev. Catalyst plans partial+final agg with streaming
+    state; no watermark by default (see module docstring)."""
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    keys = [F.window("ts", window).alias("w"), F.col("value")]
+    if by_stream:
+        keys.append(F.col("stream_id"))
+    out_keys = ["value", "stream_id"] if by_stream else ["value"]
+    return (
+        stream.groupBy(*keys)
+        .agg(*stats_aggs("value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *out_keys, "cnt", "sum_v", "mean_v", "stddev_v",
+        )
+    )
+
+
+def tsv_lines(stats: DataFrame) -> DataFrame:
+    """Reference console TSV format (P9/S4, SimpleStreamingApp.scala:106-108)."""
+    return stats.select(
+        F.concat_ws(
+            "\t",
+            F.col("window_start"), F.col("value"),
+            F.col("cnt"), F.col("sum_v"), F.col("mean_v"), F.col("stddev_v"),
+        ).alias("line")
+    )
+
+
+def run_stream_to_table(result: DataFrame, mode: str = "complete") -> str:
+    """Drive a streaming aggregation to completion with availableNow into
+    a memory sink; returns the sink table name."""
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Contract queries
+# ---------------------------------------------------------------------------
+
+def streaming_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming query: replay the fixed+ramp profile as a
+    file stream (one trigger per file) → tumbling 5 s window stats →
+    memory sink. The DuckDB oracle reproduces the generator arithmetic AND
+    the aggregation in pure SQL — an end-to-end streaming correctness
+    gate, not just a rows-only smoke."""
+    plan = parse_plan(_FIXED_RAMP_PLAN_JSON)
+    with tempfile.TemporaryDirectory(prefix="profile_stream_") as tmp:
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        stats = windowed_stats(stream, window="5 seconds", by_stream=False)
+        table = run_stream_to_table(stats, mode="complete")
+        # memory sink is fully materialized once awaitTermination returns
+        return spark.table(table).orderBy("window_start", "value")
+
+
+STREAMING_PROFILE_STATS_ORACLE = f"""
+WITH ramp AS (
+  SELECT s*1000 + i*10 AS time_ms, 7 AS value,
+         CAST(floor((i+1) * rb) AS INT) - CAST(floor(i * rb) AS INT) AS n
+  FROM (SELECT s, i, (50 + (150-50)/4.0*s)/100.0 AS rb
+        FROM (SELECT unnest(range(5)) AS s), (SELECT unnest(range(100)) AS i))
+), fx AS (
+  SELECT (s+5)*1000 + i*10 AS time_ms, 8 AS value,
+         CAST(floor((i+1) * (120/100.0)) AS INT) - CAST(floor(i * (120/100.0)) AS INT) AS n
+  FROM (SELECT unnest(range(3)) AS s), (SELECT unnest(range(100)) AS i)
+), allb AS (SELECT * FROM ramp UNION ALL SELECT * FROM fx),
+rows_ AS (
+  SELECT time_ms, value
+  FROM allb, (SELECT unnest(range(8)) AS j) rep WHERE rep.j < allb.n)
+SELECT {DEFAULT_EPOCH_MS // 1000} + (time_ms // 5000) * 5 AS window_start,
+       value,
+       count(*) AS cnt,
+       CAST(sum(value) AS BIGINT) AS sum_v,
+       round(avg(value), 6) AS mean_v,
+       coalesce(round(stddev_pop(value), 6), 0.0) AS stddev_v
+FROM rows_
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def streaming_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two profile streams with distinct stream_ids unioned before the
+    window aggregation (S3/T8/U1) — per-stream identities survive to the
+    output. Rows-only (the oracle-checked single-stream twin is
+    ``streaming_profile_stats``)."""
+    plan_a = parse_plan(
+        '{"sequence": [{"type": "fixed", "value": 5, "rate": 40, "duration": 4}]}'
+    )
+    plan_b = parse_plan(
+        '{"sequence": [{"type": "cycle", "values": [6, 7], "rate": 30, "duration": 4}]}'
+    )
+    with tempfile.TemporaryDirectory(prefix="multi_stream_") as tmp:
+        sa = profile_stream(spark, plan_a, tmp, stream_id=0, seconds_per_file=2)
+        sb = profile_stream(spark, plan_b, tmp, stream_id=1, seconds_per_file=2)
+        stats = windowed_stats(union_streams([sa, sb]), window="2 seconds")
+        table = run_stream_to_table(stats, mode="complete")
+        return spark.table(table).orderBy("window_start", "stream_id", "value")
+
+
+def hanoi_load_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference workload shape (P8/F1): profile of heights 5-8 →
+    CPU-bound hanoi kernel per record → per-value stats over the move
+    counts. Move counts are deterministic (2^n − 1) so this IS
+    oracle-checkable; measured micros stay engine-side."""
+    plan = parse_plan(
+        '{"sequence": [{"type": "cycle", "values": [5, 6, 7, 8], '
+        '"rate": 50, "duration": 4}]}'
+    )
+    from ..functions.hanoi import hanoi_kernel
+    from ..sources.profile_source import profile_dataframe
+
+    df = profile_dataframe(spark, plan)
+    with_kernel = df.withColumn("k", hanoi_kernel("value"))
+    return (
+        with_kernel.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k.moves").alias("total_moves"),
+            F.min("k.moves").alias("moves_per_solve"),
+        )
+        .orderBy("value")
+    )
+
+
+HANOI_LOAD_STATS_ORACLE = """
+WITH counts AS (
+  SELECT i,
+         CAST(floor((i+1) * 0.5) AS INT) - CAST(floor(i * 0.5) AS INT) AS n
+  FROM (SELECT unnest(range(100)) AS i)),
+seq AS (
+  SELECT s.s * 100 + b.ord AS idx
+  FROM (SELECT unnest(range(4)) AS s) s,
+       (SELECT i, row_number() OVER (ORDER BY i) - 1 AS ord
+        FROM counts WHERE n > 0) b),
+vals AS (SELECT ([5, 6, 7, 8])[(idx % 4) + 1] AS value FROM seq)
+SELECT value,
+       count(*) AS cnt,
+       CAST(count(*) * (2 ** value - 1) AS BIGINT) AS total_moves,
+       CAST(2 ** value - 1 AS BIGINT) AS moves_per_solve
+FROM vals
+GROUP BY value ORDER BY value
+"""
+
+
+STREAMING_QUERIES = {
+    "streaming_profile_stats": streaming_profile_stats,
+    "streaming_multi_source_union": streaming_multi_source_union,
+    "hanoi_load_stats": hanoi_load_stats,
+}
+
+STREAMING_ORACLES = {
+    "streaming_profile_stats": STREAMING_PROFILE_STATS_ORACLE,
+    "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
+    # streaming_multi_source_union: rows-only
+}
