@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline metric: sustained rows/s through the reference's scenario-1
+workload shape — a 50k items/s rate profile (hanoi height 7) pushed
+through the per-record CPU kernel and the flagship windowed aggregation
+(BASELINE.md: 50,000 items/s sustained, 250,000 items per 5 s batch).
+
+Also times each headline query end-to-end (plan + execute + materialize
+via the noop sink) at $SPARK_GRAFT_SF_DIR (default sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from spark_streaming_testbed_spark.plans import parse_plan
+from spark_streaming_testbed_spark.session import get_session
+from spark_streaming_testbed_spark.sources.profile_source import profile_dataframe
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: representative slice of the contract queries (one per operator family)
+HEADLINE = [
+    "batch_stats",
+    "tpch_q1",
+    "tpch_q3",
+    "star_join",
+    "cumulative_counts",
+    "pivot_counts",
+    "loglake_execution_roundtrip",
+    "loglake_stacked_pivot",
+    "profile_fixed_ramp",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "token_stats",
+    "streaming_profile_stats",
+]
+
+SCENARIO1_RATE = 50_000
+SCENARIO1_SECONDS = 30
+SCENARIO1_HEIGHT = 7
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def scenario1_rows_per_sec(spark) -> tuple[float, int]:
+    """Generate the scenario-1 profile, run kernel + windowed stats,
+    return (rows/s, total rows)."""
+    from spark_streaming_testbed_spark.functions.hanoi import hanoi_kernel
+    from spark_streaming_testbed_spark.streaming.pipeline import windowed_stats
+
+    plan = parse_plan(json.dumps({
+        "sequence": [
+            {"type": "fixed", "value": SCENARIO1_HEIGHT,
+             "rate": SCENARIO1_RATE, "duration": SCENARIO1_SECONDS}
+        ]
+    }))
+    n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
+    t0 = time.perf_counter()
+    df = profile_dataframe(spark, plan)
+    with_kernel = df.withColumn("k", hanoi_kernel("value")).select(
+        "ts", "value", "stream_id", F.col("k.micros").alias("ms")
+    )
+    stats = windowed_stats(
+        with_kernel.drop("ms"), window="5 seconds", by_stream=True
+    )
+    materialize(stats)
+    wall = time.perf_counter() - t0
+    return n_rows / wall, n_rows
+
+
+def main() -> None:
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warmup: JVM + parquet footers
+    entry.entry(spark).count()
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    rows_per_sec, n_rows = scenario1_rows_per_sec(spark)
+    timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
+
+    print(json.dumps({
+        "metric": "scenario1 sustained rows/s (50k/s x 30s profile, hanoi-7 "
+                  "kernel, 5s windowed stats) + headline query seconds",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()
