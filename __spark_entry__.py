@@ -12,6 +12,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_testbed_spark.operators import relational as R
+from spark_streaming_testbed_spark.operators.advanced import (
+    ADVANCED_ORACLES,
+    ADVANCED_QUERIES,
+)
 from spark_streaming_testbed_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from spark_streaming_testbed_spark.operators.loglake_queries import (
     LOGLAKE_ORACLES,
@@ -69,6 +73,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **MULTIMODAL_QUERIES,
     **LOGLAKE_QUERIES,
     **STREAMING_QUERIES,
+    **ADVANCED_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -79,6 +84,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **MULTIMODAL_ORACLES,
     **LOGLAKE_ORACLES,
     **STREAMING_ORACLES,
+    **ADVANCED_ORACLES,
 }
 
 

@@ -1,0 +1,277 @@
+"""Advanced relational operators: sessionization, as-of join, range join,
+embedding-cosine near-dup, wire-format assembly.
+
+These cover the "operators Spark lacks natively" tier (SURVEY.md §7.3 and
+the pyspark guide's OLAP patterns): each is (a) a composition of built-in
+DataFrame ops where semantics allow, with the scale rationale documented,
+and each has a DuckDB oracle (ASOF JOIN, window islands) proving parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_MS = 30 * 60 * 1000
+# testdata embeddings are near-orthogonal random vectors (max pairwise
+# cosine ≈ 0.51); 0.4 selects the top ~0.05% most-similar pairs so the
+# detector produces a non-vacuous result at every sf
+COSINE_DUP_THRESHOLD = 0.4
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: native session_window, oracled by SQL gap-islands
+# ---------------------------------------------------------------------------
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap using Spark's
+    native ``session_window`` (usable in batch AND streaming — the same
+    operator sessionizes the live pipeline). The oracle derives identical
+    sessions via the classic lag/gap/cumsum islands SQL — proving the
+    built-in operator's semantics against first principles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events", "sum_v",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_ms(ts) AS t, value,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_t
+  FROM events),
+marked AS (
+  SELECT user_id, t, value,
+         CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+islands AS (
+  SELECT user_id, t, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id,
+       min(t) AS session_start_ms,
+       max(t) + {SESSION_GAP_MS} AS session_end_ms,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_v
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start_ms
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest prior click for each purchase (union-marker rebuild)
+# ---------------------------------------------------------------------------
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the same user's most recent click at or
+    before it. Spark lacks a native ASOF join; the scalable rebuild is the
+    union-marker trick: tag both sides, sort once per user, carry the last
+    click forward with an ``ignoreNulls`` running ``last`` — ONE shuffle
+    (by user), no range explosion, no per-group pandas. Oracle: DuckDB's
+    native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("tag"),
+    )
+    union = (
+        clicks.withColumn("purchase_id", F.lit(None).cast("long"))
+        .unionByName(
+            purchases.withColumn("click_id", F.lit(None).cast("long"))
+            .select("user_id", "ts", "click_id", "tag", "purchase_id")
+        )
+    )
+    # clicks sort before purchases at equal ts (tag 0 < 1) → inclusive "≤"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = union.select(
+        "user_id", "ts", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("matched_click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w).alias("click_ts"),
+    )
+    return (
+        carried.where(F.col("purchase_id").isNotNull()
+                      & F.col("matched_click_id").isNotNull())
+        .select(
+            "purchase_id", "user_id",
+            F.unix_millis("ts").alias("purchase_ms"),
+            "matched_click_id",
+            (F.unix_millis("ts") - F.unix_millis("click_ts")).alias("gap_ms"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       c.click_id AS matched_click_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM purchases p
+ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join: non-uniform value bands via broadcast inequality join
+# ---------------------------------------------------------------------------
+
+BANDS = [(0.0, 10.0, "micro"), (10.0, 50.0, "small"),
+         (50.0, 100.0, "medium"), (100.0, 1e9, "large")]
+
+
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join every event to its (non-uniform) value band. The band table is
+    tiny → broadcast inequality join (BroadcastNestedLoopJoin): each
+    executor scans its events once against the in-memory band list. For a
+    LARGE range side the plan would switch to bucketize-then-equijoin; the
+    broadcast form is the right call here and the plan test pins it."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_BANDS_ORACLE = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 10.0, 'micro'), (10.0, 50.0, 'small'),
+         (50.0, 100.0, 'medium'), (100.0, 1000000000.0, 'large'))
+SELECT band, count(*) AS n_events, round(avg(value), 6) AS avg_v
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — the embedding-space
+    near-dup detector. Exact all-pairs here (correctness gate runs at
+    small sf); the documented scale path is the hyperplane-LSH bucketing
+    of ``similarity.ann_lsh_topk`` feeding the same verifier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from .similarity import _cosine
+
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(_cosine("ea", "eb"), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_PAIRS_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) *
+              sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) *
+             sqrt(list_dot_product(b.e, b.e))), 6) >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wire-format batch assembly (P10/S5): the generator's socket payload
+# ---------------------------------------------------------------------------
+
+def wire_format_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild of the TCP write payload ``ints.mkString("", "\\n", "\\n")``
+    (testbed DataGeneratorActor.scala:209): per second, the ordered values
+    joined by newlines. Values sorted for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.floor(F.unix_millis("ts") / 1000) * 1000).alias("second_ms"))
+        .agg(
+            F.concat(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.floor("value").cast("int"))),
+                    "\n",
+                ),
+                F.lit("\n"),
+            ).alias("payload"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .orderBy("second_ms")
+    )
+
+
+WIRE_FORMAT_BATCHES_ORACLE = """
+SELECT (epoch_ms(ts) // 1000) * 1000 AS second_ms,
+       string_agg(CAST(CAST(floor(value) AS INT) AS VARCHAR), chr(10)
+                  ORDER BY CAST(floor(value) AS INT)) || chr(10) AS payload,
+       count(*) AS n_values
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ADVANCED_QUERIES = {
+    "sessionize": sessionize,
+    "asof_join": asof_join,
+    "range_join_bands": range_join_bands,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "wire_format_batches": wire_format_batches,
+}
+
+ADVANCED_ORACLES = {
+    "sessionize": SESSIONIZE_ORACLE,
+    "asof_join": ASOF_JOIN_ORACLE,
+    "range_join_bands": RANGE_JOIN_BANDS_ORACLE,
+    "dedup_embedding_pairs": DEDUP_EMBEDDING_PAIRS_ORACLE,
+    "wire_format_batches": WIRE_FORMAT_BATCHES_ORACLE,
+}

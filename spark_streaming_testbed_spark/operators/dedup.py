@@ -27,11 +27,33 @@ from pyspark.sql import functions as F
 from ..session import load_table
 from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h
 
+import random
+
 SHINGLE_N = 4
 MINHASH_K = 8
 LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
 JACCARD_THRESHOLD = 0.4
 SIMHASH_BITS = 60
+
+#: xor-rotate hash family over the 60-bit base hash: h_j = rot_{r_j}(h ⊕ c_j).
+#: One md5 per shingle instead of K — the rotate is expressed with
+#: overflow-safe mod/div arithmetic portable to DuckDB (no BIGINT overflow,
+#: which errors in both engines).
+_rng = random.Random(42)
+MIX_CONSTS: list[tuple[int, int]] = [
+    (_rng.randrange(1 << 60), _rng.randrange(1, 60)) for _ in range(MINHASH_K)
+]
+
+
+def _mix_expr(h: str, j: int, dialect: str) -> str:
+    """`rot_r(h xor c)` in Spark SQL or DuckDB SQL (bit-identical)."""
+    c, r = MIX_CONSTS[j]
+    lo, hi = 1 << r, 1 << (60 - r)
+    if dialect == "spark":
+        x = f"({h} ^ {c}L)"
+        return f"(({x} % {lo}L) * {hi}L + ({x} div {lo}L))"
+    x = f"xor({h}, {c}::BIGINT)"
+    return f"(({x} % {lo}) * {hi} + ({x} // {lo}))"
 
 
 def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -93,39 +115,56 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # MinHash signatures (oracle-checkable: md5-derived hash family)
 # ---------------------------------------------------------------------------
 
+def _with_base_hashes(docs: DataFrame) -> DataFrame:
+    """60-bit md5-derived hash per shingle, computed ONCE per shingle;
+    the K signature slots reuse it through the xor-rotate family."""
+    return docs.withColumn(
+        "hs",
+        F.expr(
+            "transform(shingles, s -> "
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ),
+    )
+
+
+def _sig_cols() -> list[F.Column]:
+    return [
+        F.expr(f"array_min(transform(hs, h -> {_mix_expr('h', j, 'spark')}))")
+        .alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-permutation MinHash signature per document, one column per hash.
 
-    Hash family: ``md5h(j || ':' || shingle)`` for j in [0, K) — portable
-    to the DuckDB oracle. Row-local (no shuffle, no UDF)."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
-    sig_cols = [
-        F.expr(
-            "array_min(transform(shingles, s -> "
-            f"cast(conv(substring(md5(concat('{j}:', s)), 1, 15), 16, 10) as bigint)))"
-        ).alias(f"mh{j}")
-        for j in range(MINHASH_K)
-    ]
+    Hash family: one md5-derived 60-bit base hash per shingle, mixed K
+    ways with the portable xor-rotate family (``MIX_CONSTS``) — 8× fewer
+    md5 evaluations than hashing (j, shingle) pairs, still oracle-exact.
+    Row-local (no shuffle, no UDF)."""
+    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
     return (
         docs.where(F.size("shingles") > 0)
-        .select("doc_id", *sig_cols)
+        .select("doc_id", *_sig_cols())
         .orderBy("doc_id")
     )
 
 
 def _minhash_oracle() -> str:
+    base = MD5H_SQL_TEMPLATE.format(expr="s")
     hashes = ",\n       ".join(
-        "list_min(list_transform(shingles, s -> "
-        + MD5H_SQL_TEMPLATE.format(expr=f"concat('{j}:', s)")
-        + f")) AS mh{j}"
+        f"list_min(list_transform(hs, h -> {_mix_expr('h', j, 'duck')})) AS mh{j}"
         for j in range(MINHASH_K)
     )
     return f"""
 WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok)
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+hb AS (SELECT doc_id, shingles,
+              list_transform(shingles, s -> {base}) AS hs
+       FROM sh)
 SELECT doc_id,
        {hashes}
-FROM sh WHERE len(shingles) > 0
+FROM hb WHERE len(shingles) > 0
 ORDER BY doc_id
 """
 
@@ -180,15 +219,10 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (LSH candidate generation is probabilistic recall by
     design — the exact-join twin ``ngram_jaccard_pairs`` is the oracle-
     checked variant)."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
-    sig_cols = [
-        F.expr(
-            "array_min(transform(shingles, s -> "
-            f"cast(conv(substring(md5(concat('{j}:', s)), 1, 15), 16, 10) as bigint)))"
-        ).alias(f"mh{j}")
-        for j in range(MINHASH_K)
-    ]
-    with_sig = docs.where(F.size("shingles") > 0).select("doc_id", "shingles", *sig_cols)
+    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
+    with_sig = docs.where(F.size("shingles") > 0).select(
+        "doc_id", "shingles", *_sig_cols()
+    )
     pairs = _lsh_candidates(with_sig)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -221,11 +255,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted index:
     explode → equi-join on shingle → per-pair common count → filter.
     One shuffle keyed on shingle; never a global cross join."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
     base = docs.where(F.size("shingles") > 0).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+        "doc_id", "hs", F.size("shingles").alias("n_sh")
     )
-    inv = base.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    # join on the 8-byte shingle hash, not the shingle string — same
+    # posting lists (collisions are engine-consistent), ~5× smaller shuffle
+    inv = base.select("doc_id", "n_sh", F.explode("hs").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -248,9 +284,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
-base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
-         WHERE len(shingles) > 0),
-inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+base AS (SELECT doc_id,
+                list_transform(shingles, s -> {MD5H_SQL_TEMPLATE.format(expr='s')}) AS hs,
+                len(shingles) AS n_sh
+         FROM sh WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, n_sh, unnest(hs) AS s FROM base),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS common
