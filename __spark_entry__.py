@@ -66,6 +66,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": R.tpch_q1,
     "tpch_q3": R.tpch_q3,
     "order_priority_count": R.order_priority_count,
+    "skew_salted_agg": R.skew_salted_agg,
+    "value_percentiles": R.value_percentiles,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -219,6 +219,20 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
+RELATIONAL_ORACLES["skew_salted_agg"] = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+RELATIONAL_ORACLES["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 RELATIONAL_ORACLES["order_priority_count"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

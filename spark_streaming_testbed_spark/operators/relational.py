@@ -431,6 +431,49 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the skew-mitigation pattern, proven
+    result-identical to a plain groupBy by the oracle.
+
+    At 100 TB a 5-key groupBy funnels everything through 5 reducers; the
+    fix is a synthetic salt: partial-aggregate on (key, salt) across 16×
+    more reducers, then final-aggregate on key. Catalyst's partial aggs
+    mitigate this for algebraic functions already, but the explicit salt
+    is the general tool (works for collect-style and high-cardinality
+    partials too)."""
+    events = _t(spark, sf_dir, "events")
+    salted = events.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = (
+        salted.groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("cnt"),
+            F.round(F.sum("s"), ROUND).alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both R-7). The documented scale path swaps
+    in ``percentile_approx`` (t-digest) when exactness isn't contractual."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), ROUND).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), ROUND).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), ROUND).alias("p75"),
+            F.round(F.expr("percentile(value, 0.99)"), ROUND).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style: order counts per priority for orders having at least
     one lineitem (left-semi join, the scalable EXISTS)."""
