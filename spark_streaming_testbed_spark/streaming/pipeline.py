@@ -198,14 +198,28 @@ GROUP BY value ORDER BY value
 """
 
 
+def _stateful_query(spark, sf_dir):
+    from .stateful import streaming_stateful_totals
+
+    return streaming_stateful_totals(spark, sf_dir)
+
+
+def _stateful_oracle() -> str:
+    from .stateful import STREAMING_STATEFUL_TOTALS_ORACLE
+
+    return STREAMING_STATEFUL_TOTALS_ORACLE
+
+
 STREAMING_QUERIES = {
     "streaming_profile_stats": streaming_profile_stats,
     "streaming_multi_source_union": streaming_multi_source_union,
     "hanoi_load_stats": hanoi_load_stats,
+    "streaming_stateful_totals": _stateful_query,
 }
 
 STREAMING_ORACLES = {
     "streaming_profile_stats": STREAMING_PROFILE_STATS_ORACLE,
     "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
+    "streaming_stateful_totals": _stateful_oracle(),
     # streaming_multi_source_union: rows-only
 }

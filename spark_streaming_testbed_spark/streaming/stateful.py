@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator (SURVEY.md §2.6 T9 — the stretch
+tier the reference never had: cross-batch state).
+
+``running_totals`` keeps per-value running (count, sum) across ALL
+micro-batches with ``applyInPandasWithState`` — the Structured Streaming
+primitive for operators that outlive a window. Each trigger emits the
+updated cumulative row per key touched in that batch, which is exactly
+the reference's "stats so far" console view upgraded to exactly-once
+state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "value int, total_cnt long, total_sum long, n_batches int"
+STATE_SCHEMA = "cnt long, sum long, batches int"
+
+
+def _update_totals(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    cnt, total, batches = state.get if state.exists else (0, 0, 0)
+    new = 0
+    for pdf in pdfs:
+        new += len(pdf)
+    cnt += new
+    total += new * int(key[0])
+    batches += 1
+    state.update((cnt, total, batches))
+    yield pd.DataFrame(
+        {
+            "value": [int(key[0])],
+            "total_cnt": [cnt],
+            "total_sum": [total],
+            "n_batches": [batches],
+        }
+    )
+
+
+def running_totals(stream: DataFrame) -> DataFrame:
+    """Per-value cumulative totals across micro-batches (update mode)."""
+    return (
+        stream.groupBy("value")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED stateful streaming query: replay a cycle profile as
+    a multi-trigger file stream through ``applyInPandasWithState`` and
+    return the FINAL cumulative row per value (the last emission, i.e.
+    max n_batches). The oracle recomputes the totals from the plan's
+    bucket arithmetic in SQL — proving exactly-once state accumulation
+    across micro-batches."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..plans.phases import parse_plan
+    from ..sources.profile_source import profile_stream
+
+    plan = parse_plan(
+        '{"sequence": [{"type": "cycle", "values": [4, 5], "rate": 20, '
+        '"duration": 6}]}'
+    )
+    with tempfile.TemporaryDirectory(prefix="stateful_") as tmp:
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        name = f"sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w = W.partitionBy("value").orderBy(F.col("n_batches").desc())
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("value", "total_cnt", "total_sum")
+            .orderBy("value")
+        )
+
+
+STREAMING_STATEFUL_TOTALS_ORACLE = """
+WITH counts AS (
+  SELECT i,
+         CAST(floor((i+1) * 0.2) AS INT) - CAST(floor(i * 0.2) AS INT) AS n
+  FROM (SELECT unnest(range(100)) AS i)),
+seq AS (
+  SELECT b.ord AS idx
+  FROM (SELECT unnest(range(6)) AS s) s,
+       (SELECT i, row_number() OVER (ORDER BY i) - 1 AS ord
+        FROM counts WHERE n > 0) b),
+vals AS (SELECT ([4, 5])[(idx % 2) + 1] AS value FROM seq)
+SELECT value,
+       count(*) AS total_cnt,
+       CAST(sum(value) AS BIGINT) AS total_sum
+FROM vals GROUP BY value ORDER BY value
+"""

@@ -1,0 +1,102 @@
+"""Cross-batch state (T9) and late-data semantics (T5)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from spark_streaming_testbed_spark.plans import parse_plan
+from spark_streaming_testbed_spark.sources.profile_source import profile_stream
+from spark_streaming_testbed_spark.streaming.stateful import running_totals
+
+PLAN = (
+    '{"sequence": [{"type": "cycle", "values": [4, 5], "rate": 20, '
+    '"duration": 6}]}'
+)
+
+
+def _run(df, mode="update"):
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark):
+    plan = parse_plan(PLAN)
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        table = _run(running_totals(stream))
+        rows = spark.table(table).collect()
+    # multiple triggers → multiple emissions per key; final row per key
+    # carries the grand total
+    finals = {}
+    for r in rows:
+        cur = finals.get(r.value)
+        if cur is None or r.n_batches > cur.n_batches:
+            finals[r.value] = r
+    expect = {}
+    for _, v in plan.rows():
+        expect[v] = expect.get(v, 0) + 1
+    assert {k: r.total_cnt for k, r in finals.items()} == expect
+    assert all(r.total_sum == r.total_cnt * r.value for r in finals.values())
+    # state really crossed batches (3 files → 3 triggers)
+    assert max(r.n_batches for r in rows) >= 2
+
+
+def test_watermark_semantics_documented_divergence(spark):
+    """T5: the reference never drops late data; a watermarked streaming
+    aggregation does. Assert both behaviors explicitly."""
+    plan = parse_plan(
+        '{"sequence": [{"type": "fixed", "value": 3, "rate": 10, '
+        '"duration": 6}]}'
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        # files arrive in REVERSE time order → everything after the first
+        # file is "late" relative to the max event time already seen
+        from spark_streaming_testbed_spark.sources.profile_source import (
+            profile_dataframe,
+        )
+
+        batch = profile_dataframe(spark, plan)
+        (
+            batch.withColumn(
+                "rev", F.lit(1000000) - F.unix_millis("ts")
+            )
+            .repartitionByRange(3, "rev")
+            .drop("rev")
+            .write.mode("overwrite").parquet(f"{tmp}/files")
+        )
+        schema = "ts timestamp, value int, stream_id int"
+
+        def stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/files")
+            )
+
+        # parity mode (no watermark): every row aggregated
+        no_wm = stream().groupBy("value").count()
+        t1 = _run(no_wm, mode="complete")
+        total_no_wm = sum(r["count"] for r in spark.table(t1).collect())
+        assert total_no_wm == 60
+
+        # watermarked append mode: late windows are finalized and late
+        # rows beyond the delay are dropped
+        wm = (
+            stream().withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "2 seconds"), "value")
+            .count()
+        )
+        t2 = _run(wm, mode="append")
+        total_wm = sum(r["count"] for r in spark.table(t2).collect())
+        assert total_wm <= total_no_wm
