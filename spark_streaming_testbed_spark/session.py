@@ -60,6 +60,32 @@ def get_session(app_name: str = "spark_streaming_testbed_spark") -> SparkSession
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
+def _ship_engine_to_workers(spark: SparkSession) -> None:
+    """Make this package importable in Python workers regardless of the
+    driver process's cwd/PYTHONPATH (pandas-UDF closures pickle module
+    references, so workers must import ``spark_streaming_testbed_spark``).
+    Ships a zip of the package via ``addPyFile`` once per session."""
+    if getattr(spark, "_sst_engine_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sst_engine_{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._sst_engine_shipped = True
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set runtime confs the engine depends on, even on a caller-owned session.
 
@@ -69,9 +95,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
       by Spark's parquet reader otherwise;
     - UTC session timezone: keeps ``date_format``/windowing aligned with
       the (UTC-naive) DuckDB oracle.
+    Also ships the engine package to Python workers (see above).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_engine_to_workers(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -144,4 +144,7 @@ class ProfileDataSource(DataSource):
 
 
 def register(spark) -> None:
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)  # ships the package to Python workers
     spark.dataSource.register(ProfileDataSource)

@@ -41,6 +41,10 @@ def profile_dataframe(
     Partitioned by contiguous second ranges; each executor task calls the
     plan's ``values_for`` for its own seconds only.
     """
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)  # UTC session tz: naive pandas timestamps
+    # below must land as true UTC instants on any caller-owned session
     n_seconds = plan.duration if max_seconds is None else max_seconds
     if n_seconds is None:
         raise ValueError("unbounded plan: pass max_seconds")
