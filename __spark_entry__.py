@@ -65,6 +65,9 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_join": R.semi_anti_join,
     "tpch_q1": R.tpch_q1,
     "tpch_q3": R.tpch_q3,
+    "tpch_q5": R.tpch_q5,
+    "tpch_q10": R.tpch_q10,
+    "tpch_q18": R.tpch_q18,
     "order_priority_count": R.order_priority_count,
     "skew_salted_agg": R.skew_salted_agg,
     "value_percentiles": R.value_percentiles,

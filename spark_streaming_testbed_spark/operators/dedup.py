@@ -255,13 +255,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted index:
     explode → equi-join on shingle → per-pair common count → filter.
     One shuffle keyed on shingle; never a global cross join."""
-    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
     base = docs.where(F.size("shingles") > 0).select(
-        "doc_id", "hs", F.size("shingles").alias("n_sh")
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
-    # join on the 8-byte shingle hash, not the shingle string — same
-    # posting lists (collisions are engine-consistent), ~5× smaller shuffle
-    inv = base.select("doc_id", "n_sh", F.explode("hs").alias("s"))
+    # join on the JVM-native 64-bit hash of the shingle, not the string:
+    # ~5× smaller shuffle payload at cluster scale, near-free to compute
+    # (codegen'd xxhash64). The oracle joins on the exact string — results
+    # agree unless a 64-bit collision lands inside one posting list
+    # (probability ~n²/2⁶⁵; a collision would surface as an oracle FAIL).
+    inv = base.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sstr")
+    ).select("doc_id", "n_sh", F.xxhash64("sstr").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -284,11 +289,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
-base AS (SELECT doc_id,
-                list_transform(shingles, s -> {MD5H_SQL_TEMPLATE.format(expr='s')}) AS hs,
-                len(shingles) AS n_sh
-         FROM sh WHERE len(shingles) > 0),
-inv AS (SELECT doc_id, n_sh, unnest(hs) AS s FROM base),
+base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+         WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS common

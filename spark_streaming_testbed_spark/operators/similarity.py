@@ -169,10 +169,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CLUSTERS = 8
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: a seeded k-means coarse quantizer
+    partitions the corpus into inverted lists; each query probes only its
+    ``IVF_NPROBE`` nearest centroids' lists. The 100 TB path: the corpus
+    is scanned once to assign lists (shuffle by list id ≈ partition
+    pruning for vectors), and query work scales with probed-list size,
+    not corpus size. Rows-only (approximate recall by design; exact twin
+    ``cosine_topk`` is oracle-checked)."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # rank centroids per query, keep nprobe nearest
+    qc = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", -_cosine("q_emb", "centroid"))
+    )
+    from pyspark.sql import Window as W2
+
+    wq = W2.partitionBy("q_id").orderBy("dist", "list_id")
+    probes = (
+        qc.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "list_id")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "list_id"
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="list_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "rk", "c_id", "cosine")
+        .orderBy("q_id", "rk")
+    )
+
+
 SIMILARITY_QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_norms": embedding_norms,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 SIMILARITY_ORACLES = {

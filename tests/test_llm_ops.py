@@ -47,6 +47,17 @@ def test_ann_results_are_subset_quality(spark):
     assert len({r.q_id for r in approx}) >= 3
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=2 of 8 lists must recover a reasonable share of
+    the exact top-k (random vectors scatter, so the bar is modest)."""
+    from spark_streaming_testbed_spark.operators.similarity import ann_ivf_topk
+
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(spark, SF_SMOKE).collect()}
+    ivf = {(r.q_id, r.c_id) for r in ann_ivf_topk(spark, SF_SMOKE).collect()}
+    assert len(ivf) > 0
+    assert len(ivf & exact) / len(exact) >= 0.2
+
+
 def test_decode_image_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
