@@ -44,8 +44,11 @@ def _bucket_counts(rate: float) -> list[int]:
     """Items per 10 ms bucket for one second at ``rate`` items/s.
 
     ``int()`` truncation (rates are non-negative) reproduces the
-    reference's ``.toInt`` exactly; the sum over all buckets is
-    ``int(rate)``.
+    reference's ``.toInt`` exactly. The sum telescopes to
+    ``int(100 * (rate/100.0))`` — which is ``rate - 1`` for integer rates
+    whose ``/100`` is not exactly representable in binary (29, 251, …).
+    The reference's Scala double math drops the same item; reproduced
+    faithfully (property-tested in tests/test_phases_properties.py).
     """
     per_bucket = rate / 100.0
     return [int((i + 1) * per_bucket) - int(i * per_bucket) for i in range(100)]
