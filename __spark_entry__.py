@@ -71,6 +71,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_count": R.order_priority_count,
     "skew_salted_agg": R.skew_salted_agg,
     "value_percentiles": R.value_percentiles,
+    "cube_agg": R.cube_agg,
+    "unpivot_events": R.unpivot_events,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

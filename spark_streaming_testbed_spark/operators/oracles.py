@@ -280,6 +280,21 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+RELATIONAL_ORACLES["cube_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+RELATIONAL_ORACLES["unpivot_events"] = """
+SELECT user_id, event_type, count(*) AS cnt
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
 RELATIONAL_ORACLES["order_priority_count"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -551,6 +551,35 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    in one pass (Catalyst expands to a single shuffle with grouping-id)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the per-user event-type count matrix back to long
+    form — the inverse of A5, via the ``stack`` table generator."""
+    wide = pivot_counts(spark, sf_dir)
+    cols = ", ".join(f"'{c}', {c}" for c in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "user_id",
+            f"stack({len(EVENT_TYPES)}, {cols}) AS (event_type, cnt)",
+        )
+        .where(F.col("cnt") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
 def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style: order counts per priority for orders having at least
     one lineitem (left-semi join, the scalable EXISTS)."""
