@@ -73,6 +73,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": R.value_percentiles,
     "cube_agg": R.cube_agg,
     "unpivot_events": R.unpivot_events,
+    "tpch_q6": R.tpch_q6,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -280,6 +280,16 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+RELATIONAL_ORACLES["tpch_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
 RELATIONAL_ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
        round(sum(l_quantity), 2) AS sum_qty

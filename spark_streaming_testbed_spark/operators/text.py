@@ -238,7 +238,64 @@ SELECT doc_id, md5(norm) AS fp,
 FROM n ORDER BY doc_id
 """
 
+WINNOW_K = 8   # char k-gram size
+WINNOW_W = 4   # winnowing window (fingerprint density guarantee)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every char k-gram of the
+    normalized text, slide a window of w hashes, keep each window's
+    minimum, dedup. Guarantees a match of length ≥ w+k-1 shares a
+    fingerprint. All JVM-side (sequence/substring/higher-order mins);
+    hashes are the portable md5-derived 60-bit family so DuckDB mirrors
+    the selection exactly. Output: one row per (doc, fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    k, w = WINNOW_K, WINNOW_W
+    grams_hash = (
+        f"transform(sequence(1, length({norm}) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(substring({norm}, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
+        f"i -> array_min(slice(hs, i, {w}))))"
+    )
+    return (
+        docs.select("doc_id", F.expr(grams_hash).alias("hs"))
+        .where(F.size("hs") >= w)
+        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def _winnow_oracle() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    h = MD5H_SQL_TEMPLATE.format(expr=f"substring(norm, CAST(i AS INT), {k})")
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(norm) - {k} + 2), i -> {h}) AS hs
+  FROM n),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+                       i -> list_min(hs[i:i+{w}-1]))) AS fps
+  FROM g WHERE len(hs) >= {w})
+SELECT doc_id, unnest(fps) AS fp
+FROM m ORDER BY doc_id, fp
+"""
+
+
+WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
+
+
 TEXT_ORACLES = {
+    "winnow_fingerprints": WINNOW_FINGERPRINTS_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "quality_score": QUALITY_SCORE_ORACLE,
     "lang_id": LANG_ID_ORACLE,
@@ -246,6 +303,7 @@ TEXT_ORACLES = {
 }
 
 TEXT_QUERIES = {
+    "winnow_fingerprints": winnow_fingerprints,
     "token_stats": token_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
