@@ -74,6 +74,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": R.cube_agg,
     "unpivot_events": R.unpivot_events,
     "tpch_q6": R.tpch_q6,
+    "sliding_window_stats": R.sliding_window_stats,
+    "approx_distinct_users": R.approx_distinct_users,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -280,6 +280,27 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+RELATIONAL_ORACLES["sliding_window_stats"] = """
+WITH expanded AS (
+  SELECT unnest([
+           (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - 300
+         ]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type,
+       count(*) AS cnt, round(sum(value), 6) AS sum_v
+FROM expanded
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+RELATIONAL_ORACLES["approx_distinct_users"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS within_10pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 RELATIONAL_ORACLES["tpch_q6"] = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_items

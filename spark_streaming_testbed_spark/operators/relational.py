@@ -551,6 +551,50 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 10-minute windows every 5 minutes —
+    each event lands in exactly two windows. The oracle materializes the
+    same two buckets per row with unnest, proving Spark's sliding
+    ``window()`` expansion."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), ROUND).alias("sum_v"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt", "sum_v",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type next to the
+    exact count — the approx toolkit for when exactness isn't contractual
+    at 100 TB. Oracle checks the EXACT column; the estimate is bounded by
+    the rsd contract and tested relatively (not hashed)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type", "exact_users",
+            # bounded sanity, not hashed: emit the relative error bucket
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= F.col("exact_users") * 0.1).alias("within_10pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate —
     the pushdown showcase (all three predicates reach the parquet scan)."""
