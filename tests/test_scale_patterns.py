@@ -1,0 +1,67 @@
+"""Scale-pattern proofs: bucketed co-located joins (no shuffle) and
+partition pruning — the storage-layout levers for the 100 TB design,
+asserted on actual physical plans."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from spark_streaming_testbed_spark.session import load_table
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of
+
+
+def test_bucketed_join_avoids_exchange(spark):
+    """Both sides bucketed by the join key into the same bucket count →
+    the sort-merge join reads co-located buckets with NO Exchange."""
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_b")
+    )
+    joined = spark.table("li_b").join(
+        spark.table("ord_b").hint("merge"),
+        spark.table("li_b").l_orderkey == spark.table("ord_b").o_orderkey,
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    # co-located buckets: no shuffle exchange feeds the join
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == lineitem.count()
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_partition_pruning_reads_one_day(spark):
+    """Write events partitioned by day; a day-filtered read must prune to
+    a single partition directory (PartitionFilters in the scan)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory(prefix="part_") as tmp:
+        (
+            events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.partitionBy("day").mode("overwrite")
+            .parquet(f"{tmp}/events_by_day")
+        )
+        df = (
+            spark.read.parquet(f"{tmp}/events_by_day")
+            .where(F.col("day") == "2024-01-05")
+        )
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan
+        assert "2024-01-05" in plan
+        n_one_day = df.count()
+        n_expected = events.where(
+            F.date_format("ts", "yyyy-MM-dd") == "2024-01-05"
+        ).count()
+        assert n_one_day == n_expected > 0
