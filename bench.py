@@ -105,7 +105,10 @@ def main() -> None:
         materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    rows_per_sec, n_rows = scenario1_rows_per_sec(spark)
+    # JVM warmup + run-to-run variance: report the median of 3 runs
+    runs = sorted(scenario1_rows_per_sec(spark)[0] for _ in range(3))
+    rows_per_sec = runs[1]
+    n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
 
     print(json.dumps({

@@ -62,9 +62,11 @@ def hanoi_burn_us(heights: pd.Series) -> pd.Series:
     hv = heights.to_numpy()
     for n in np.unique(hv):
         idx = np.nonzero(hv == n)[0]
-        reps, span = len(idx), (1 << int(n)) - 1
+        # CALIBRATION matches the reference's measured per-record cost
+        # (≈0.031 ms at n=7, BASELINE.md): 2^7·256 ≈ 32.5k C-speed adds
+        # ≈ tens of µs — same wall cost AND the same 2^n growth shape.
+        reps, span = len(idx), ((1 << int(n)) - 1) * 256
         t0 = time.perf_counter_ns()
-        # reps × span C-speed adds — the 2^n-per-record burn
         total = np.broadcast_to(
             np.arange(span, dtype="int64"), (reps, span)
         ).sum()
