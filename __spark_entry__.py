@@ -74,6 +74,10 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": R.cube_agg,
     "unpivot_events": R.unpivot_events,
     "tpch_q6": R.tpch_q6,
+    "tpch_q12": R.tpch_q12,
+    "tpch_q14": R.tpch_q14,
+    "tpch_q17": R.tpch_q17,
+    "tpch_q19": R.tpch_q19,
     "sliding_window_stats": R.sliding_window_stats,
     "approx_distinct_users": R.approx_distinct_users,
     "profile_fixed_ramp": profile_fixed_ramp,

@@ -551,6 +551,89 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to this schema: linestatus instead of
+    shipmode): priority-class counts per linestatus for a ship-date year."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (adapted: PROMO → p_type prefix match):
+    conditional-aggregate ratio over a month of shipments."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    joined = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    )
+    return joined.agg(
+        F.round(
+            100.0 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 6
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated scalar
+    subquery (< 0.2 × per-part average quantity), decorrelated the
+    scalable way — one aggregation per part joined back to the fact."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        lineitem.join(per_part, lineitem.l_partkey == per_part.pk)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate revenue (adapted brands/sizes):
+    OR-of-ANDs over fact+dim attributes — the predicate-pushdown and
+    join-then-filter planning case."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) windows: 10-minute windows every 5 minutes —
     each event lands in exactly two windows. The oracle materializes the
