@@ -117,9 +117,65 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+def resize_image(payload: bytes, width: int, height: int,
+                 fake: bool = False) -> bytes:
+    """Resize stub (no image libs in this container). The deterministic
+    fake re-chunks the payload to width*height bytes (crop/pad) so
+    downstream batch shapes are real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present here; "
+            "pass fake=True for the deterministic test resizer"
+        )
+    need = width * height
+    body = (payload * (need // max(len(payload), 1) + 1))[:need]
+    return body
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes binary, frame_crc long"
+)
+FRAMES_PER_ASSET = 4
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video-style frame sampling: emit FRAMES_PER_ASSET evenly-spaced
+    byte slices per asset (1 row in → N rows out, the explode-shaped
+    mapInPandas)."""
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_crc": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            step = max(n // FRAMES_PER_ASSET, 1)
+            for i in range(FRAMES_PER_ASSET):
+                frame = payload[i * step: i * step + step]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_bytes"].append(frame)
+                rows["frame_crc"].append(zlib.crc32(frame))
+        out = pd.DataFrame(rows)
+        out["frame_idx"] = out["frame_idx"].astype("int32")
+        out["frame_crc"] = out["frame_crc"].astype("int64")
+        yield out
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over binary assets: 1 asset → N frame rows
+    with per-frame checksums, Arrow-batched. Rows-only (binary slicing is
+    pandas-side); the byte-accounting twin ``multimodal_meta`` is
+    oracle-checked."""
+    assets = binary_assets(spark, sf_dir).select("doc_id", "payload")
+    return (
+        assets.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+        .select("doc_id", "frame_idx", "frame_crc")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 MULTIMODAL_ORACLES = {

@@ -64,3 +64,23 @@ def test_decode_image_stub_contract():
     w, h = decode_image(b"abc", fake=True)
     assert 1 <= w <= 640 and 1 <= h <= 480
     assert (w, h) == decode_image(b"abc", fake=True)  # deterministic
+
+
+def test_resize_and_frame_sample(spark):
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        FRAMES_PER_ASSET,
+        multimodal_frame_sample,
+        resize_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"xy", 4, 4)
+    assert len(resize_image(b"xy", 4, 4, fake=True)) == 16
+
+    frames = multimodal_frame_sample(spark, SF_SMOKE).collect()
+    docs = {r.doc_id for r in frames}
+    assert len(frames) == len(docs) * FRAMES_PER_ASSET
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(FRAMES_PER_ASSET)) for v in per_doc.values())
