@@ -238,6 +238,124 @@ SELECT doc_id, md5(norm) AS fp,
 FROM n ORDER BY doc_id
 """
 
+#: characteristic char-trigram profiles per language (synthetic-corpus
+#: adapted): the n-gram-frequency LID heuristic with a deterministic
+#: profile so the oracle mirrors it exactly.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", "ow ", "a f"),
+    "de": ("dat", "row", "tab", "ue "),
+    "es": ("sca", "fil", "sor", "n f"),
+    "fr": ("joi", "mer", "gro", "in "),
+    "zh": ("fas", "slo", "val", "st "),
+}
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID: slide a 3-char window over the text,
+    score each language by how many of its profile trigrams occur,
+    argmax with fixed tie-break order. All JVM-side: the trigram set is
+    built once per row with higher-order array functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        "array_distinct(transform(sequence(1, length(text) - 2), "
+        "i -> substring(text, i, 3)))"
+    )
+    scored = docs.select("doc_id", "lang", F.expr(tri).alias("tris"))
+    langs = list(LANG_TRIGRAMS)
+    for lang in langs:
+        arr = ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[lang])
+        scored = scored.withColumn(
+            f"s_{lang}",
+            F.expr(f"size(array_intersect(tris, array({arr})))"),
+        )
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            op_ge = langs.index(other) > langs.index(lang)
+            c = (
+                F.col(f"s_{lang}") >= F.col(f"s_{other}")
+                if op_ge
+                else F.col(f"s_{lang}") > F.col(f"s_{other}")
+            )
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return (
+        scored.select(
+            "doc_id",
+            F.coalesce(expr, F.lit(langs[-1])).alias("lang_pred"),
+            *[F.col(f"s_{lang}").alias(f"s_{lang}") for lang in langs],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_ngram_oracle() -> str:
+    langs = list(LANG_TRIGRAMS)
+    tri = (
+        "list_distinct(list_transform(range(1, length(text) - 1), "
+        "i -> substring(text, CAST(i AS INT), 3)))"
+    )
+    scores = ",\n         ".join(
+        "len(list_intersect(tris, ["
+        + ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    cols = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tri} AS tris FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM t)
+SELECT doc_id, {case_sql} AS lang_pred, {cols}
+FROM scored ORDER BY doc_id
+"""
+
+
+LANG_ID_NGRAM_ORACLE = _lang_id_ngram_oracle()
+
+#: GPT-2-style pre-tokenizer, reduced to the portable core: word runs,
+#: digit runs, or single punctuation — the "BPE-ish regex".
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (word runs /
+    digit runs / punctuation singles) next to the whitespace count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"size(regexp_extract_all(text, '{BPE_RE}', 0))")
+            .alias("bpe_tokens"),
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+       len(string_split(trim(text), ' ')) AS ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 WINNOW_K = 8   # char k-gram size
 WINNOW_W = 4   # winnowing window (fingerprint density guarantee)
 
@@ -296,6 +414,8 @@ WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 
 TEXT_ORACLES = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS_ORACLE,
+    "lang_id_ngram": LANG_ID_NGRAM_ORACLE,
+    "bpe_token_stats": BPE_TOKEN_STATS_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "quality_score": QUALITY_SCORE_ORACLE,
     "lang_id": LANG_ID_ORACLE,
@@ -304,6 +424,8 @@ TEXT_ORACLES = {
 
 TEXT_QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
+    "lang_id_ngram": lang_id_ngram,
+    "bpe_token_stats": bpe_token_stats,
     "token_stats": token_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
