@@ -198,6 +198,39 @@ GROUP BY value ORDER BY value
 """
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming exact dedup: the profile emits true
+    duplicates (a 10 ms bucket holds N identical (ts, value) rows);
+    ``dropDuplicates`` over the stream collapses them with streaming
+    state. Oracle: SELECT DISTINCT over the same generated rows."""
+    plan = parse_plan(_FIXED_RAMP_PLAN_JSON)
+    with tempfile.TemporaryDirectory(prefix="sdedup_") as tmp:
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        deduped = stream.dropDuplicates(["ts", "value"]).select(
+            (F.unix_millis("ts") - F.lit(DEFAULT_EPOCH_MS)).alias("time_ms"),
+            "value",
+        )
+        table = run_stream_to_table(deduped, mode="append")
+        return spark.table(table).orderBy("time_ms", "value")
+
+
+STREAMING_DEDUP_ORACLE = """
+WITH ramp AS (
+  SELECT s*1000 + i*10 AS time_ms, 7 AS value,
+         CAST(floor((i+1) * rb) AS INT) - CAST(floor(i * rb) AS INT) AS n
+  FROM (SELECT s, i, (50 + (150-50)/4.0*s)/100.0 AS rb
+        FROM (SELECT unnest(range(5)) AS s), (SELECT unnest(range(100)) AS i))
+), fx AS (
+  SELECT (s+5)*1000 + i*10 AS time_ms, 8 AS value,
+         CAST(floor((i+1) * (120/100.0)) AS INT) - CAST(floor(i * (120/100.0)) AS INT) AS n
+  FROM (SELECT unnest(range(3)) AS s), (SELECT unnest(range(100)) AS i)
+), allb AS (SELECT * FROM ramp UNION ALL SELECT * FROM fx)
+SELECT DISTINCT CAST(time_ms AS BIGINT) AS time_ms, value
+FROM allb WHERE n > 0
+ORDER BY time_ms, value
+"""
+
+
 def _stateful_query(spark, sf_dir):
     from .stateful import streaming_stateful_totals
 
@@ -215,11 +248,13 @@ STREAMING_QUERIES = {
     "streaming_multi_source_union": streaming_multi_source_union,
     "hanoi_load_stats": hanoi_load_stats,
     "streaming_stateful_totals": _stateful_query,
+    "streaming_dedup": streaming_dedup,
 }
 
 STREAMING_ORACLES = {
     "streaming_profile_stats": STREAMING_PROFILE_STATS_ORACLE,
     "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
     "streaming_stateful_totals": _stateful_oracle(),
+    "streaming_dedup": STREAMING_DEDUP_ORACLE,
     # streaming_multi_source_union: rows-only
 }

@@ -1,0 +1,29 @@
+"""Determinism audit: contract queries must return identical results on
+repeated execution in one session (catches unstable dedup picks,
+nondeterministic limits, uncached randomness)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+SAMPLE = [
+    "dedup_first",        # row_number pick must be fully keyed
+    "tpch_q3",            # limit with ordered ties
+    "topk_per_group",
+    "minhash_signatures",
+    "ann_lsh_topk",       # seeded hyperplanes
+    "lsh_near_dup_pairs",
+    "profile_fixed_ramp",
+    "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_is_deterministic(spark, name):
+    fn = entrymod.queries()[name]
+    a = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    assert a == b
