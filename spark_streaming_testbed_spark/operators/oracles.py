@@ -356,6 +356,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+RELATIONAL_ORACLES["window_functions"] = """
+SELECT event_id,
+       lag(value) OVER u AS prev_v,
+       lead(value) OVER u AS next_v,
+       rank() OVER t AS value_rank,
+       ntile(4) OVER t AS quartile
+FROM events
+WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
+       t AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+ORDER BY event_id
+"""
+
 RELATIONAL_ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
        round(sum(l_quantity), 2) AS sum_qty

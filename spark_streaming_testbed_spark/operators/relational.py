@@ -697,6 +697,27 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function family over event streams: lag/lead
+    (neighboring events per user), rank (value standing per type), ntile
+    (quartile bucketing) — one shuffle per distinct partitioning."""
+    events = _t(spark, sf_dir, "events")
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    by_type = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        events.select(
+            "event_id",
+            F.lag("value").over(by_user).alias("prev_v"),
+            F.lead("value").over(by_user).alias("next_v"),
+            F.rank().over(by_type).alias("value_rank"),
+            F.ntile(4).over(by_type).alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all grouping-set combinations
     in one pass (Catalyst expands to a single shuffle with grouping-id)."""
