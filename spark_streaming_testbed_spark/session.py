@@ -71,17 +71,20 @@ def _ship_engine_to_workers(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"sst_engine_{os.path.getmtime(pkg_dir):.0f}.zip"
-    )
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    # cache key = newest source mtime, so edits anywhere in the package
+    # invalidate the shipped zip (a stale zip breaks worker unpickling)
+    stamp = max(int(os.path.getmtime(p)) for p in sources)
+    zpath = os.path.join(tempfile.gettempdir(), f"sst_engine_{stamp}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in sources:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
     spark._sst_engine_shipped = True
 
