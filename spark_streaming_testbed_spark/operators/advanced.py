@@ -196,15 +196,17 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup detector. Exact all-pairs here (correctness gate runs at
     small sf); the documented scale path is the hyperplane-LSH bucketing
     of ``similarity.ann_lsh_topk`` feeding the same verifier."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    from .similarity import _cosine
+    from .similarity import UNIT_EXPR, _dot
 
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(UNIT_EXPR.format(col="embedding")).alias("u")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(_cosine("ea", "eb"), 6).alias("cosine")
+            "id_a", "id_b", F.round(_dot("ua", "ub"), 6).alias("cosine")
         )
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("id_a", "id_b")
@@ -212,15 +214,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_PAIRS_ORACLE = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x /
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.e, b.e) /
-             (sqrt(list_dot_product(a.e, a.e)) *
-              sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+       round(list_dot_product(a.u, b.u), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.e, b.e) /
-            (sqrt(list_dot_product(a.e, a.e)) *
-             sqrt(list_dot_product(b.e, b.e))), 6) >= {COSINE_DUP_THRESHOLD}
+WHERE round(list_dot_product(a.u, b.u), 6) >= {COSINE_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
 

@@ -51,6 +51,27 @@ def _cosine(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+UNIT_EXPR = (
+    "transform({col}, x -> cast(x as double) / "
+    "sqrt(aggregate({col}, cast(0 as double), "
+    "(acc, v) -> acc + cast(v as double) * cast(v as double))))"
+)
+
+UNIT_SQL = (
+    "list_transform({col}::DOUBLE[], x -> x / "
+    "sqrt(list_dot_product({col}::DOUBLE[], {col}::DOUBLE[])))"
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product (pairs of pre-normalized vectors need
+    only this — norms are computed once per vector, not once per pair)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the query vectors (vec_id <
     N_QUERIES) over the whole corpus; rank ties broken by neighbor id.
