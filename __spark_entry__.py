@@ -73,6 +73,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": R.value_percentiles,
     "cube_agg": R.cube_agg,
     "window_functions": R.window_functions,
+    "set_ops": R.set_ops,
     "unpivot_events": R.unpivot_events,
     "tpch_q6": R.tpch_q6,
     "tpch_q12": R.tpch_q12,

@@ -356,6 +356,17 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+RELATIONAL_ORACLES["set_ops"] = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+UNION ALL
+SELECT user_id, 'click_only' FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+UNION ALL
+SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+ORDER BY cohort, user_id
+"""
+
 RELATIONAL_ORACLES["window_functions"] = """
 SELECT event_id,
        lag(value) OVER u AS prev_v,

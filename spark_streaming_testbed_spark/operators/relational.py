@@ -697,6 +697,28 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over key domains: users who clicked AND
+    purchased, clicked but never purchased, purchased but never clicked —
+    tagged and unioned into one result (Catalyst plans semi/anti joins)."""
+    events = _t(spark, sf_dir, "events")
+    clickers = (
+        events.where(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = (
+        events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("both"))
+    # subtract = set EXCEPT (exceptAll would keep multiset leftovers)
+    only_click = clickers.subtract(buyers).withColumn("cohort", F.lit("click_only"))
+    only_buy = buyers.subtract(clickers).withColumn("cohort", F.lit("purchase_only"))
+    return (
+        both.unionByName(only_click)
+        .unionByName(only_buy)
+        .orderBy("cohort", "user_id")
+    )
+
+
 def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window-function family over event streams: lag/lead
     (neighboring events per user), rank (value standing per type), ntile
