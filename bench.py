@@ -89,6 +89,55 @@ def scenario1_rows_per_sec(spark) -> tuple[float, int]:
     return n_rows / wall, n_rows
 
 
+def scenario2_trigger_latency(spark) -> dict[str, float]:
+    """Scenario-2 spike shape (BASELINE.md): steady rate with a burst
+    phase, replayed as a live multi-trigger stream; returns per-trigger
+    execution-time stats in seconds (the reference's deadline was the
+    5000 ms batch interval)."""
+    import statistics
+    import tempfile
+
+    from spark_streaming_testbed_spark.streaming.listener import (
+        RateFeedbackListener,
+    )
+    from spark_streaming_testbed_spark.streaming.pipeline import (
+        run_stream_to_table,
+        windowed_stats,
+    )
+    from spark_streaming_testbed_spark.sources.profile_source import (
+        profile_stream,
+    )
+
+    plan = parse_plan(json.dumps({
+        "sequence": [
+            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 10},
+            {"type": "fixed", "value": 8, "rate": 60_000, "duration": 5},
+            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 10},
+        ]
+    }))
+    listener = RateFeedbackListener()
+    spark.streams.addListener(listener)
+    try:
+        with tempfile.TemporaryDirectory(prefix="bench_s2_") as tmp:
+            stream = profile_stream(spark, plan, tmp, seconds_per_file=5)
+            run_stream_to_table(
+                windowed_stats(stream, window="5 seconds"), mode="complete"
+            )
+    finally:
+        spark.streams.removeListener(listener)
+    durs = [
+        s["duration_ms"] / 1000.0
+        for s in listener.samples
+        if s["rows"] > 0 and s["duration_ms"]
+    ]
+    if not durs:
+        return {}
+    return {
+        "scenario2_trigger_p50": round(statistics.median(durs), 3),
+        "scenario2_trigger_max": round(max(durs), 3),
+    }
+
+
 def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,6 +159,7 @@ def main() -> None:
     rows_per_sec = runs[1]
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
+    timings.update(scenario2_trigger_latency(spark))
 
     print(json.dumps({
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "
