@@ -75,11 +75,23 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_functions": R.window_functions,
     "set_ops": R.set_ops,
     "unpivot_events": R.unpivot_events,
+    "tpch_q2": R.tpch_q2,
+    "tpch_q4": R.tpch_q4,
     "tpch_q6": R.tpch_q6,
+    "tpch_q7": R.tpch_q7,
+    "tpch_q8": R.tpch_q8,
+    "tpch_q9": R.tpch_q9,
     "tpch_q12": R.tpch_q12,
+    "tpch_q13": R.tpch_q13,
     "tpch_q14": R.tpch_q14,
+    "tpch_q15": R.tpch_q15,
+    "tpch_q16": R.tpch_q16,
     "tpch_q17": R.tpch_q17,
     "tpch_q19": R.tpch_q19,
+    "tpch_q20": R.tpch_q20,
+    "tpch_q21": R.tpch_q21,
+    "tpch_q22": R.tpch_q22,
+    "rollup_agg": R.rollup_agg,
     "sliding_window_stats": R.sliding_window_stats,
     "approx_distinct_users": R.approx_distinct_users,
     "profile_fixed_ramp": profile_fixed_ramp,

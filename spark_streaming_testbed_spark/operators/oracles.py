@@ -401,3 +401,203 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (q2..q22 adapted — see relational.py for the schema
+# adaptations: lineitem bridge = partsupp, late = shipped > N days after
+# order date, nation keys = country codes)
+# ---------------------------------------------------------------------------
+
+RELATIONAL_ORACLES["tpch_q2"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), parts AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = 'STANDARD' AND p_size >= 40
+), bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), cand AS (
+  SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, s.n_name
+  FROM bridge b
+  JOIN parts p ON b.l_partkey = p.p_partkey
+  JOIN supp s ON b.l_suppkey = s.s_suppkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+RELATIONAL_ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+RELATIONAL_ORACLES["tpch_q7"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+RELATIONAL_ORACLES["tpch_q8"] = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM customer c
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE c.c_custkey = o_custkey AND r.r_name = 'ASIA')
+GROUP BY 1 ORDER BY 1
+"""
+
+RELATIONAL_ORACLES["tpch_q9"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+RELATIONAL_ORACLES["tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+RELATIONAL_ORACLES["tpch_q15"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+RELATIONAL_ORACLES["tpch_q16"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+JOIN part ON b.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND b.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+RELATIONAL_ORACLES["tpch_q20"] = """
+WITH li97 AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, sum(pair_qty) AS part_qty FROM li97 GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM li97 JOIN per_part USING (l_partkey)
+  WHERE pair_qty > 0.5 * part_qty
+)
+ORDER BY s_name
+"""
+
+RELATIONAL_ORACLES["tpch_q21"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM li GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+  WHERE late AND l_orderkey IN
+    (SELECT l_orderkey FROM per_order WHERE n_supp > 1 AND n_late = 1)
+) w
+JOIN supplier ON w.l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+RELATIONAL_ORACLES["tpch_q22"] = """
+WITH cust AS (
+  SELECT * FROM customer
+  WHERE c_nationkey IN (0, 3, 6, 9, 12, 15, 18)
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM cust c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+RELATIONAL_ORACLES["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
