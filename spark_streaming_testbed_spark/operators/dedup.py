@@ -358,7 +358,105 @@ FROM votes ORDER BY doc_id
 SIMHASH_ORACLE = _simhash_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over the exact near-dup pair graph: every doc
+    gets ``cluster_id`` = min doc_id of its component (singletons cluster
+    with themselves) plus the component size — the canonical post-LSH step
+    that turns pairwise matches into keep/drop groups.
+
+    Implementation is Pregel-style min-label propagation: per iteration,
+    each vertex takes the min label over itself and its neighbors; stop
+    when a fixpoint is reached (labels only decrease, so the global sum is
+    a monotone convergence witness — one cheap aggregate per round, no
+    row-level diff join). Iterations = graph diameter, and each round is
+    one shuffle keyed on vertex — the scalable shape (alternating-star
+    contraction would cut rounds to O(log n) if diameters grew).
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially across rounds."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = (
+        docs.join(labels, docs.doc_id == labels.v, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window as W
+    return (
+        assigned.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure via recursive CTE = the same fixpoint."""
+    pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix("ORDER BY doc_a, doc_b")
+    return f"""
+WITH RECURSIVE jp AS ({pairs_body}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+reach(v, l) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+lab AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       count(*) OVER (PARTITION BY coalesce(lab.cluster_id, d.doc_id))
+         AS cluster_size
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.v
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_CLUSTERS_ORACLE = _dedup_clusters_oracle()
+
+
 DEDUP_QUERIES = {
+    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
@@ -368,6 +466,7 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "minhash_signatures": MINHASH_SIGNATURES_ORACLE,
     "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,

@@ -823,9 +823,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         bridge.join(F.broadcast(parts), bridge.l_partkey == parts.p_partkey)
         .join(F.broadcast(supp), bridge.l_suppkey == supp.s_suppkey)
     )
-    min_bal = cand.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    # correlated MIN as a window over p_partkey: one pass, one shuffle —
+    # the groupBy+self-join alternative scans the candidate subtree twice
+    min_bal = F.min("s_acctbal").over(W.partitionBy("p_partkey"))
     return (
-        cand.join(min_bal, "p_partkey")
+        cand.withColumn("min_bal", min_bal)
         .where(F.col("s_acctbal") == F.col("min_bal"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),

@@ -409,10 +409,129 @@ FROM m ORDER BY doc_id, fp
 """
 
 
+# ---------------------------------------------------------------------------
+# Document chunking (pre-training window split)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document (size 32, stride 24) —
+    the standard pre-training split. Row-local: sequence of chunk starts +
+    slice + explode, all codegen'd array functions, zero shuffle before
+    the final sort. Each chunk carries a portable 60-bit content hash so
+    downstream exact-dedup can run at chunk granularity."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n = F.size("tokens")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    chunked = (
+        docs.where(n > 0)
+        .select("doc_id", "tokens", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.slice("tokens", F.col("start") + 1, CHUNK_SIZE).alias("ctoks"),
+        )
+    )
+    return (
+        chunked.select(
+            "doc_id", "chunk_id",
+            F.size("ctoks").cast("bigint").alias("n_tokens"),
+            md5h("array_join(ctoks, ' ')").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CHUNK_HASH_SQL = MD5H_SQL_TEMPLATE.format(
+    expr="array_to_string(list_slice(tokens, j * {stride} + 1, "
+         "j * {stride} + {size}), ' ')"
+).format(stride=CHUNK_STRIDE, size=CHUNK_SIZE)
+
+# DuckDB can't unnest(range(col)) laterally — cross join a constant index
+# domain and filter j*stride < len(tokens) instead (same trick as the
+# winnowing oracle).
+DOC_CHUNKS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+idx AS (SELECT unnest(range(4096)) AS j)
+SELECT doc_id, j AS chunk_id,
+       len(list_slice(tokens, j * {CHUNK_STRIDE} + 1,
+                      j * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS n_tokens,
+       {_CHUNK_HASH_SQL} AS chunk_hash
+FROM tok CROSS JOIN idx
+WHERE len(tokens) > 0 AND j * {CHUNK_STRIDE} < len(tokens)
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (scrub before training)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_NUM_RE = "[0-9]{3,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email → <EMAIL>, phone → <PHONE>, long digit runs →
+    <NUM>, applied in that order (emails/phones contain digits). The
+    synthetic corpus has no PII, so a deterministic contact line derived
+    from doc_id is appended first — the redaction mechanics (regex family,
+    ordering, full-string replacement) are what the oracle checks. Pure
+    ``regexp_replace`` chain: codegen'd, no UDF, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" ref "), (F.col("doc_id") * 7919).cast("string"),
+    )
+    red = F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, _NUM_RE, "<NUM>")
+    return (
+        docs.select(
+            "doc_id",
+            red.alias("redacted"),
+            F.length(red).cast("bigint").alias("red_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB regexp_replace needs the 'g' flag (default replaces first match
+# only, unlike Spark which replaces all).
+PII_REDACT_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS contact
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(contact,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_NUM_RE}', '<NUM>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id, redacted, length(redacted) AS red_len
+FROM red ORDER BY doc_id
+"""
+
+
 WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 
 
 TEXT_ORACLES = {
+    "doc_chunks": DOC_CHUNKS_ORACLE,
+    "pii_redact": PII_REDACT_ORACLE,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_ORACLE,
     "lang_id_ngram": LANG_ID_NGRAM_ORACLE,
     "bpe_token_stats": BPE_TOKEN_STATS_ORACLE,
@@ -423,6 +542,8 @@ TEXT_ORACLES = {
 }
 
 TEXT_QUERIES = {
+    "doc_chunks": doc_chunks,
+    "pii_redact": pii_redact,
     "winnow_fingerprints": winnow_fingerprints,
     "lang_id_ngram": lang_id_ngram,
     "bpe_token_stats": bpe_token_stats,

@@ -84,3 +84,76 @@ def test_resize_and_frame_sample(spark):
     for r in frames:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(sorted(v) == list(range(FRAMES_PER_ASSET)) for v in per_doc.values())
+
+
+def test_doc_chunks_cover_documents(spark):
+    import math
+
+    from spark_streaming_testbed_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunks,
+        with_tokens,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    chunks = doc_chunks(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.n
+        for r in with_tokens(load_table(spark, SF_SMOKE, "documents"))
+        .select("doc_id", F.size("tokens").alias("n")).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n_tok in docs.items():
+        if n_tok == 0:
+            assert doc_id not in per_doc
+            continue
+        rows = sorted(per_doc[doc_id], key=lambda r: r.chunk_id)
+        assert len(rows) == math.ceil(n_tok / CHUNK_STRIDE)
+        assert all(r.n_tokens <= CHUNK_SIZE for r in rows)
+        # every token covered: chunk i starts at i*stride, len>=1
+        assert rows[-1].chunk_id * CHUNK_STRIDE + rows[-1].n_tokens == n_tok
+
+
+def test_pii_redact_scrubs_everything(spark):
+    from spark_streaming_testbed_spark.operators.text import pii_redact
+
+    rows = pii_redact(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert "@" not in r.redacted
+        assert "<EMAIL>" in r.redacted
+        assert "<PHONE>" in r.redacted
+        # no digit run of 3+ survives redaction
+        import re
+        assert not re.search(r"\d{3}", r.redacted)
+        assert r.red_len == len(r.redacted)
+
+
+def test_dedup_clusters_agree_with_pairs(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    cluster_of = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    pairs = ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    # every near-dup pair landed in the same cluster
+    for p in pairs:
+        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+    # cluster label is the min member id
+    members: dict[int, list[int]] = {}
+    for doc, c in cluster_of.items():
+        members.setdefault(c, []).append(doc)
+    assert all(c == min(ms) for c, ms in members.items())
+    # docs not in any pair are singletons
+    paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    for doc, c in cluster_of.items():
+        if doc not in paired:
+            assert c == doc and len(members[c]) == 1
