@@ -71,6 +71,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_count": R.order_priority_count,
     "skew_salted_agg": R.skew_salted_agg,
     "value_percentiles": R.value_percentiles,
+    "approx_percentiles": R.approx_percentiles,
     "cube_agg": R.cube_agg,
     "window_functions": R.window_functions,
     "set_ops": R.set_ops,

@@ -44,6 +44,9 @@ HEADLINE = [
     "cosine_topk",
     "token_stats",
     "streaming_profile_stats",
+    "tpch_q21",
+    "dedup_clusters",
+    "doc_chunks",
 ]
 
 SCENARIO1_RATE = 50_000

@@ -601,3 +601,12 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+RELATIONAL_ORACLES["approx_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       true AS a50_ok,
+       true AS a95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1155,3 +1155,34 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest ``percentile_approx`` next to the exact interpolated
+    percentile — the 100 TB path for quantiles (mergeable sketch, one
+    pass, bounded memory). The oracle hashes the EXACT columns; the
+    sketch estimate is emitted as a within-tolerance flag, mirroring
+    ``approx_distinct_users``'s contract for approximate operators."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), ROUND).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), ROUND).alias("p95"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("a50"),
+            F.expr("percentile_approx(value, 0.95, 1000)").alias("a95"),
+            F.round(F.expr("percentile(value, 0.05)"), ROUND).alias("p05"),
+        )
+        .select(
+            "event_type", "p50", "p95",
+            # tolerance scaled by the key's interquantile spread, not a
+            # fixed epsilon — robust to value ranges per event_type
+            (F.abs(F.col("a50") - F.col("p50"))
+             <= F.greatest(F.col("p95") - F.col("p05"), F.lit(1.0)) * 0.05)
+            .alias("a50_ok"),
+            (F.abs(F.col("a95") - F.col("p95"))
+             <= F.greatest(F.col("p95") - F.col("p05"), F.lit(1.0)) * 0.05)
+            .alias("a95_ok"),
+        )
+        .orderBy("event_type")
+    )

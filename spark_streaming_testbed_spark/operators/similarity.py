@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..session import load_table
+from .text import MD5H_SQL_TEMPLATE, md5h
 
 TOP_K = 5
 N_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -253,7 +254,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding centroids + int8 quantization (training-data vector ops)
+# ---------------------------------------------------------------------------
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long form (label, dim_idx, centroid): posexplode
+    → one hash aggregation keyed on (label, dim). The long form shuffles
+    |labels|·dim tiny rows instead of whole vectors and is directly
+    oracle-checkable; pivoting back to an array column is a row-local
+    ``array_sort(collect_list(struct(...)))`` away when needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "x"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim_idx")
+    )
+
+
+EMBEDDING_CENTROIDS_ORACLE = f"""
+WITH idx AS (SELECT unnest(range({DIM})) AS dim_idx)
+SELECT label, dim_idx,
+       round(avg(embedding[dim_idx + 1]::DOUBLE), 6) AS centroid
+FROM embeddings CROSS JOIN idx
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i/scale·127)
+    with scale = max|x_i|. Entirely row-local higher-order functions —
+    embarrassingly parallel, no shuffle, the storage-shrink step before
+    ANN indexing at 100 TB. Emits the scale plus order-independent
+    checksums of the quantized vector (sum, |sum|, 60-bit content hash)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        "aggregate(embedding, cast(0 as double), "
+        "(acc, v) -> greatest(acc, abs(cast(v as double))))"
+    )
+    q = (
+        f"transform(embedding, x -> cast(round(cast(x as double) / {scale} * 127, 0) "
+        "as bigint))"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.expr(scale), 6).alias("scale"),
+            F.expr(f"aggregate({q}, cast(0 as bigint), (a, v) -> a + v)")
+            .alias("sum_q"),
+            F.expr(f"aggregate({q}, cast(0 as bigint), (a, v) -> a + abs(v))")
+            .alias("sum_abs_q"),
+            md5h(f"array_join({q}, ',')").alias("q_hash"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q_SQL = ("list_transform(embedding::DOUBLE[], "
+          "x -> CAST(round(x / list_max(list_transform(embedding::DOUBLE[], "
+          "y -> abs(y))) * 127) AS BIGINT))")
+
+QUANTIZE_INT8_ORACLE = f"""
+SELECT vec_id,
+       round(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 6)
+         AS scale,
+       CAST(list_sum({_Q_SQL}) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform({_Q_SQL}, v -> abs(v))) AS BIGINT)
+         AS sum_abs_q,
+       {MD5H_SQL_TEMPLATE.format(expr=f"array_to_string({_Q_SQL}, ',')")}
+         AS q_hash
+FROM embeddings ORDER BY vec_id
+"""
+
+
 SIMILARITY_QUERIES = {
+    "embedding_centroids": embedding_centroids,
+    "quantize_int8": quantize_int8,
     "cosine_topk": cosine_topk,
     "embedding_norms": embedding_norms,
     "ann_lsh_topk": ann_lsh_topk,
@@ -261,6 +338,8 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
+    "quantize_int8": QUANTIZE_INT8_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "embedding_norms": EMBEDDING_NORMS_ORACLE,
     # ann_lsh_topk: rows-only (approximate by design)

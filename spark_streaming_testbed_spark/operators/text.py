@@ -526,10 +526,45 @@ FROM red ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hash-based dataset split (reproducible sampling at scale)
+# ---------------------------------------------------------------------------
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from a content-independent
+    60-bit hash of the document id — deterministic, order-independent,
+    and stable under re-partitioning or incremental reloads (the property
+    ``df.sample`` lacks). Pure projection: no shuffle, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5h("cast(doc_id as string)") % 100
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BUCKET_SQL = MD5H_SQL_TEMPLATE.format(expr="CAST(doc_id AS VARCHAR)") + " % 100"
+
+HASH_SPLIT_ORACLE = f"""
+SELECT doc_id, {_BUCKET_SQL} AS bucket,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 
 
 TEXT_ORACLES = {
+    "hash_split": HASH_SPLIT_ORACLE,
     "doc_chunks": DOC_CHUNKS_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_ORACLE,
@@ -542,6 +577,7 @@ TEXT_ORACLES = {
 }
 
 TEXT_QUERIES = {
+    "hash_split": hash_split,
     "doc_chunks": doc_chunks,
     "pii_redact": pii_redact,
     "winnow_fingerprints": winnow_fingerprints,

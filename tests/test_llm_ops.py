@@ -157,3 +157,42 @@ def test_dedup_clusters_agree_with_pairs(spark):
     for doc, c in cluster_of.items():
         if doc not in paired:
             assert c == doc and len(members[c]) == 1
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    from spark_streaming_testbed_spark.operators.text import hash_split
+
+    a = hash_split(spark, SF_SMOKE).collect()
+    b = hash_split(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # reproducible
+    n = len(a)
+    frac_train = sum(1 for r in a if r.split == "train") / n
+    assert 0.6 < frac_train < 0.95  # hash-balanced, not exact
+    assert {r.split for r in a} == {"train", "val", "test"}
+    assert all(r.bucket == r.bucket % 100 for r in a)
+
+
+def test_quantize_int8_bounds(spark):
+    from spark_streaming_testbed_spark.operators.similarity import quantize_int8
+
+    rows = quantize_int8(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        # sum of |q| over 64 dims, each |q| <= 127
+        assert 0 <= r.sum_abs_q <= 127 * 64
+        assert abs(r.sum_q) <= r.sum_abs_q
+
+
+def test_embedding_centroids_shape(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        DIM,
+        embedding_centroids,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = embedding_centroids(spark, SF_SMOKE).collect()
+    labels = {r.label for r in load_table(spark, SF_SMOKE, "embeddings")
+              .select("label").distinct().collect()}
+    assert len(rows) == len(labels) * DIM
+    assert all(-1.0 <= r.centroid <= 1.0 for r in rows)
