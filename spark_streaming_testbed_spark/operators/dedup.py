@@ -455,7 +455,57 @@ ORDER BY d.doc_id
 DEDUP_CLUSTERS_ORACLE = _dedup_clusters_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+BENCHMARK_MAX_ID = 20  # docs with doc_id < 20 stand in for the eval set
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: for every training doc (doc_id >=
+    BENCHMARK_MAX_ID), the number of distinct 4-gram shingles it shares
+    with the benchmark proxy set (doc_id < BENCHMARK_MAX_ID) — the
+    decontamination pass every eval-honest training pipeline runs.
+
+    Scale shape: the benchmark shingle set is tiny and DISTINCT'd before
+    a broadcast semi-style inner join on the 64-bit shingle hash; the
+    corpus side streams through exploded once. Only contaminated docs are
+    emitted (the report, not a full-corpus flag column)."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    shingled = docs.where(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("sstr")
+    ).select("doc_id", F.xxhash64("sstr").alias("s"))
+    bench = (
+        shingled.where(F.col("doc_id") < BENCHMARK_MAX_ID)
+        .select("s").distinct()
+    )
+    return (
+        shingled.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+        .select("doc_id", "n_hits", (F.col("n_hits") >= 3).alias("flagged"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE len(shingles) > 0),
+bench AS (SELECT DISTINCT s FROM inv WHERE doc_id < {BENCHMARK_MAX_ID})
+SELECT doc_id, count(DISTINCT s) AS n_hits,
+       count(DISTINCT s) >= 3 AS flagged
+FROM inv JOIN bench USING (s)
+WHERE doc_id >= {BENCHMARK_MAX_ID}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 DEDUP_QUERIES = {
+    "decontaminate": decontaminate,
     "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -466,6 +516,7 @@ DEDUP_QUERIES = {
 }
 
 DEDUP_ORACLES = {
+    "decontaminate": DECONTAMINATE_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "minhash_signatures": MINHASH_SIGNATURES_ORACLE,

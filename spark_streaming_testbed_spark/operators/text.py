@@ -560,10 +560,156 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-statistics ops: TF-IDF, unigram LM scoring, domain mixing
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document. Two aggregations (term frequency
+    per doc, document frequency per term) meet in an equi-join keyed on
+    token — the vocabulary side is orders of magnitude smaller than the
+    corpus, so AQE broadcasts it at any realistic scale. idf uses the
+    smoothed ln((N+1)/(df+1)) form; N is a 1-row broadcast anchor, never
+    a driver-side collect."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("tokens").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "token", F.round("score", 6).alias("score"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((n.n_docs + 1) * 1.0 / (df.df + 1)) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, token, round(score, 6) AS score
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score per document: mean ln p(token)
+    under the corpus's own unigram distribution — the cheap LM-based
+    filter that drops gibberish before expensive model scoring. The
+    unigram table is a small aggregate joined back on token (broadcast
+    at scale); totals are 1-row broadcast anchors."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("tokens").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("cnt") / F.col("total")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+), uni AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+), tot AS (SELECT sum(cnt) AS total FROM uni)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logp
+FROM toks JOIN uni USING (token) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+#: per-language target sampling rates for the training mix
+MIX_RATES: dict[str, float] = {
+    "en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25,
+}
+
+
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: keep each document with a per-language
+    target rate, decided by a content-independent hash bucket of doc_id —
+    reproducible under re-partitioning and incremental reloads, unlike
+    ``df.sample``/``sampleBy``. Pure projection + filter, no shuffle, no
+    RNG state; at 100 TB this is a pushed-down predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5h("cast(doc_id as string)") % 1000
+    rate = None
+    for lang, r in MIX_RATES.items():
+        expr = F.when(F.col("lang") == lang, F.lit(int(r * 1000)))
+        rate = expr if rate is None else rate.when(
+            F.col("lang") == lang, F.lit(int(r * 1000)))
+    rate = rate.otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"),
+                    rate.alias("rate_mill"))
+        .where(F.col("bucket") < F.col("rate_mill"))
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {int(r * 1000)}" for lang, r in MIX_RATES.items()
+)
+
+MIX_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {MD5H_SQL_TEMPLATE.format(expr="CAST(doc_id AS VARCHAR)")} % 1000
+           AS bucket,
+         CASE {_MIX_CASE} ELSE 0 END AS rate_mill
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_mill
+FROM scored WHERE bucket < rate_mill
+ORDER BY doc_id
+"""
+
+
 WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 
 
 TEXT_ORACLES = {
+    "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
+    "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
+    "mix_sample": MIX_SAMPLE_ORACLE,
     "hash_split": HASH_SPLIT_ORACLE,
     "doc_chunks": DOC_CHUNKS_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,
@@ -577,6 +723,9 @@ TEXT_ORACLES = {
 }
 
 TEXT_QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "unigram_logprob": unigram_logprob,
+    "mix_sample": mix_sample,
     "hash_split": hash_split,
     "doc_chunks": doc_chunks,
     "pii_redact": pii_redact,

@@ -196,3 +196,63 @@ def test_embedding_centroids_shape(spark):
               .select("label").distinct().collect()}
     assert len(rows) == len(labels) * DIM
     assert all(-1.0 <= r.centroid <= 1.0 for r in rows)
+
+
+def test_tfidf_top_terms_shape(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        TFIDF_TOP_K,
+        tfidf_top_terms,
+    )
+
+    rows = tfidf_top_terms(spark, SF_SMOKE).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rk <= TFIDF_TOP_K
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for docs_rows in per_doc.values():
+        ranks = sorted(r.rk for r in docs_rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # scores are non-increasing with rank
+        by_rank = sorted(docs_rows, key=lambda r: r.rk)
+        assert all(a.score >= b.score for a, b in zip(by_rank, by_rank[1:]))
+
+
+def test_unigram_logprob_is_negative(spark):
+    from spark_streaming_testbed_spark.operators.text import unigram_logprob
+
+    rows = unigram_logprob(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.avg_logp < 0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_mix_sample_deterministic_rates(spark):
+    from spark_streaming_testbed_spark.operators.text import MIX_RATES, mix_sample
+    from spark_streaming_testbed_spark.session import load_table
+
+    kept = mix_sample(spark, SF_SMOKE).collect()
+    again = mix_sample(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in kept] == [tuple(r) for r in again]
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    from collections import Counter
+    kept_by_lang = Counter(r.lang for r in kept)
+    for lang, rate in MIX_RATES.items():
+        if totals.get(lang, 0) >= 20:
+            observed = kept_by_lang[lang] / totals[lang]
+            assert abs(observed - rate) < 0.25  # hash-bucketed, not exact
+
+
+def test_decontaminate_excludes_benchmark(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        BENCHMARK_MAX_ID,
+        decontaminate,
+    )
+
+    rows = decontaminate(spark, SF_SMOKE).collect()
+    assert all(r.doc_id >= BENCHMARK_MAX_ID for r in rows)
+    assert all(r.n_hits >= 1 for r in rows)
+    assert all(r.flagged == (r.n_hits >= 3) for r in rows)
