@@ -93,6 +93,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": R.tpch_q21,
     "tpch_q22": R.tpch_q22,
     "rollup_agg": R.rollup_agg,
+    "grouping_sets_agg": R.grouping_sets_agg,
     "sliding_window_stats": R.sliding_window_stats,
     "approx_distinct_users": R.approx_distinct_users,
     "profile_fixed_ramp": profile_fixed_ramp,

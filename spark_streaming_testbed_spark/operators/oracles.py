@@ -610,3 +610,12 @@ SELECT event_type,
        true AS a95_ok
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+RELATIONAL_ORACLES["grouping_sets_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY gid, l_returnflag, l_linestatus
+"""

@@ -1186,3 +1186,22 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)): the two
+    marginal rollups in ONE pass/shuffle via Catalyst's Expand — the
+    general form that cube/rollup specialize."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
