@@ -82,6 +82,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7": R.tpch_q7,
     "tpch_q8": R.tpch_q8,
     "tpch_q9": R.tpch_q9,
+    "tpch_q11": R.tpch_q11,
     "tpch_q12": R.tpch_q12,
     "tpch_q13": R.tpch_q13,
     "tpch_q14": R.tpch_q14,

@@ -141,6 +141,38 @@ def scenario2_trigger_latency(spark) -> dict[str, float]:
     }
 
 
+def scenario4_ramp_rows_per_sec(spark) -> float:
+    """Scenario-4 shape (BASELINE.md): slow ramp 1k→50k items/s, time-
+    compressed 10× (60 s instead of 600 s). Same kernel + windowed-stats
+    pipeline as scenario 1; returns sustained rows/s."""
+    from spark_streaming_testbed_spark.functions.hanoi import hanoi_burn_us
+
+    plan = parse_plan(json.dumps({
+        "sequence": [
+            {"type": "ramp", "startRate": 1_000, "endRate": 50_000,
+             "value": SCENARIO1_HEIGHT, "duration": 60}
+        ]
+    }))
+    df = profile_dataframe(spark, plan)
+    n_rows = df.count()  # profile-only count, outside the timed window
+    t0 = time.perf_counter()
+    with_kernel = df.withColumn("us", hanoi_burn_us("value"))
+    stats = (
+        with_kernel.groupBy(
+            F.window("ts", "5 seconds").alias("w"), "value", "stream_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("us").alias("sum_us"),
+            F.avg("us").alias("mean_us"),
+            F.stddev_pop("us").alias("stddev_us"),
+        )
+    )
+    materialize(stats)
+    wall = time.perf_counter() - t0
+    return n_rows / wall
+
+
 def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -163,6 +195,8 @@ def main() -> None:
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
     timings.update(scenario2_trigger_latency(spark))
+    timings["scenario4_ramp_rows_per_sec"] = round(
+        scenario4_ramp_rows_per_sec(spark), 1)
 
     print(json.dumps({
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "

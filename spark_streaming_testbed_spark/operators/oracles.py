@@ -578,6 +578,24 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """
 
+RELATIONAL_ORACLES["tpch_q11"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+  )
+  GROUP BY 1
+)
+SELECT l_partkey,
+       CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
 RELATIONAL_ORACLES["tpch_q22"] = """
 WITH cust AS (
   SELECT * FROM customer

@@ -1114,6 +1114,45 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification (adapted): testdata has no
+    partsupp, so per-part "value" is re-expressed over the lineitem bridge
+    as sum(l_extendedprice * l_quantity) shipped by NATION_7 suppliers;
+    keep parts whose value exceeds 0.1% of the nation-wide total. Shape:
+    broadcast dim filter, one shuffle to the per-part aggregate, scalar
+    total applied via a broadcast 1-row cross join. Sums accumulate in
+    DECIMAL and the threshold compare is value*1000 > total — exact
+    integer-scaled decimal arithmetic, no float knife-edge."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    supp7 = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(supp7),
+                      lineitem.l_suppkey == supp7.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                  .cast("decimal(18,6)")).alias("value_dec")
+        )
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 global sales opportunity (adapted): customers from seven
     nations (country-code stand-in) with above-average positive balance
