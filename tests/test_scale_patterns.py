@@ -65,3 +65,49 @@ def test_partition_pruning_reads_one_day(spark):
             F.date_format("ts", "yyyy-MM-dd") == "2024-01-05"
         ).count()
         assert n_one_day == n_expected > 0
+
+
+def test_write_partitioned_bounds_file_sizes(spark):
+    """The warehouse writer produces day directories whose parquet file
+    count matches ceil(rows/max_records_per_file) — no small-file storm,
+    no giant single file — and the round-trip preserves every row."""
+    import glob
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.sources.warehouse import (
+        compact,
+        write_partitioned,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    per_day = {
+        r["day"]: r["cnt"]
+        for r in events.groupBy("day").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    with tempfile.TemporaryDirectory(prefix="wh_") as tmp:
+        target = 40
+        write_partitioned(
+            events, f"{tmp}/events", ["day"], max_records_per_file=target
+        )
+        for day, cnt in per_day.items():
+            files = glob.glob(f"{tmp}/events/day={day}/*.parquet")
+            assert len(files) == math.ceil(cnt / target), (day, cnt, len(files))
+        back = spark.read.parquet(f"{tmp}/events")
+        assert back.count() == events.count()
+
+        # compaction: re-layout the same rows into bigger files
+        compacted = compact(
+            spark, f"{tmp}/events", f"{tmp}/events_c", ["day"],
+            max_records_per_file=10_000,
+        )
+        assert compacted.count() == events.count()
+        for day in per_day:
+            files = glob.glob(f"{tmp}/events_c/day={day}/*.parquet")
+            assert len(files) == 1, (day, files)
+        with pytest.raises(ValueError):
+            compact(spark, f"{tmp}/events", f"{tmp}/events", ["day"])
