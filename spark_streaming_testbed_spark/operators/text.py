@@ -706,6 +706,97 @@ ORDER BY doc_id
 WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style n-gram filters)
+# ---------------------------------------------------------------------------
+
+def _gram_col(n: int) -> Column:
+    """All word n-grams per document, duplicates kept (row-local)."""
+    return F.expr(
+        f"CASE WHEN size(tokens) >= {n} THEN "
+        f"transform(sequence(1, size(tokens) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1): the
+    mass of the single most frequent word bigram and the fraction of
+    trigram occurrences that are repeats — high values mark boilerplate
+    and degenerate generations worth dropping before training.
+
+    Shape: explode n-grams → count per (doc, gram) → per-doc aggregate.
+    Both shuffles are keyed on doc_id(+gram), so cardinality is bounded
+    by corpus token count — no cross-doc state, linear at 100 TB. The
+    bigram and trigram aggregates land on the same doc_id partitioning,
+    so the final join is co-partitioned (no extra exchange under AQE)."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", _gram_col(2).alias("bigrams"), _gram_col(3).alias("trigrams")
+    )
+    bi = (
+        base.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    tri = (
+        base.select("doc_id", F.explode("trigrams").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dist"), F.sum("c").alias("n_tri"))
+    )
+    return (
+        bi.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("n_bi"), ROUND)
+            .alias("top_bigram_frac"),
+            F.round(1 - F.col("n_dist") / F.col("n_tri"), ROUND)
+            .alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            ((F.col("top_bigram_frac") > 0.2)
+             | (F.col("dup_trigram_frac") > 0.18)).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SIGNALS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tokens) >= 2 THEN
+      list_transform(range(1, len(tokens)),
+                     i -> array_to_string(tokens[i:i+1], ' '))
+    ELSE [] END AS bigrams,
+    CASE WHEN len(tokens) >= 3 THEN
+      list_transform(range(1, len(tokens) - 1),
+                     i -> array_to_string(tokens[i:i+2], ' '))
+    ELSE [] END AS trigrams
+  FROM tok),
+bic AS (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS g FROM grams) GROUP BY 1, 2),
+bia AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM bic GROUP BY 1),
+tric AS (SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, unnest(trigrams) AS g FROM grams) GROUP BY 1, 2),
+tria AS (SELECT doc_id, count(*) AS n_dist, sum(c) AS n_tri
+         FROM tric GROUP BY 1),
+fracs AS (
+  SELECT bia.doc_id,
+         round(top_c * 1.0 / n_bi, {ROUND}) AS top_bigram_frac,
+         round(1 - n_dist * 1.0 / n_tri, {ROUND}) AS dup_trigram_frac
+  FROM bia JOIN tria ON bia.doc_id = tria.doc_id)
+SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+       CAST(top_bigram_frac > 0.2 OR dup_trigram_frac > 0.18 AS INT)
+         AS repetitive
+FROM fracs ORDER BY doc_id
+"""
+
+
 TEXT_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
@@ -720,6 +811,7 @@ TEXT_ORACLES = {
     "quality_score": QUALITY_SCORE_ORACLE,
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+    "repetition_signals": REPETITION_SIGNALS_ORACLE,
 }
 
 TEXT_QUERIES = {
@@ -736,4 +828,5 @@ TEXT_QUERIES = {
     "quality_score": quality_score,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "repetition_signals": repetition_signals,
 }

@@ -256,3 +256,32 @@ def test_decontaminate_excludes_benchmark(spark):
     assert all(r.doc_id >= BENCHMARK_MAX_ID for r in rows)
     assert all(r.n_hits >= 1 for r in rows)
     assert all(r.flagged == (r.n_hits >= 3) for r in rows)
+
+
+def test_repetition_signals_bounds_and_flag(spark):
+    """Fractions live in [0,1], the flag matches its defining predicate,
+    and a doc made of one repeated bigram scores top_bigram_frac == 1."""
+    from spark_streaming_testbed_spark.operators.text import repetition_signals
+
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = repetition_signals(spark, SF_SMOKE).collect()
+    assert len(rows) == load_table(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+        assert r.repetitive == int(
+            r.top_bigram_frac > 0.2 or r.dup_trigram_frac > 0.18
+        )
+    # degenerate fully-repetitive text via the same operator body on a
+    # synthetic one-doc table written to parquet
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="rep_") as tmp:
+        spark.createDataFrame(
+            [(0, ("spam ham " * 20).strip())], "doc_id long, text string"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        one = repetition_signals(spark, tmp).collect()[0]
+        assert one.top_bigram_frac > 0.49  # "spam ham" is every 2nd bigram
+        assert one.dup_trigram_frac > 0.9
+        assert one.repetitive == 1
