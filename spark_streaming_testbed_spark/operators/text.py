@@ -797,6 +797,91 @@ FROM fracs ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source corpus report card
+# ---------------------------------------------------------------------------
+
+def source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus governance report per ``source``: volume (docs, tokens),
+    language spread (distinct count + dominant language), and
+    within-source exact-duplicate volume — the health dashboard a
+    curation pipeline runs before admitting a source into the mix.
+
+    Every aggregate and join is keyed on ``source`` (bounded
+    cardinality), so the whole report is one scan plus source-keyed
+    hash aggregations — co-partitioned joins, no wide shuffle. The
+    dominant language uses row_number with an alphabetical tie-break so
+    the result is deterministic across engines."""
+    from pyspark.sql import Window as W
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), ROUND).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    top_lang = (
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    dups = (
+        docs.groupBy("source", "text").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("source").agg(F.sum("c").alias("n_dup"))
+    )
+    return (
+        base.join(top_lang, "source")
+        .join(dups, "source", "left")
+        .select(
+            "source", "n_docs", "total_tokens", "avg_tokens", "n_langs",
+            "top_lang",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_REPORT_ORACLE = f"""
+WITH tok AS (
+  SELECT source, lang, text,
+         len({TOKENS_SQL}) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(avg(n_tokens), {ROUND}) AS avg_tokens,
+         count(DISTINCT lang) AS n_langs
+  FROM tok GROUP BY 1),
+pl AS (SELECT source, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rk
+        FROM pl)
+  WHERE rk = 1),
+d AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_dup
+  FROM (SELECT source, text, count(*) AS c FROM tok GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1)
+SELECT base.source, n_docs, total_tokens, avg_tokens, n_langs, top_lang,
+       coalesce(n_dup, 0) AS n_dup_docs
+FROM base JOIN top ON base.source = top.source
+LEFT JOIN d ON base.source = d.source
+ORDER BY base.source
+"""
+
+
 TEXT_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
@@ -812,6 +897,7 @@ TEXT_ORACLES = {
     "lang_id": LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
     "repetition_signals": REPETITION_SIGNALS_ORACLE,
+    "source_report": SOURCE_REPORT_ORACLE,
 }
 
 TEXT_QUERIES = {
@@ -829,4 +915,5 @@ TEXT_QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "repetition_signals": repetition_signals,
+    "source_report": source_report,
 }

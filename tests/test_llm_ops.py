@@ -285,3 +285,22 @@ def test_repetition_signals_bounds_and_flag(spark):
         assert one.top_bigram_frac > 0.49  # "spam ham" is every 2nd bigram
         assert one.dup_trigram_frac > 0.9
         assert one.repetitive == 1
+
+
+def test_source_report_accounts_for_every_doc(spark):
+    """One row per source; doc counts sum to the corpus; the dominant
+    language really is the per-source argmax."""
+    from spark_streaming_testbed_spark.operators.text import source_report
+    from spark_streaming_testbed_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = source_report(spark, SF_SMOKE).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    from collections import Counter
+    by_src = {}
+    for d in docs.select("source", "lang").collect():
+        by_src.setdefault(d.source, Counter())[d.lang] += 1
+    for r in rows:
+        best = max(sorted(by_src[r.source]), key=lambda lg: by_src[r.source][lg])
+        assert by_src[r.source][r.top_lang] == by_src[r.source][best]
