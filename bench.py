@@ -141,6 +141,56 @@ def scenario2_trigger_latency(spark) -> dict[str, float]:
     }
 
 
+def scenario3_reactive_rows_per_sec(spark) -> float:
+    """Scenario-3 (BASELINE.md): the reactive, demand-driven receiver —
+    the ``rate_profile`` Python DataSource admits one trigger quantum per
+    micro-batch (demand slicing), the Structured-Streaming analog of the
+    reference's reactive-streams receiver (25k items/s, +25% over its
+    TCP receiver). Kernel + windowed stats over live micro-batches;
+    returns sustained rows/s."""
+    import uuid
+
+    from spark_streaming_testbed_spark.functions.hanoi import hanoi_burn_us
+    from spark_streaming_testbed_spark.sources.profile_datasource import (
+        register,
+    )
+
+    register(spark)
+    rate, seconds = 25_000, 20
+    plan_json = json.dumps({
+        "sequence": [
+            {"type": "fixed", "value": SCENARIO1_HEIGHT,
+             "rate": rate, "duration": seconds}
+        ]
+    })
+    stream = (
+        spark.readStream.format("rate_profile")
+        .option("plan", plan_json)
+        .option("seconds_per_batch", 5)
+        .load()
+    )
+    stats = (
+        stream.withColumn("us", hanoi_burn_us("value"))
+        .groupBy(F.window("ts", "5 seconds").alias("w"), "value", "stream_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("us").alias("sum_us"),
+            F.avg("us").alias("mean_us"),
+            F.stddev_pop("us").alias("stddev_us"),
+        )
+    )
+    name = f"bench_s3_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = (
+        stats.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    wall = time.perf_counter() - t0
+    return rate * seconds / wall
+
+
 def scenario4_ramp_rows_per_sec(spark) -> float:
     """Scenario-4 shape (BASELINE.md): slow ramp 1k→50k items/s, time-
     compressed 10× (60 s instead of 600 s). Same kernel + windowed-stats
@@ -195,6 +245,8 @@ def main() -> None:
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
     timings.update(scenario2_trigger_latency(spark))
+    timings["scenario3_reactive_rows_per_sec"] = round(
+        scenario3_reactive_rows_per_sec(spark), 1)
     timings["scenario4_ramp_rows_per_sec"] = round(
         scenario4_ramp_rows_per_sec(spark), 1)
 

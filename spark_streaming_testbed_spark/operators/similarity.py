@@ -328,7 +328,85 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health per label: vector count plus mean and max
+    Euclidean distance to the label centroid — collapsing or overlapping
+    clusters show up here before they poison retrieval or ANN recall.
+
+    Shape: the tiny centroid table (|labels|·dim) is built long-form,
+    re-assembled into arrays, and BROADCAST; per-vector distance is then
+    a row-local ``zip_with`` fold (sequential, so the float sum order is
+    deterministic and matches DuckDB's ``list_sum``), and the final agg
+    keys on label. One wide scan, no big-side shuffle until the
+    |labels|-row aggregate. Mean = exact decimal sum cast to double then
+    one double division — no accumulation-order knife-edge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "x"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
+    dist = (
+        emb.join(F.broadcast(carr), "label")
+        .withColumn(
+            "d",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "carr",
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_DISPERSION_ORACLE = f"""
+WITH cent AS (
+  SELECT label, dim_idx,
+         round(avg(embedding[dim_idx + 1]::DOUBLE), 6) AS c
+  FROM embeddings CROSS JOIN (SELECT unnest(range({DIM})) AS dim_idx)
+  GROUP BY 1, 2),
+carr AS (SELECT label, list(c ORDER BY dim_idx) AS carr FROM cent GROUP BY 1),
+dist AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_sum(list_transform(range({DIM}),
+           i -> (e.embedding[i + 1]::DOUBLE - carr[i + 1])
+              * (e.embedding[i + 1]::DOUBLE - carr[i + 1])))) AS d
+  FROM embeddings e JOIN carr USING (label))
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(d AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+         AS mean_dist,
+       round(max(d), 6) AS max_dist
+FROM dist GROUP BY 1 ORDER BY 1
+"""
+
+
 SIMILARITY_QUERIES = {
+    "label_dispersion": label_dispersion,
     "embedding_centroids": embedding_centroids,
     "quantize_int8": quantize_int8,
     "cosine_topk": cosine_topk,
@@ -338,6 +416,7 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "label_dispersion": LABEL_DISPERSION_ORACLE,
     "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
     "quantize_int8": QUANTIZE_INT8_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,

@@ -304,3 +304,19 @@ def test_source_report_accounts_for_every_doc(spark):
     for r in rows:
         best = max(sorted(by_src[r.source]), key=lambda lg: by_src[r.source][lg])
         assert by_src[r.source][r.top_lang] == by_src[r.source][best]
+
+
+def test_label_dispersion_invariants(spark):
+    """Distances are nonneg, mean <= max, every label covered, and the
+    vector counts sum to the table size."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        label_dispersion,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = label_dispersion(spark, SF_SMOKE).collect()
+    assert len(rows) == emb.select("label").distinct().count()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 0.0 <= r.mean_dist <= r.max_dist
