@@ -798,6 +798,62 @@ FROM fracs ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Stratified exact sampling
+# ---------------------------------------------------------------------------
+
+STRATIFIED_FRAC = 0.2
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: per language, keep exactly
+    ``ceil(frac · n_lang)`` documents, chosen by hash order — the
+    companion to :func:`mix_sample` when the contract is a guaranteed
+    per-stratum count (eval-set construction, per-language caps) rather
+    than an expected rate. Unlike ``df.sampleBy`` the result is
+    deterministic across partitionings and engines.
+
+    Shape: one window rank per stratum (a single shuffle keyed on the
+    stratum — the scalable exact-sample shape; the hash orders rows, so
+    no RNG state) plus a broadcast of the tiny per-stratum quota table."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    h = md5h("cast(doc_id as string)")
+    ranked = docs.select(
+        "doc_id", "lang", h.alias("h")
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy("h", "doc_id"))
+    )
+    quota = docs.groupBy("lang").agg(
+        F.ceil(F.count(F.lit(1)) * STRATIFIED_FRAC).alias("quota")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {MD5H_SQL_TEMPLATE.format(expr="CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rn
+  FROM documents),
+quota AS (
+  SELECT lang, CAST(ceil(count(*) * {STRATIFIED_FRAC}) AS BIGINT) AS quota
+  FROM documents GROUP BY 1)
+SELECT doc_id, ranked.lang, rn
+FROM ranked JOIN quota ON ranked.lang = quota.lang
+WHERE rn <= quota
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-source corpus report card
 # ---------------------------------------------------------------------------
 
@@ -898,6 +954,7 @@ TEXT_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
     "repetition_signals": REPETITION_SIGNALS_ORACLE,
     "source_report": SOURCE_REPORT_ORACLE,
+    "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
 }
 
 TEXT_QUERIES = {
@@ -916,4 +973,5 @@ TEXT_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "repetition_signals": repetition_signals,
     "source_report": source_report,
+    "stratified_sample": stratified_sample,
 }

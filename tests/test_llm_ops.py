@@ -320,3 +320,27 @@ def test_label_dispersion_invariants(spark):
     assert sum(r.n_vecs for r in rows) == emb.count()
     for r in rows:
         assert 0.0 <= r.mean_dist <= r.max_dist
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Exactly ceil(frac*n) docs per language, stable across reruns."""
+    import math
+
+    from spark_streaming_testbed_spark.operators.text import (
+        STRATIFIED_FRAC,
+        stratified_sample,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per_lang = {r["lang"]: r["n"] for r in
+                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = stratified_sample(spark, SF_SMOKE).collect()
+    from collections import Counter
+    got = Counter(r.lang for r in rows)
+    for lang, n in per_lang.items():
+        assert got[lang] == math.ceil(n * STRATIFIED_FRAC), lang
+    again = stratified_sample(spark, SF_SMOKE).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
