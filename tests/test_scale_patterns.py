@@ -111,3 +111,31 @@ def test_write_partitioned_bounds_file_sizes(spark):
             assert len(files) == 1, (day, files)
         with pytest.raises(ValueError):
             compact(spark, f"{tmp}/events", f"{tmp}/events", ["day"])
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark):
+    """Joining a day-partitioned fact to a filtered dim injects a
+    dynamicpruning subquery into the fact scan — at 100 TB the fact
+    reads only the dim-selected days, not the whole table."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory(prefix="dpp_") as tmp:
+        (
+            events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .write.partitionBy("day").mode("overwrite")
+            .parquet(f"{tmp}/ev")
+        )
+        fact = spark.read.parquet(f"{tmp}/ev")
+        days = ["2024-01-05", "2024-01-06"]
+        dim = spark.createDataFrame(
+            [(d, 1) for d in days] + [("2024-01-07", 0)],
+            "day string, flag int",
+        )
+        j = fact.join(dim.where(F.col("flag") == 1), "day")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        expected = events.where(
+            F.date_format("ts", "yyyy-MM-dd").isin(days)
+        ).count()
+        assert j.count() == expected > 0
