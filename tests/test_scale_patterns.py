@@ -139,3 +139,48 @@ def test_dynamic_partition_pruning_on_dim_filter(spark):
             F.date_format("ts", "yyyy-MM-dd").isin(days)
         ).count()
         assert j.count() == expected > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A 90%-hot join key makes AQE re-plan the sort-merge join with the
+    skewed partition split (skew=true + AQEShuffleRead skewed) — the
+    runtime answer to hot keys at 100 TB, complementing the manual
+    salting in `skew_salted_agg`. Thresholds are lowered so the tiny
+    fixture qualifies; the assertion is on the FINAL adaptive plan, which
+    only exists after executing this exact DataFrame (not `.count()`)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 55_000).withColumn(
+            "k",
+            F.when(F.col("id") < 50_000, F.lit(0)).otherwise(F.col("id") % 100),
+        ).withColumn("pad", F.lpad(F.lit("x"), 64, "x"))
+        right = (
+            spark.range(0, 100).withColumnRenamed("id", "k")
+            .withColumn("v", F.col("k") * 2)
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 55_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
