@@ -216,9 +216,10 @@ def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
 
-    Rows-only check (LSH candidate generation is probabilistic recall by
-    design — the exact-join twin ``ngram_jaccard_pairs`` is the oracle-
-    checked variant)."""
+    Oracle-checked: the hash family is the portable md5/xor-rotate mix,
+    so candidate generation — though probabilistic in recall — is fully
+    deterministic and reproduced step-for-step in DuckDB. The exact-join
+    twin ``ngram_jaccard_pairs`` provides the recall ground truth."""
     docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
     with_sig = docs.where(F.size("shingles") > 0).select(
         "doc_id", "shingles", *_sig_cols()
@@ -238,7 +239,8 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup decision: drop any doc that has a verified near-duplicate
-    with a smaller doc_id (greedy keep-first, deterministic). Rows-only."""
+    with a smaller doc_id (greedy keep-first, deterministic;
+    oracle-checked via the same deterministic LSH pipeline)."""
     pairs = lsh_near_dup_pairs(spark, sf_dir).select("doc_b").distinct()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (
@@ -515,6 +517,69 @@ DEDUP_QUERIES = {
     "simhash": simhash,
 }
 
+def _lsh_pairs_cte() -> str:
+    """Shared CTE chain reproducing the full LSH pipeline in DuckDB:
+    shingles → portable base hashes → K minhashes → banded buckets →
+    candidate pairs → exact-Jaccard verification. Every step uses the
+    same md5/xor-rotate family as the Spark side, so the 'probabilistic'
+    candidate set is in fact deterministic and hash-checkable."""
+    base = MD5H_SQL_TEMPLATE.format(expr="s")
+    r = MINHASH_K // LSH_BANDS
+    mh_defs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> {_mix_expr('h', j, 'duck')})) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=MD5H_SQL_TEMPLATE.format(
+                expr="concat_ws(':', "
+                + ", ".join(f"mh{b * r + i}" for i in range(r))
+                + ")"
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+hb AS (SELECT doc_id, shingles,
+              list_transform(shingles, s -> {base}) AS hs
+       FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id,
+       {mh_defs}
+       FROM hb),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+  FROM (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS inter,
+           len(a.shingles) AS na, len(b.shingles) AS nb
+    FROM cand c
+    JOIN hb a ON c.doc_a = a.doc_id
+    JOIN hb b ON c.doc_b = b.doc_id)
+  WHERE round(inter * 1.0 / (na + nb - inter), 6) >= {JACCARD_THRESHOLD})
+"""
+
+
+LSH_NEAR_DUP_PAIRS_ORACLE = (
+    _lsh_pairs_cte()
+    + "SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"
+)
+
+DEDUP_MINHASH_SURVIVORS_ORACLE = (
+    _lsh_pairs_cte()
+    + """SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM verified)
+ORDER BY doc_id"""
+)
+
+
 DEDUP_ORACLES = {
     "decontaminate": DECONTAMINATE_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
@@ -522,6 +587,8 @@ DEDUP_ORACLES = {
     "minhash_signatures": MINHASH_SIGNATURES_ORACLE,
     "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,
     "simhash": SIMHASH_ORACLE,
-    # lsh_near_dup_pairs / dedup_minhash_survivors: rows-only by design
-    # (LSH recall is probabilistic; the exact twin is oracle-checked).
+    # the LSH pipeline is deterministic (portable md5/xor-rotate family),
+    # so even the 'probabilistic' candidate generation is hash-checkable
+    "lsh_near_dup_pairs": LSH_NEAR_DUP_PAIRS_ORACLE,
+    "dedup_minhash_survivors": DEDUP_MINHASH_SURVIVORS_ORACLE,
 }
