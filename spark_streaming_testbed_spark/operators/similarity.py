@@ -164,8 +164,10 @@ def _lsh_signature_col() -> F.Column:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only candidates in the same hyperplane-LSH
-    bucket as the query. Rows-only check (approximate recall by design);
-    the exact twin ``cosine_topk`` is the oracle-checked baseline."""
+    bucket as the query. Oracle-checked: the hyperplanes are seeded
+    constants folded into both engines' plans, so the approximate
+    candidate set is deterministic; the exact twin ``cosine_topk``
+    provides the recall ground truth."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _lsh_signature_col()
     )
@@ -189,6 +191,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rk", "c_id", "cosine")
         .orderBy("q_id", "rk")
     )
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of :func:`ann_lsh_topk`: identical seeded hyperplane
+    literals (same ``repr(float)`` text in both generated plans, so both
+    engines parse the same doubles), bucket join, cosine, top-k."""
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, DIM)
+    bucket_terms = "\n       + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(c)) for c in planes[p])
+        + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {bucket_terms} AS bucket
+       FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket
+      FROM b WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket FROM b),
+scored AS (
+  SELECT q_id, c_id,
+         round(
+           list_dot_product(q_emb, c_emb) /
+           (sqrt(list_dot_product(q_emb, q_emb)) *
+            sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM q JOIN c USING (bucket) WHERE q_id <> c_id),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, rk, c_id, cosine FROM ranked
+WHERE rk <= {TOP_K} ORDER BY q_id, rk
+"""
+
+
+ANN_LSH_TOPK_ORACLE = _ann_lsh_oracle()
 
 
 IVF_CLUSTERS = 8
@@ -421,5 +462,7 @@ SIMILARITY_ORACLES = {
     "quantize_int8": QUANTIZE_INT8_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "embedding_norms": EMBEDDING_NORMS_ORACLE,
-    # ann_lsh_topk: rows-only (approximate by design)
+    # deterministic seeded hyperplanes → even the ANN path is checkable
+    "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
+    # ann_ivf_topk: rows-only (k-means quantizer is pyspark.ml-internal)
 }
