@@ -517,6 +517,69 @@ DEDUP_QUERIES = {
     "simhash": simhash,
 }
 
+def source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination report: for each (source, source) pair,
+    how many verified near-duplicate document pairs span them — the
+    governance view that tells a curation team which feeds are
+    re-publishing each other before both get sampled into a mix.
+
+    Composition: the exact near-dup pairs (inverted-index join) enriched
+    with each side's source via two broadcast-able doc_id→source lookups,
+    then a tiny (source, source) aggregate. Source pairs are emitted in
+    canonical order (lexicographically smaller first) so A→B and B→A
+    collapse into one row."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"),
+                   F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+            "jaccard",
+        )
+        .groupBy("source_1", "source_2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "source_1", "source_2")
+    )
+
+
+SOURCE_LEAKAGE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+         WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(common * 1.0 / (na + nb - common), 6) AS jaccard
+  FROM pairs
+  WHERE round(common * 1.0 / (na + nb - common), 6) >= {JACCARD_THRESHOLD}),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_1,
+         greatest(da.source, db.source) AS source_2,
+         jaccard
+  FROM jac
+  JOIN documents da ON jac.doc_a = da.doc_id
+  JOIN documents db ON jac.doc_b = db.doc_id)
+SELECT source_1, source_2, count(*) AS n_pairs,
+       round(max(jaccard), 6) AS max_jaccard
+FROM tagged GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_1, source_2
+"""
+
+
 def _lsh_pairs_cte() -> str:
     """Shared CTE chain reproducing the full LSH pipeline in DuckDB:
     shingles → portable base hashes → K minhashes → banded buckets →
@@ -591,4 +654,7 @@ DEDUP_ORACLES = {
     # so even the 'probabilistic' candidate generation is hash-checkable
     "lsh_near_dup_pairs": LSH_NEAR_DUP_PAIRS_ORACLE,
     "dedup_minhash_survivors": DEDUP_MINHASH_SURVIVORS_ORACLE,
+    "source_leakage": SOURCE_LEAKAGE_ORACLE,
 }
+
+DEDUP_QUERIES["source_leakage"] = source_leakage

@@ -344,3 +344,19 @@ def test_stratified_sample_exact_quotas(spark):
         assert got[lang] == math.ceil(n * STRATIFIED_FRAC), lang
     again = stratified_sample(spark, SF_SMOKE).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_source_leakage_consistent_with_pairs(spark):
+    """Pair counts per source pair sum to the total verified near-dup
+    pair count, and source pairs are canonically ordered."""
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        source_leakage,
+    )
+
+    rows = source_leakage(spark, SF_SMOKE).collect()
+    assert sum(r.n_pairs for r in rows) == ngram_jaccard_pairs(
+        spark, SF_SMOKE
+    ).count()
+    for r in rows:
+        assert r.source_1 <= r.source_2
