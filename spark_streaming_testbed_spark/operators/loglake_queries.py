@@ -106,7 +106,8 @@ def loglake_stacked_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stacked_oracle() -> str:
     cells = ",\n         ".join(
-        f"sum(count) FILTER (value = {v}) AS c{v}" for v in range(N_VALUES)
+        f"CAST(sum(count) FILTER (value = {v}) AS BIGINT) AS c{v}"
+        for v in range(N_VALUES)
     )
     accs = []
     for k in range(N_VALUES):
@@ -192,7 +193,7 @@ WITH parsed AS (
          CAST(user_id % 3 AS INT) AS client_id
   FROM events)
 SELECT (time_ms // 1000) * 1000 AS second_ms, client_id,
-       sum(count) AS count
+       CAST(sum(count) AS BIGINT) AS count
 FROM parsed GROUP BY 1, 2 ORDER BY second_ms, client_id
 """
 
