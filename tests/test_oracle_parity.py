@@ -50,3 +50,24 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) >= 2
+
+
+FAMILY_FLAGSHIPS = {
+    "minhash_signatures", "lsh_near_dup_pairs", "dedup_clusters",
+    "cosine_topk", "ann_lsh_topk", "token_stats", "multimodal_meta",
+    "loglake_execution_roundtrip", "streaming_profile_stats",
+    "profile_fixed_ramp", "tpch_q12",
+}
+
+
+def test_first_window_spans_all_families():
+    """The driver's correctness gate covers only the first 50 registry
+    keys; pin that window to contain a flagship of every operator family
+    so every family keeps a hard-signal driver row."""
+    keys = list(entrymod.queries())
+    window = set(keys[:50])
+    assert FAMILY_FLAGSHIPS <= window
+    assert keys[:50] == entrymod._FIRST_WINDOW
+    # the window must only name real, oracle-checked registry entries
+    assert all(k in QUERIES for k in entrymod._FIRST_WINDOW)
+    assert all(k in ORACLES for k in entrymod._FIRST_WINDOW)
