@@ -253,10 +253,24 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard pairs (the oracle-checked near-dup ground truth)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+MAX_SHINGLE_DF = 64
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted index:
     explode → equi-join on shingle → per-pair common count → filter.
-    One shuffle keyed on shingle; never a global cross join."""
+    One shuffle keyed on shingle; never a global cross join.
+
+    Hot shingles are dropped before the self-join: a shingle shared by k
+    documents emits k·(k-1)/2 candidate pairs, so an uncapped boilerplate
+    shingle is a quadratic scale-killer on real corpora. Shingles with
+    document frequency > ``max_df`` carry almost no Jaccard signal (they
+    are corpus-wide boilerplate) and are excluded from ``common`` — the
+    denominators keep the full per-doc shingle counts, so capping can only
+    lower a pair's score (documented recall tradeoff; ``lsh_near_dup_pairs``
+    is the production path for large corpora). The cap does not bind at the
+    test scales (max observed df at sf0.01 is 4)."""
     docs = _with_shingles(load_table(spark, sf_dir, "documents"))
     base = docs.where(F.size("shingles") > 0).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
@@ -269,6 +283,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = base.select(
         "doc_id", "n_sh", F.explode("shingles").alias("sstr")
     ).select("doc_id", "n_sh", F.xxhash64("sstr").alias("s"))
+    # max-df filter: shingles are distinct per doc, so count(*) == doc
+    # frequency. The df aggregation shuffles on the same key as the
+    # self-join below, so the exchange is reusable.
+    kept = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    inv = inv.join(kept.select("s"), "s")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -293,7 +314,9 @@ WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
 base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
          WHERE len(shingles) > 0),
-inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+inv0 AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+keep AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (s)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS common
@@ -555,7 +578,9 @@ WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
 base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
          WHERE len(shingles) > 0),
-inv AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+inv0 AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+keep AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (s)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS common

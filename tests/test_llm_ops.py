@@ -360,3 +360,39 @@ def test_source_leakage_consistent_with_pairs(spark):
     ).count()
     for r in rows:
         assert r.source_1 <= r.source_2
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by every document must not explode the pair
+    count: with the max-df cap active the hot shingle is excluded from the
+    inverted index, so only genuinely similar docs pair up."""
+    import tempfile
+
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = 40
+    # every doc starts with the same 5-token boilerplate (two hot shingles
+    # with df = n_docs); unrelated docs add a single unique token, so the
+    # boilerplate alone lifts them over the threshold (jaccard 2/4 = 0.5)
+    # unless the cap drops it. Docs 0/1 share a 5-token body: enough kept
+    # bridge shingles (df = 2) survive the cap to stay a true pair.
+    boiler = "terms of service apply here"
+    rows = []
+    for i in range(n_docs):
+        body = "alpha beta gamma delta epsilon" if i < 2 else f"tok{i}"
+        rows.append((i, f"{boiler} {body}"))
+    with tempfile.TemporaryDirectory(prefix="hotshingle_") as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        capped = ngram_jaccard_pairs(spark, tmp, max_df=4).collect()
+        uncapped = ngram_jaccard_pairs(spark, tmp, max_df=10**9).collect()
+    # capped: the boilerplate shingles (df=40 > 4) are dropped, so only
+    # the true near-dup pair (0,1) can reach the threshold
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(0, 1)]
+    # uncapped: every doc shares the boilerplate shingle run; with short
+    # bodies that alone pushes many unrelated pairs over the threshold —
+    # the quadratic blowup the cap exists to stop
+    assert len(uncapped) > len(capped)
