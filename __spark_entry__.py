@@ -31,6 +31,10 @@ from spark_streaming_testbed_spark.operators.similarity import (
     SIMILARITY_QUERIES,
 )
 from spark_streaming_testbed_spark.operators.text import TEXT_ORACLES, TEXT_QUERIES
+from spark_streaming_testbed_spark.streaming.congestion import (
+    CONGESTION_ORACLES,
+    CONGESTION_QUERIES,
+)
 from spark_streaming_testbed_spark.streaming.pipeline import (
     STREAMING_ORACLES,
     STREAMING_QUERIES,
@@ -104,6 +108,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **MULTIMODAL_QUERIES,
     **LOGLAKE_QUERIES,
     **STREAMING_QUERIES,
+    **CONGESTION_QUERIES,
     **ADVANCED_QUERIES,
 }
 
@@ -115,6 +120,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **MULTIMODAL_ORACLES,
     **LOGLAKE_ORACLES,
     **STREAMING_ORACLES,
+    **CONGESTION_ORACLES,
     **ADVANCED_ORACLES,
 }
 
@@ -153,12 +159,13 @@ _FIRST_WINDOW: list[str] = [
     "winnow_fingerprints",
     "doc_chunks",
     "pii_redact",
-    "hash_split",
     "stratified_sample",
     "repetition_signals",
     "source_report",
-    "unigram_logprob",
-    "mix_sample",
+    # live congestion strategies (T3)
+    "congestion_drop_accounting",
+    "congestion_sampling_accounting",
+    "congestion_pushback_accounting",
     # dedup
     "dedup_exact",
     "simhash",

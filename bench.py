@@ -115,7 +115,7 @@ def scenario2_trigger_latency(spark) -> dict[str, float]:
         "sequence": [
             {"type": "fixed", "value": 7, "rate": 20_000, "duration": 10},
             {"type": "fixed", "value": 8, "rate": 60_000, "duration": 5},
-            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 10},
+            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 5},
         ]
     }))
     listener = RateFeedbackListener()
@@ -139,6 +139,100 @@ def scenario2_trigger_latency(spark) -> dict[str, float]:
         "scenario2_trigger_p50": round(statistics.median(durs), 3),
         "scenario2_trigger_max": round(max(durs), 3),
     }
+
+
+def scenario2_pid_recovery(spark) -> dict[str, float]:
+    """Scenario-2 closed-loop variant: a 4× ingest spike hits the live
+    ``rate_profile`` source (pushback admission). Controller OFF admits
+    the whole spike into one trigger; controller ON (PID estimates
+    published to the source's control file every progress event) keeps
+    per-trigger work near the sustainable rate and drains the backlog —
+    the reference's ~30 s spike recovery contract
+    (test-runs-004/README.md:60-94)."""
+    import tempfile
+    import uuid
+
+    from spark_streaming_testbed_spark.functions.hanoi import hanoi_burn_us
+    from spark_streaming_testbed_spark.sources.profile_datasource import (
+        register,
+    )
+    from spark_streaming_testbed_spark.streaming.controller import (
+        PIDRateController,
+    )
+    from spark_streaming_testbed_spark.streaming.listener import (
+        RateFeedbackListener,
+    )
+
+    register(spark)
+    plan_json = json.dumps({
+        "sequence": [
+            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 5},
+            {"type": "fixed", "value": 7, "rate": 80_000, "duration": 5},
+            {"type": "fixed", "value": 7, "rate": 20_000, "duration": 5},
+        ]
+    })
+
+    def run(controlled: bool) -> tuple[list[float], list[dict]]:
+        tmp = tempfile.mkdtemp(prefix="bench_pid_")
+        ctrl = f"{tmp}/ctrl.json"
+        acct = f"{tmp}/acct.jsonl"
+        # min_rate floors the estimate: local micro-batches have ~1 s of
+        # fixed overhead, so tiny triggers read as a low processing rate
+        # and an unfloored PID would spiral down (the knob the reference
+        # exposes as spark.streaming.backpressure.pid.minRate)
+        listener = RateFeedbackListener(
+            controller=PIDRateController(min_rate=20_000),
+            control_file=ctrl if controlled else None,
+        )
+        spark.streams.addListener(listener)
+        try:
+            reader = (
+                spark.readStream.format("rate_profile")
+                .option("plan", plan_json)
+                .option("seconds_per_batch", 1)
+                .option("strategy", "pushback")
+                .option("accounting_file", acct)
+            )
+            if controlled:
+                reader = (
+                    reader.option("rate_limit", 20_000)
+                    .option("control_file", ctrl)
+                )
+            stream = reader.load()
+            stats = (
+                stream.withColumn("us", hanoi_burn_us("value"))
+                .groupBy(F.window("ts", "5 seconds").alias("w"), "value")
+                .agg(F.count(F.lit(1)).alias("cnt"), F.sum("us").alias("s"))
+            )
+            name = f"bench_pid_{uuid.uuid4().hex[:8]}"
+            q = (
+                stats.writeStream.outputMode("complete")
+                .format("memory").queryName(name).start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.streams.removeListener(listener)
+        durs = [
+            s["duration_ms"] / 1000.0
+            for s in listener.samples
+            if s["rows"] > 0 and s["duration_ms"]
+        ]
+        recs = [json.loads(line) for line in open(acct)]
+        return durs, recs
+
+    durs_off, _ = run(controlled=False)
+    durs_on, recs_on = run(controlled=True)
+    out: dict[str, float] = {}
+    if durs_off:
+        out["scenario2_pid_off_max_trigger"] = round(max(durs_off), 3)
+    if durs_on:
+        out["scenario2_pid_on_max_trigger"] = round(max(durs_on), 3)
+    backlog_durs = [
+        d for d, r in zip(durs_on, recs_on) if r.get("queued", 0) > 0
+    ]
+    out["scenario2_pid_recovery_sec"] = round(sum(backlog_durs), 3)
+    return out
 
 
 def scenario3_reactive_rows_per_sec(spark) -> float:
@@ -245,12 +339,13 @@ def main() -> None:
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
     timings.update(scenario2_trigger_latency(spark))
+    timings.update(scenario2_pid_recovery(spark))
     timings["scenario3_reactive_rows_per_sec"] = round(
         scenario3_reactive_rows_per_sec(spark), 1)
     timings["scenario4_ramp_rows_per_sec"] = round(
         scenario4_ramp_rows_per_sec(spark), 1)
 
-    print(json.dumps({
+    out = {
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "
                   "profile, hanoi-7 kernel stats, 5s windows) + headline "
                   "query seconds",
@@ -258,7 +353,36 @@ def main() -> None:
         "unit": "rows/s",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-    }))
+    }
+    out.update(round_over_round_deltas(timings))
+    print(json.dumps(out))
+
+
+def round_over_round_deltas(timings: dict[str, float]) -> dict:
+    """Per-query delta vs the newest recorded BENCH_r{N}.json so a round-
+    over-round regression is visible in the bench line itself."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    prev_file = benches[-1]
+    try:
+        prev = json.load(open(prev_file)).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+    deltas = {
+        name: round(timings[name] / prev[name], 2)
+        for name in timings
+        if name in prev and prev[name]
+    }
+    return {"prev_bench": os.path.basename(prev_file),
+            "ratio_vs_prev": deltas}
 
 
 if __name__ == "__main__":

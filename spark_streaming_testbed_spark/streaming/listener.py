@@ -22,12 +22,34 @@ from .controller import PIDRateController
 
 class RateFeedbackListener(StreamingQueryListener):
     """Collects (time_ms, rows, duration_ms) per completed micro-batch
-    and the PID's rate estimate after each."""
+    and the PID's rate estimate after each.
 
-    def __init__(self, controller: PIDRateController | None = None) -> None:
+    With ``control_file`` set, every estimate is atomically published to
+    that path as ``{"rate": <rows/sec>}`` — the ``rate_profile``
+    DataSource polls the same file each trigger, so the loop is closed
+    on the *running* query (the reference's mid-run ``updateRateLimit``,
+    SubscriberInputDStream.scala:43-48)."""
+
+    def __init__(
+        self,
+        controller: PIDRateController | None = None,
+        control_file: str | None = None,
+    ) -> None:
         self.controller = controller or PIDRateController()
+        self.control_file = control_file
         self.samples: list[dict] = []
         self.estimates: list[float] = []
+
+    def _publish(self, rate: float) -> None:
+        if not self.control_file:
+            return
+        import json
+        import os
+
+        tmp = f"{self.control_file}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"rate": rate}, fh)
+        os.replace(tmp, self.control_file)  # atomic vs reader polls
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -52,6 +74,7 @@ class RateFeedbackListener(StreamingQueryListener):
             )
             if est is not None:
                 self.estimates.append(est)
+                self._publish(est)
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
