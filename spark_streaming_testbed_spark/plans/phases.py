@@ -250,9 +250,24 @@ def _parse_phase(cfg: dict) -> Phase:
 
 
 def parse_plan(config: str | dict) -> TestPlan:
-    """Parse a test plan from a JSON string or dict:
-    ``{"sequence": [{"type": "fixed", "value": 7, "rate": 50000, ...}, ...]}``.
+    """Parse a test plan from a JSON string, a dict, or the reference's
+    HOCON plan syntax (testbed TestPlan.scala:19-36):
+    ``{"sequence": [{"type": "fixed", "value": 7, "rate": 50000, ...}]}``
+    or::
+
+        sequence = [
+          { type = fixed
+            value = 7
+            rate = 50000
+            duration = 300
+          }
+        ]
     """
     if isinstance(config, str):
-        config = json.loads(config)
+        try:
+            config = json.loads(config)
+        except json.JSONDecodeError:
+            from .hocon import parse_hocon
+
+            config = parse_hocon(config)
     return TestPlan(phases=[_parse_phase(c) for c in config["sequence"]])

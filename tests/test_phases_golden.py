@@ -198,3 +198,95 @@ def test_profile_dataframe_matches_pure_python(spark):
     )
     assert got == plan.rows()
     assert df.columns == ["ts", "value", "stream_id"]
+
+
+# ---------------------------------------------------------------------------
+# S11 fidelity: the reference's verbatim HOCON plan syntax
+# ---------------------------------------------------------------------------
+
+#: verbatim from /root/reference/test-runs-001/README.md:82-93
+HOCON_RUN001 = """
+sequence = [
+  { type = noop
+    duration = 2
+  }
+  { type = fixed
+    value = 7
+    rate = 50000
+    duration = 300
+  }
+]
+"""
+
+#: verbatim from /root/reference/test-runs-004/README.md:124-139
+HOCON_RUN004 = """
+sequence = [
+  { type = noop
+    duration = 2
+  }
+  { type = ramp
+    startRate = 1000
+    endRate = 50000
+    value = 7
+    duration = 30
+  }
+  { type = fixed
+    value = 7
+    rate = 50000
+    duration = 300
+  }
+]
+"""
+
+
+def test_hocon_plan_matches_json_twin():
+    import json as _json
+
+    from spark_streaming_testbed_spark.plans import parse_plan
+
+    json_twin = _json.dumps({"sequence": [
+        {"type": "noop", "duration": 2},
+        {"type": "ramp", "startRate": 1000, "endRate": 50000,
+         "value": 7, "duration": 30},
+        {"type": "fixed", "value": 7, "rate": 50000, "duration": 300},
+    ]})
+    hp, jp = parse_plan(HOCON_RUN004), parse_plan(json_twin)
+    assert hp.duration == jp.duration == 332
+    # identical phase trees → identical emissions
+    for second in (0, 1, 2, 3, 17, 31, 32, 200, 331):
+        assert hp.values_for(second) == jp.values_for(second)
+
+
+def test_hocon_run001_plan_parses_verbatim():
+    from spark_streaming_testbed_spark.plans import parse_plan
+
+    plan = parse_plan(HOCON_RUN001)
+    assert plan.duration == 302
+    assert plan.values_for(0) == []  # noop
+    rows = [v for d in plan.values_for(2) for v in d.values]
+    assert len(rows) == 50_000 and set(rows) == {7}
+
+
+def test_hocon_subset_features():
+    """Comments, commas, quoted strings, key:value, nested loop/cycle."""
+    from spark_streaming_testbed_spark.plans import parse_plan
+    from spark_streaming_testbed_spark.plans.hocon import parse_hocon
+
+    doc = """
+    # a loop plan
+    sequence = [
+      { type: loop
+        times = 2
+        phases = [
+          { "type" = cycle, values = [1, 2, 3], rate = 10, duration = 1 }
+        ]
+      }
+    ]
+    """
+    cfg = parse_hocon(doc)
+    assert cfg["sequence"][0]["times"] == 2
+    assert cfg["sequence"][0]["phases"][0]["values"] == [1, 2, 3]
+    plan = parse_plan(doc)
+    assert plan.duration == 2
+    vals = [v for d in plan.values_for(0) for v in d.values]
+    assert vals == [1, 2, 3, 1, 2, 3, 1, 2, 3, 1]
