@@ -9,12 +9,15 @@ SimpleStreamingApp.scala:87-91) and a TCP broadcast writer
   for collect-to-console: executors write, the driver never sees rows);
 - ``format("console")`` remains available for debugging via
   :func:`console_sink`;
-- a socket/Kafka broadcast sink is environment-dependent and stubbed
-  behind :func:`socket_sink` (no broker/socket peer in this container).
+- :class:`SocketBroadcastServer` + :func:`socket_sink` — the reference's
+  TCP fan-out writer (every connected client receives each batch's TSV
+  lines, DataGeneratorActor.scala:206-216), driven by ``foreachBatch``.
 """
 
 from __future__ import annotations
 
+import socket
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -46,11 +49,85 @@ def console_sink(stats: DataFrame, **options):
     )
 
 
-def socket_sink(*_args, **_kwargs):
-    """TCP broadcast sink (S5). STUB: requires a socket peer / Kafka
-    broker not present in this environment; the wire payload itself is
-    covered by the oracle-checked ``wire_format_batches`` query."""
-    raise NotImplementedError(
-        "socket/Kafka sink needs an external endpoint; use "
-        "foreach_batch_tsv or console_sink in this environment"
-    )
+class SocketBroadcastServer:
+    """Per-connection TCP fan-out endpoint (S5): every client connected
+    at broadcast time receives the full payload, mirroring the
+    reference's one-writer-per-connection actor
+    (DataGeneratorActor.scala:206-216). Dead connections are pruned on
+    write failure."""
+
+    def __init__(self, host: str = "127.0.0.1") -> None:
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, 0))
+        self._srv.listen(16)
+        self.host, self.port = self._srv.getsockname()
+        self._conns: list[socket.socket] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._accept, daemon=True)
+        self._thread.start()
+
+    def _accept(self) -> None:
+        self._srv.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                break
+            with self._lock:
+                self._conns.append(conn)
+
+    def broadcast(self, data: bytes) -> int:
+        """Send ``data`` to every live client; returns clients reached."""
+        sent = 0
+        with self._lock:
+            alive = []
+            for conn in self._conns:
+                try:
+                    conn.sendall(data)
+                    alive.append(conn)
+                    sent += 1
+                except OSError:
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+            self._conns = alive
+        return sent
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        with self._lock:
+            for conn in self._conns:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+            self._conns = []
+        self._srv.close()
+
+
+def socket_sink(stats: DataFrame, server: SocketBroadcastServer,
+                mode: str = "update", chunk_lines: int = 1000):
+    """TCP broadcast sink (S5): each epoch's stats stream out as the
+    reference's TSV wire lines to every connected client.
+
+    Rows flow through ``toLocalIterator`` in bounded chunks — one
+    partition in driver memory at a time, never a full collect — and the
+    TSV formatting itself stays executor-side (``tsv_lines``)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        chunk: list[str] = []
+        for row in tsv_lines(batch_df).toLocalIterator():
+            chunk.append(row[0])
+            if len(chunk) >= chunk_lines:
+                server.broadcast(("\n".join(chunk) + "\n").encode())
+                chunk = []
+        if chunk:
+            server.broadcast(("\n".join(chunk) + "\n").encode())
+
+    return stats.writeStream.outputMode(mode).foreachBatch(write)
