@@ -43,6 +43,10 @@ from spark_streaming_testbed_spark.sources.profile_source import (
     PROFILE_FIXED_RAMP_ORACLE,
     profile_fixed_ramp,
 )
+from spark_streaming_testbed_spark.sources.rs_tcp import (
+    RS_TCP_ORACLES,
+    RS_TCP_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,6 +113,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **LOGLAKE_QUERIES,
     **STREAMING_QUERIES,
     **CONGESTION_QUERIES,
+    **RS_TCP_QUERIES,
     **ADVANCED_QUERIES,
 }
 
@@ -121,6 +126,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **LOGLAKE_ORACLES,
     **STREAMING_ORACLES,
     **CONGESTION_ORACLES,
+    **RS_TCP_ORACLES,
     **ADVANCED_ORACLES,
 }
 
@@ -151,7 +157,6 @@ _FIRST_WINDOW: list[str] = [
     "ngram_jaccard_pairs",
     # text analysis
     "bpe_token_stats",
-    "lang_id",
     "lang_id_ngram",
     "quality_score",
     "doc_fingerprint",
@@ -166,6 +171,8 @@ _FIRST_WINDOW: list[str] = [
     "congestion_drop_accounting",
     "congestion_sampling_accounting",
     "congestion_pushback_accounting",
+    # reactive-streams demand wire (S2/T4)
+    "rs_tcp_roundtrip",
     # dedup
     "dedup_exact",
     "simhash",
