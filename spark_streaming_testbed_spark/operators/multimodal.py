@@ -133,7 +133,8 @@ def resize_image(payload: bytes, width: int, height: int,
 
 
 FRAME_SCHEMA = (
-    "doc_id long, frame_idx int, frame_bytes binary, frame_crc long"
+    "doc_id long, frame_idx int, frame_bytes binary, frame_len int, "
+    "frame_md5 string"
 )
 FRAMES_PER_ASSET = 4
 
@@ -141,9 +142,13 @@ FRAMES_PER_ASSET = 4
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Video-style frame sampling: emit FRAMES_PER_ASSET evenly-spaced
     byte slices per asset (1 row in → N rows out, the explode-shaped
-    mapInPandas)."""
+    mapInPandas). Checksums are md5 so the DuckDB oracle can recompute
+    them on the equivalent text slices."""
     for pdf in batches:
-        rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_crc": []}
+        rows: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "frame_bytes": [],
+            "frame_len": [], "frame_md5": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
             step = max(n // FRAMES_PER_ASSET, 1)
@@ -152,24 +157,42 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(i)
                 rows["frame_bytes"].append(frame)
-                rows["frame_crc"].append(zlib.crc32(frame))
+                rows["frame_len"].append(len(frame))
+                rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
         out = pd.DataFrame(rows)
         out["frame_idx"] = out["frame_idx"].astype("int32")
-        out["frame_crc"] = out["frame_crc"].astype("int64")
+        out["frame_len"] = out["frame_len"].astype("int32")
         yield out
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline over binary assets: 1 asset → N frame rows
-    with per-frame checksums, Arrow-batched. Rows-only (binary slicing is
-    pandas-side); the byte-accounting twin ``multimodal_meta`` is
-    oracle-checked."""
+    """ORACLE-CHECKED frame-sampling pipeline over binary assets: 1 asset
+    → N frame rows with per-frame checksums, Arrow-batched. Payloads are
+    the docs' utf-8 bytes (all-ASCII corpus), so the DuckDB twin slices
+    the text with substr and md5s each slice."""
     assets = binary_assets(spark, sf_dir).select("doc_id", "payload")
     return (
         assets.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
-        .select("doc_id", "frame_idx", "frame_crc")
+        .select("doc_id", "frame_idx", "frame_len", "frame_md5")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         greatest(octet_length(encode(text)) // {FRAMES_PER_ASSET}, 1) AS step,
+         octet_length(encode(text)) AS n
+  FROM documents),
+frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         CAST(least(step, greatest(n - i * step, 0)) AS INT) AS frame_len,
+         md5(substr(text, CAST(i * step AS INT) + 1, CAST(step AS INT)))
+           AS frame_md5
+  FROM f, (SELECT unnest(range({FRAMES_PER_ASSET})) AS i))
+SELECT doc_id, frame_idx, frame_len, frame_md5
+FROM frames ORDER BY doc_id, frame_idx
+"""
 
 
 MULTIMODAL_QUERIES = {
@@ -180,5 +203,6 @@ MULTIMODAL_QUERIES = {
 
 MULTIMODAL_ORACLES = {
     "multimodal_meta": MULTIMODAL_META_ORACLE,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     # multimodal_features: rows-only (pandas-side features; decode stubbed)
 }

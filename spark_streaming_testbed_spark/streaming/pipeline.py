@@ -135,10 +135,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def streaming_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two profile streams with distinct stream_ids unioned before the
-    window aggregation (S3/T8/U1) — per-stream identities survive to the
-    output. Rows-only (the oracle-checked single-stream twin is
-    ``streaming_profile_stats``)."""
+    """ORACLE-CHECKED multi-stream union (S3/T8/U1): two profile streams
+    with distinct stream_ids unioned before the window aggregation —
+    per-stream identities survive to the output. The DuckDB twin
+    re-derives both generators (fixed buckets + the cycle's per-second
+    round-robin via a windowed running count) and the aggregation."""
     plan_a = parse_plan(
         '{"sequence": [{"type": "fixed", "value": 5, "rate": 40, "duration": 4}]}'
     )
@@ -151,6 +152,41 @@ def streaming_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = windowed_stats(union_streams([sa, sb]), window="2 seconds")
         table = run_stream_to_table(stats, mode="complete")
         return spark.table(table).orderBy("window_start", "stream_id", "value")
+
+
+STREAMING_MULTI_SOURCE_UNION_ORACLE = f"""
+WITH a_buckets AS (
+  SELECT s, i,
+         CAST(floor((i+1) * 0.4) AS INT) - CAST(floor(i * 0.4) AS INT) AS n
+  FROM (SELECT unnest(range(4)) AS s), (SELECT unnest(range(100)) AS i)
+), a_rows AS (
+  SELECT s*1000 + i*10 AS time_ms, 5 AS value, 0 AS stream_id
+  FROM a_buckets, (SELECT unnest(range(100)) AS j) rep WHERE rep.j < n
+), b_buckets AS (
+  SELECT s, i,
+         CAST(floor((i+1) * 0.3) AS INT) - CAST(floor(i * 0.3) AS INT) AS n
+  FROM (SELECT unnest(range(4)) AS s), (SELECT unnest(range(100)) AS i)
+), b_cum AS (
+  SELECT s, i, n,
+         SUM(n) OVER (PARTITION BY s ORDER BY i) - n AS cum_before
+  FROM b_buckets
+), b_rows AS (
+  -- cycle [6, 7]: the k-th item emitted within a second takes values[k%2]
+  -- (the element counter resets per second, CyclePhase.scala:12-25)
+  SELECT s*1000 + i*10 AS time_ms,
+         ([6, 7])[CAST((cum_before + rep.j) % 2 AS INT) + 1] AS value,
+         1 AS stream_id
+  FROM b_cum, (SELECT unnest(range(100)) AS j) rep WHERE rep.j < n
+), allr AS (SELECT * FROM a_rows UNION ALL SELECT * FROM b_rows)
+SELECT {DEFAULT_EPOCH_MS // 1000} + (time_ms // 2000) * 2 AS window_start,
+       value, stream_id,
+       count(*) AS cnt,
+       CAST(sum(value) AS BIGINT) AS sum_v,
+       round(avg(value), 6) AS mean_v,
+       coalesce(round(stddev_pop(value), 6), 0.0) AS stddev_v
+FROM allr
+GROUP BY 1, 2, 3 ORDER BY window_start, stream_id, value
+"""
 
 
 def hanoi_load_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,8 +289,8 @@ STREAMING_QUERIES = {
 
 STREAMING_ORACLES = {
     "streaming_profile_stats": STREAMING_PROFILE_STATS_ORACLE,
+    "streaming_multi_source_union": STREAMING_MULTI_SOURCE_UNION_ORACLE,
     "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
     "streaming_stateful_totals": _stateful_oracle(),
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
-    # streaming_multi_source_union: rows-only
 }
