@@ -373,8 +373,10 @@ def round_over_round_deltas(timings: dict[str, float]) -> dict:
         return {}
     prev_file = benches[-1]
     try:
-        prev = json.load(open(prev_file)).get("queries", {})
-    except (OSError, ValueError):
+        doc = json.load(open(prev_file))
+        # the driver wraps the bench line under "parsed"
+        prev = doc.get("parsed", doc).get("queries", {})
+    except (OSError, ValueError, AttributeError):
         return {}
     deltas = {
         name: round(timings[name] / prev[name], 2)

@@ -280,16 +280,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     # (codegen'd xxhash64). The oracle joins on the exact string — results
     # agree unless a 64-bit collision lands inside one posting list
     # (probability ~n²/2⁶⁵; a collision would surface as an oracle FAIL).
-    inv = base.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("sstr")
-    ).select("doc_id", "n_sh", F.xxhash64("sstr").alias("s"))
-    # max-df filter: shingles are distinct per doc, so count(*) == doc
-    # frequency. The df aggregation shuffles on the same key as the
-    # self-join below, so the exchange is reusable.
-    kept = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= max_df
+    # Materialize the hashed index ONCE (localCheckpoint): the shingle
+    # explode is the CPU-expensive step (per-position string builds +
+    # array_distinct) and is consumed three times below (df aggregation
+    # + both self-join sides). The checkpointed form is the compact
+    # (doc_id, n_sh, hash) triple — 20 bytes/row in executor storage —
+    # the classic build-the-index-then-query-it shape; without it
+    # Catalyst re-derives the explode for every consumer.
+    inv = (
+        base.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("sstr")
+        )
+        .select("doc_id", "n_sh", F.xxhash64("sstr").alias("s"))
+        .localCheckpoint(eager=True)
     )
-    inv = inv.join(kept.select("s"), "s")
+    # max-df filter: shingles are distinct per doc, so count(*) == doc
+    # frequency. Anti-join against the HOT set (df > cap), not an inner
+    # join with the kept set: hot shingles are few by construction
+    # (≤ occurrences/cap distinct values), so AQE turns this into a
+    # broadcast anti-join at runtime while the kept side would be the
+    # full index.
+    hot = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > max_df
+    )
+    inv = inv.join(hot.select("s"), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -938,6 +938,138 @@ ORDER BY base.source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing + corpus n-gram report
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256   # tokens per training sequence
+PACK_BUCKETS = 8    # independent packing streams
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences — the
+    step that turns a cleaned corpus into LM pretraining rows.
+
+    Scale shape: a single global cumulative sum would serialize onto one
+    partition, so docs are first bucketed by a content-independent
+    60-bit id hash into ``PACK_BUCKETS`` independent packing streams
+    (at cluster scale, thousands); the running token total is a window
+    cumsum *partitioned by bucket*, and a doc lands in sequence
+    ``floor(cum_before / budget)`` of its bucket. Deterministic,
+    shuffle = one window per bucket, no driver state."""
+    from pyspark.sql import Window as W
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    bucket = (md5h("cast(doc_id as string)") % PACK_BUCKETS).alias("bucket")
+    base = docs.select(
+        "doc_id", F.size("tokens").alias("n_tokens"), bucket
+    )
+    w = (
+        W.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.select(
+            "doc_id", "n_tokens", "bucket",
+            (
+                F.col("bucket") * F.lit(1_000_000)
+                + F.floor(cum_before / F.lit(PACK_BUDGET))
+            ).alias("seq_id"),
+            (cum_before % PACK_BUDGET).alias("offset_in_seq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUCKET_SQL = (
+    MD5H_SQL_TEMPLATE.format(expr="CAST(doc_id AS VARCHAR)")
+    + f" % {PACK_BUCKETS}"
+)
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         {_PACK_BUCKET_SQL} AS bucket
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(coalesce(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM base)
+SELECT doc_id, n_tokens, bucket,
+       bucket * 1000000 + cum_before // {PACK_BUDGET} AS seq_id,
+       cum_before % {PACK_BUDGET} AS offset_in_seq
+FROM cum ORDER BY doc_id
+"""
+
+
+TOP_NGRAMS_K = 20
+
+
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k word n-grams (n = 1..3) by occurrence count —
+    the vocabulary/boilerplate report used to pick stop-shingles and
+    spot template contamination. One explode + one hash aggregation per
+    n (Catalyst unions them); ties broken lexicographically so the
+    ranking is deterministic."""
+    from pyspark.sql import Window as W
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    per_n = [
+        docs.select(
+            F.lit(n).alias("n"),
+            F.explode(_gram_col(n)).alias("gram"),
+        )
+        for n in (1, 2, 3)
+    ]
+    grams = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    counts = grams.groupBy("n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("n").orderBy(F.col("cnt").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_NGRAMS_K)
+        .select("n", "rk", "gram", "cnt")
+        .orderBy("n", "rk")
+    )
+
+
+def _grams_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(tokens) >= {n} THEN "
+        f"list_transform(range(1, len(tokens) - {n} + 2), "
+        f"i -> array_to_string(tokens[i:i+{n}-1], ' ')) "
+        "ELSE [] END"
+    )
+
+
+TOP_NGRAMS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+grams AS (
+  SELECT 1 AS n, unnest({_grams_sql(1)}) AS gram FROM tok
+  UNION ALL
+  SELECT 2 AS n, unnest({_grams_sql(2)}) AS gram FROM tok
+  UNION ALL
+  SELECT 3 AS n, unnest({_grams_sql(3)}) AS gram FROM tok),
+counts AS (
+  SELECT n, gram, count(*) AS cnt FROM grams GROUP BY n, gram),
+ranked AS (
+  SELECT n, gram, cnt,
+         CAST(row_number() OVER (
+             PARTITION BY n ORDER BY cnt DESC, gram) AS INT) AS rk
+  FROM counts)
+SELECT n, rk, gram, cnt
+FROM ranked WHERE rk <= {TOP_NGRAMS_K}
+ORDER BY n, rk
+"""
+
+
 TEXT_ORACLES = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
@@ -955,6 +1087,8 @@ TEXT_ORACLES = {
     "repetition_signals": REPETITION_SIGNALS_ORACLE,
     "source_report": SOURCE_REPORT_ORACLE,
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+    "pack_sequences": PACK_SEQUENCES_ORACLE,
+    "top_ngrams": TOP_NGRAMS_ORACLE,
 }
 
 TEXT_QUERIES = {
@@ -974,4 +1108,6 @@ TEXT_QUERIES = {
     "repetition_signals": repetition_signals,
     "source_report": source_report,
     "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "top_ngrams": top_ngrams,
 }

@@ -396,3 +396,41 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # bodies that alone pushes many unrelated pairs over the threshold —
     # the quadratic blowup the cap exists to stop
     assert len(uncapped) > len(capped)
+
+
+def test_pack_sequences_budget_and_continuity(spark):
+    """Packing invariants: within each bucket, docs in id order fill
+    sequences whose cumulative token offsets never skip, and every
+    sequence index is floor(cum_before/budget)."""
+    from spark_streaming_testbed_spark.operators.text import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF_SMOKE).collect()
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert sum(len(v) for v in by_bucket.values()) == len(rows)
+    for bucket, rs in by_bucket.items():
+        cum = 0
+        for r in rs:
+            assert r.seq_id == bucket * 1_000_000 + cum // PACK_BUDGET
+            assert r.offset_in_seq == cum % PACK_BUDGET
+            cum += r.n_tokens
+
+
+def test_top_ngrams_ranks_are_consistent(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        TOP_NGRAMS_K,
+        top_ngrams,
+    )
+
+    rows = top_ngrams(spark, SF_SMOKE).collect()
+    for n in (1, 2, 3):
+        sub = [r for r in rows if r.n == n]
+        assert 0 < len(sub) <= TOP_NGRAMS_K
+        assert [r.rk for r in sub] == list(range(1, len(sub) + 1))
+        # counts non-increasing; ties broken lexicographically
+        for a, b in zip(sub, sub[1:]):
+            assert a.cnt > b.cnt or (a.cnt == b.cnt and a.gram < b.gram)
