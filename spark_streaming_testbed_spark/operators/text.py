@@ -368,21 +368,39 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint. All JVM-side (sequence/substring/higher-order mins);
     hashes are the portable md5-derived 60-bit family so DuckDB mirrors
     the selection exactly. Output: one row per (doc, fingerprint)."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
-    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
     k, w = WINNOW_K, WINNOW_W
-    grams_hash = (
-        f"transform(sequence(1, length({norm}) - {k} + 1), "
-        f"i -> cast(conv(substring(md5(substring({norm}, i, {k})), 1, 15), 16, 10) as bigint))"
+    # Shape note: the array-lambda formulation (`transform(sequence(...),
+    # i -> md5(substring(norm, i, k)))`) runs INTERPRETED per element —
+    # higher-order lambdas sit outside whole-stage codegen, and project
+    # collapse re-inlines the regex normalization into the lambda (one
+    # regex run per character). Exploding positions keeps every
+    # per-gram expression inside codegen: explode + substring + md5
+    # happen in one pipelined stage (the duplicated `norm` string never
+    # materializes past the operator), then one partition-local-ish
+    # window by doc computes the sliding minima.
+    normed = docs.select(
+        "doc_id",
+        F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("norm"),
     )
-    mins = (
-        f"array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
-        f"i -> array_min(slice(hs, i, {w}))))"
+    grams = normed.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(norm) - {k} + 1, 0))")
+        ).alias("g"),
+        "norm",
+    ).select(
+        "doc_id", "g",
+        md5h(f"substring(norm, g, {k})").alias("h"),
     )
+    win = W.partitionBy("doc_id").orderBy("g").rowsBetween(-(w - 1), 0)
     return (
-        docs.select("doc_id", F.expr(grams_hash).alias("hs"))
-        .where(F.size("hs") >= w)
-        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+        grams.withColumn("fp", F.min("h").over(win))
+        .where(F.col("g") >= w)  # only full w-windows (needs ≥ w grams)
+        .select("doc_id", "fp")
+        .distinct()
         .orderBy("doc_id", "fp")
     )
 
