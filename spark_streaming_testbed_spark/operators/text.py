@@ -256,18 +256,31 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with fixed tie-break order. All JVM-side: the trigram set is
     built once per row with higher-order array functions."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = (
-        "array_distinct(transform(sequence(1, length(text) - 2), "
-        "i -> substring(text, i, 3)))"
-    )
-    scored = docs.select("doc_id", "lang", F.expr(tri).alias("tris"))
-    langs = list(LANG_TRIGRAMS)
-    for lang in langs:
-        arr = ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[lang])
-        scored = scored.withColumn(
-            f"s_{lang}",
-            F.expr(f"size(array_intersect(tris, array({arr})))"),
+    # explode positions instead of a per-char transform lambda: the
+    # substring runs inside whole-stage codegen (interpreted
+    # higher-order lambdas cost ~10× per element — same pattern as
+    # winnow_fingerprints), then distinct (doc, trigram) + one
+    # conditional-sum aggregation replaces the 5 array_intersects.
+    tris = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 2, 0))")
+            ).alias("i"),
+            "text",
         )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
+        .distinct()
+    )
+    langs = list(LANG_TRIGRAMS)
+    scored = tris.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("tri").isin(*LANG_TRIGRAMS[lang]), 1).otherwise(0)
+            ).cast("int").alias(f"s_{lang}")
+            for lang in langs
+        ]
+    )
     expr = None
     for lang in langs:
         cond = None
