@@ -57,19 +57,22 @@ def _mix_expr(h: str, j: int, dialect: str) -> str:
 
 
 def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document (row-local, no shuffle)."""
-    return (
-        df.withColumn("tokens", F.split(F.trim(F.col("text")), " "))
-        .withColumn(
-            "shingles",
-            F.expr(
-                f"CASE WHEN size(tokens) >= {n} THEN "
-                f"array_distinct(transform(sequence(1, size(tokens) - {n} + 1), "
-                f"i -> concat_ws(' ', slice(tokens, i, {n})))) "
-                "ELSE array() END"
-            ),
-        )
+    """Distinct word n-gram shingles per document (row-local, no shuffle).
+
+    Built with ``pyspark.ml.feature.NGram`` (a JVM sliding iterator) rather
+    than an array-lambda: Catalyst's projection collapse inlines the token
+    split into a `transform(sequence(...), i -> slice(tokens, i, n))`
+    lambda, so the interpreted lambda re-splits the document once per
+    position — O(len²) per doc (measured 11× slower at sf0.1)."""
+    from pyspark.ml.feature import NGram
+
+    tok = df.withColumn(
+        "tokens", F.coalesce(F.split(F.trim(F.col("text")), " "), F.array())
     )
+    grams = NGram(n=n, inputCol="tokens", outputCol="_raw_shingles").transform(tok)
+    return grams.withColumn(
+        "shingles", F.array_distinct("_raw_shingles")
+    ).drop("_raw_shingles")
 
 
 _SHINGLES_SQL = f"""

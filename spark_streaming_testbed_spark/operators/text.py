@@ -741,14 +741,17 @@ WINNOW_FINGERPRINTS_ORACLE = _winnow_oracle()
 # Repetition quality signals (Gopher-style n-gram filters)
 # ---------------------------------------------------------------------------
 
-def _gram_col(n: int) -> Column:
-    """All word n-grams per document, duplicates kept (row-local)."""
-    return F.expr(
-        f"CASE WHEN size(tokens) >= {n} THEN "
-        f"transform(sequence(1, size(tokens) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
-        "ELSE array() END"
-    )
+def with_grams(df: DataFrame, n: int, out: str) -> DataFrame:
+    """All word n-grams per document, duplicates kept (row-local).
+
+    ``pyspark.ml.feature.NGram`` (JVM sliding iterator) instead of an
+    array lambda: projection collapse inlines the token split into the
+    lambda body and the interpreted `slice(tokens, i, n)` re-splits the
+    document per position — O(len²) per doc (measured 11× at sf0.1).
+    Requires a ``tokens`` column (``with_tokens``)."""
+    from pyspark.ml.feature import NGram
+
+    return NGram(n=n, inputCol="tokens", outputCol=out).transform(df)
 
 
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,8 +766,8 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram and trigram aggregates land on the same doc_id partitioning,
     so the final join is co-partitioned (no extra exchange under AQE)."""
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id", _gram_col(2).alias("bigrams"), _gram_col(3).alias("trigrams")
+    base = with_grams(with_grams(docs, 2, "bigrams"), 3, "trigrams").select(
+        "doc_id", "bigrams", "trigrams"
     )
     bi = (
         base.select("doc_id", F.explode("bigrams").alias("g"))
@@ -1052,9 +1055,9 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     per_n = [
-        docs.select(
+        with_grams(docs, n, "grams").select(
             F.lit(n).alias("n"),
-            F.explode(_gram_col(n)).alias("gram"),
+            F.explode("grams").alias("gram"),
         )
         for n in (1, 2, 3)
     ]
