@@ -118,39 +118,28 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # MinHash signatures (oracle-checkable: md5-derived hash family)
 # ---------------------------------------------------------------------------
 
-def _with_base_hashes(docs: DataFrame) -> DataFrame:
-    """60-bit md5-derived hash per shingle, computed ONCE per shingle;
-    the K signature slots reuse it through the xor-rotate family."""
-    return docs.withColumn(
-        "hs",
-        F.expr(
-            "transform(shingles, s -> "
-            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
-        ),
-    )
-
-
-def _sig_cols() -> list[F.Column]:
-    return [
-        F.expr(f"array_min(transform(hs, h -> {_mix_expr('h', j, 'spark')}))")
-        .alias(f"mh{j}")
-        for j in range(MINHASH_K)
-    ]
-
-
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-permutation MinHash signature per document, one column per hash.
 
     Hash family: one md5-derived 60-bit base hash per shingle, mixed K
     ways with the portable xor-rotate family (``MIX_CONSTS``) — 8× fewer
     md5 evaluations than hashing (j, shingle) pairs, still oracle-exact.
-    Row-local (no shuffle, no UDF)."""
-    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
-    return (
-        docs.where(F.size("shingles") > 0)
-        .select("doc_id", *_sig_cols())
-        .orderBy("doc_id")
+
+    Shape: explode shingles → codegen md5 per row → K fused min
+    aggregates keyed on doc_id (partial+final hash agg, one shuffle).
+    The row-local `array_min(transform(hs, ...))` twin keeps the whole
+    thing shuffle-free but runs K interpreted lambdas per document —
+    measured 2× slower at sf0.1, and the single shuffle is keyed on
+    doc_id so it stays linear at 100 TB."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select("doc_id", F.explode("shingles").alias("s")).withColumn(
+        "h", F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
     )
+    aggs = [
+        F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def _minhash_oracle() -> str:
@@ -180,7 +169,14 @@ MINHASH_SIGNATURES_ORACLE = _minhash_oracle()
 # ---------------------------------------------------------------------------
 
 def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash)."""
+    """Band the signature and self-join on (band, band_hash).
+
+    The self-join sides carry only the slim ``(doc_id, band, bh)``
+    triple — 20 bytes/row through the band shuffle. The shingle arrays
+    (needed for Jaccard verification) are joined back onto the few
+    surviving candidate pairs by the caller; shipping them through the
+    band join itself would multiply the shuffle payload by the document
+    shingle count at 100 TB."""
     r = MINHASH_K // LSH_BANDS
     bands = F.array(*[
         F.struct(
@@ -194,11 +190,11 @@ def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
         for b in range(LSH_BANDS)
     ])
     exploded = (
-        docs_with_sig.select("doc_id", "shingles", F.explode(bands).alias("b"))
-        .select("doc_id", "shingles", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        docs_with_sig.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     )
     left = exploded.alias("l")
-    right = exploded.select("doc_id", "band", "bh", "shingles").alias("r")
+    right = exploded.alias("r")
     return (
         left.join(
             right,
@@ -209,8 +205,6 @@ def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -222,16 +216,39 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the hash family is the portable md5/xor-rotate mix,
     so candidate generation — though probabilistic in recall — is fully
     deterministic and reproduced step-for-step in DuckDB. The exact-join
-    twin ``ngram_jaccard_pairs`` provides the recall ground truth."""
-    docs = _with_base_hashes(_with_shingles(load_table(spark, sf_dir, "documents")))
-    with_sig = docs.where(F.size("shingles") > 0).select(
-        "doc_id", "shingles", *_sig_cols()
+    twin ``ngram_jaccard_pairs`` provides the recall ground truth.
+
+    Shape: shingle index materialized once (``localCheckpoint``), then
+    (1) explode → codegen md5 → K min aggs for signatures, (2) slim band
+    self-join for candidates, (3) candidates ⋈ shingle arrays (doc_id
+    keyed, twice) for exact verification. Three doc_id-keyed shuffles,
+    all linear in corpus size."""
+    shingled = (
+        _with_shingles(load_table(spark, sf_dir, "documents"))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
     )
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("s")).withColumn(
+        "h", F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+    )
+    sig_aggs = [
+        F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    with_sig = exploded.groupBy("doc_id").agg(*sig_aggs)
     pairs = _lsh_candidates(with_sig)
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.select(
+        pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .select(
             "doc_a", "doc_b",
             F.round(inter / union, 6).alias("jaccard"),
         )
