@@ -83,10 +83,15 @@ def parse_execution(lines: DataFrame) -> DataFrame:
 
     Hot path at scale: one ``rlike`` validation + tab split instead of
     evaluating the 5-group regex five times per row (~2× on parse-heavy
-    scans); malformed-drop semantics unchanged."""
+    scans). The anchored rlike is the malformed-line gate (the Scala
+    regex pattern-match equivalent); rows passing it are all-digit
+    fields, so the casts null only on >64-bit overflow — kept as nulls,
+    matching the DuckDB oracle's CAST (a per-column isNotNull filter
+    here would also push below the projection and re-evaluate the
+    split+casts once per column, doubling parse cost)."""
     parts = F.split(F.col("value"), "\t")
     field0 = F.regexp_extract(F.element_at(parts, 1), r"(\d+)$", 1)
-    df = (
+    return (
         lines.where(F.col("value").contains("batch result:"))
         # full anchor mirrors Scala's regex pattern-match (which anchors)
         .where(F.col("value").rlike("^" + _EXEC_RE + "$"))
@@ -96,11 +101,6 @@ def parse_execution(lines: DataFrame) -> DataFrame:
             F.element_at(parts, 3).try_cast("int").alias("value"),
             F.element_at(parts, 4).try_cast("int").alias("stream_id"),
             F.element_at(parts, 5).try_cast("int").alias("count"),
-        )
-    )
-    return df.where(
-        functools.reduce(
-            operator.and_, (F.col(c).isNotNull() for c in df.columns)
         )
     )
 
