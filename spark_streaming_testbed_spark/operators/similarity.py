@@ -325,28 +325,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: q_i = round(x_i/scale·127)
-    with scale = max|x_i|. Entirely row-local higher-order functions —
-    embarrassingly parallel, no shuffle, the storage-shrink step before
-    ANN indexing at 100 TB. Emits the scale plus order-independent
-    checksums of the quantized vector (sum, |sum|, 60-bit content hash)."""
+    with scale = max|x_i|. Row-local, no shuffle — the storage-shrink
+    step before ANN indexing at 100 TB. Emits the scale plus
+    order-independent checksums of the quantized vector (sum, |sum|,
+    60-bit content hash).
+
+    Vectorized Arrow-batched ``mapInPandas`` (numpy does the per-vector
+    max/divide/round across the whole batch at once): the higher-order-
+    function twin inlines the scale fold inside the quantize lambda —
+    O(dim²) interpreted evaluations per row, ×3 output columns — and
+    measured 4× slower at sf0.1. Rounding is half-away-from-zero
+    (floor(|r|+0.5)·sign) to match Spark/DuckDB ROUND, not numpy's
+    banker's rounding."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def quant_batches(it):
+        for pdf in it:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            scale = np.abs(m).max(axis=1)
+            r = m / scale[:, None] * 127.0
+            q = (np.floor(np.abs(r) + 0.5) * np.sign(r)).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "scale": np.round(scale, 6),
+                "sum_q": q.sum(axis=1),
+                "sum_abs_q": np.abs(q).sum(axis=1),
+                "q_hash": [
+                    int(hashlib.md5(",".join(map(str, row)).encode())
+                        .hexdigest()[:15], 16)
+                    for row in q
+                ],
+            })
+
     emb = load_table(spark, sf_dir, "embeddings")
-    scale = (
-        "aggregate(embedding, cast(0 as double), "
-        "(acc, v) -> greatest(acc, abs(cast(v as double))))"
-    )
-    q = (
-        f"transform(embedding, x -> cast(round(cast(x as double) / {scale} * 127, 0) "
-        "as bigint))"
-    )
     return (
-        emb.select(
-            "vec_id",
-            F.round(F.expr(scale), 6).alias("scale"),
-            F.expr(f"aggregate({q}, cast(0 as bigint), (a, v) -> a + v)")
-            .alias("sum_q"),
-            F.expr(f"aggregate({q}, cast(0 as bigint), (a, v) -> a + abs(v))")
-            .alias("sum_abs_q"),
-            md5h(f"array_join({q}, ',')").alias("q_hash"),
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            quant_batches,
+            "vec_id bigint, scale double, sum_q bigint, "
+            "sum_abs_q bigint, q_hash bigint",
         )
         .orderBy("vec_id")
     )
