@@ -267,6 +267,63 @@ ORDER BY time_ms, value
 """
 
 
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED stream-static broadcast join: documents arrive as a
+    parquet file stream; each micro-batch's shingle hashes are inner-
+    joined against the static (batch-built, broadcast) benchmark shingle
+    index, and the matches are appended to the sink. Mirrors the batch
+    ``decontaminate`` gate — the shape every online ingestion pipeline
+    uses to keep eval data out of a training corpus as it lands.
+
+    Scale shape: the static side is the tiny DISTINCT benchmark index
+    (broadcast once, reused every trigger); the stream side is never
+    shuffled before the join — per-trigger work is scan → explode →
+    broadcast-hash-join → append. The per-doc rollup happens on the
+    sink table (batch), not in streaming state."""
+    from ..operators.dedup import BENCHMARK_MAX_ID, _with_shingles
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        _with_shingles(docs.where(F.col("doc_id") < BENCHMARK_MAX_ID))
+        .select(F.explode("shingles").alias("sstr"))
+        .select(F.xxhash64("sstr").alias("s"))
+        .distinct()
+    )
+    # the file-stream source lists a DIRECTORY; pathGlobFilter narrows the
+    # listing to the documents table inside the shared sf_dir
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hits = (
+        _with_shingles(stream.where(F.col("doc_id") >= BENCHMARK_MAX_ID))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("sstr"))
+        .select("doc_id", F.xxhash64("sstr").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .select("doc_id", "s")
+    )
+    table = run_stream_to_table(hits, mode="append")
+    return (
+        spark.table(table)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+        .select("doc_id", "n_hits", (F.col("n_hits") >= 3).alias("flagged"))
+        .orderBy("doc_id")
+    )
+
+
+def _streaming_decontaminate_oracle() -> str:
+    """Same report as the batch gate: the stream-static join sees every
+    document exactly once (file stream over the same parquet), so the
+    appended matches roll up to the identical contamination table."""
+    from ..operators.dedup import DECONTAMINATE_ORACLE
+
+    return DECONTAMINATE_ORACLE
+
+
 def _stateful_query(spark, sf_dir):
     from .stateful import streaming_stateful_totals
 
@@ -285,6 +342,7 @@ STREAMING_QUERIES = {
     "hanoi_load_stats": hanoi_load_stats,
     "streaming_stateful_totals": _stateful_query,
     "streaming_dedup": streaming_dedup,
+    "streaming_decontaminate": streaming_decontaminate,
 }
 
 STREAMING_ORACLES = {
@@ -293,4 +351,5 @@ STREAMING_ORACLES = {
     "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
     "streaming_stateful_totals": _stateful_oracle(),
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
+    "streaming_decontaminate": _streaming_decontaminate_oracle(),
 }

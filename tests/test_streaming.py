@@ -78,3 +78,18 @@ def test_spike_recovery():
     recs = sim.run(offered)
     assert max(r.backlog for r in recs) > 0  # the spike queued something
     assert recs[-1].backlog == 0  # and it fully drained
+
+
+def test_streaming_decontaminate_matches_batch_gate(spark):
+    """Stream-static broadcast join sees each doc once, so the rolled-up
+    contamination report equals the batch decontaminate gate."""
+    from spark_streaming_testbed_spark.operators.dedup import decontaminate
+    from spark_streaming_testbed_spark.streaming.pipeline import (
+        streaming_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    live = streaming_decontaminate(spark, sf).collect()
+    batch = decontaminate(spark, sf).collect()
+    assert live == batch
+    assert len(live) > 0
