@@ -234,6 +234,7 @@ ANN_LSH_TOPK_ORACLE = _ann_lsh_oracle()
 
 IVF_CLUSTERS = 8
 IVF_NPROBE = 2
+IVF_FIT_SAMPLE_CAP = 65536  # max vectors the coarse quantizer trains on
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +255,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
-    model = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10).fit(vecs)
+    # Train the coarse quantizer on a bounded hash-sample (≤ ~64k
+    # vectors): k-means centroid quality saturates long before corpus
+    # size, and fitting on the full 100 TB corpus would iterate the whole
+    # scan maxIter times. Hash-mod sampling is deterministic and
+    # partition-independent; below the cap (every local SF) the modulus
+    # is 1 and the fit sees every vector, so small-scale results are
+    # unchanged.
+    n = vecs.count()
+    mod = max(1, n // IVF_FIT_SAMPLE_CAP)
+    fit_on = (
+        vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+        if mod > 1
+        else vecs
+    )
+    model = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10).fit(fit_on)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
     )

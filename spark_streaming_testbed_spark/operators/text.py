@@ -256,30 +256,24 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with fixed tie-break order. All JVM-side: the trigram set is
     built once per row with higher-order array functions."""
     docs = load_table(spark, sf_dir, "documents")
-    # explode positions instead of a per-char transform lambda: the
-    # substring runs inside whole-stage codegen (interpreted
-    # higher-order lambdas cost ~10× per element — same pattern as
-    # winnow_fingerprints), then distinct (doc, trigram) + one
-    # conditional-sum aggregation replaces the 5 array_intersects.
-    tris = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("sequence(1, greatest(length(text) - 2, 0))")
-            ).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
-        .distinct()
-    )
+    # The score is "how many of the language's profile trigrams occur
+    # anywhere in the text" (set intersection size), so it reduces to a
+    # row-local sum of substring-containment flags — no explode, no
+    # distinct shuffle, no aggregation. 20 instr() probes per row, all
+    # inside one whole-stage-codegen scan; the only shuffle left is the
+    # output sort. (Earlier shapes — per-char transform lambdas, then
+    # explode+distinct+groupBy — did O(len) work per row plus two
+    # shuffles for the same answer.)
     langs = list(LANG_TRIGRAMS)
-    scored = tris.groupBy("doc_id").agg(
+    scored = docs.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.col("tri").isin(*LANG_TRIGRAMS[lang]), 1).otherwise(0)
+            sum(
+                F.when(F.instr(F.col("text"), g) > 0, 1).otherwise(0)
+                for g in LANG_TRIGRAMS[lang]
             ).cast("int").alias(f"s_{lang}")
             for lang in langs
-        ]
+        ],
     )
     expr = None
     for lang in langs:
@@ -394,10 +388,17 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happen in one pipelined stage (the duplicated `norm` string never
     # materializes past the operator), then one partition-local-ish
     # window by doc computes the sliding minima.
+    # Fan out BEFORE the explode: the documents scan is one split per
+    # parquet file, so without this the md5-per-gram stage (the hot loop)
+    # runs at file parallelism. Repartitioning on doc_id spreads the hash
+    # work across the cluster AND satisfies the window's
+    # partitionBy(doc_id) — and, because hash(doc_id) clusters every
+    # (doc_id, fp) group too, the later distinct — so the exchange is
+    # reused, not added (one shuffle total before the output sort).
     normed = docs.select(
         "doc_id",
         F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("norm"),
-    )
+    ).repartition("doc_id")
     grams = normed.select(
         "doc_id",
         F.explode(
