@@ -73,3 +73,29 @@ def test_flagship_scan_is_vectorized_and_codegen_enabled(spark):
     plan = plan_of(R.batch_stats(spark, SF_SMOKE))
     assert "Batched: true" in plan
     assert "Scan parquet" in plan
+
+
+def test_winnow_reuses_one_exchange_for_window_and_distinct(spark):
+    from spark_streaming_testbed_spark.operators.text import winnow_fingerprints
+
+    plan = plan_of(winnow_fingerprints(spark, SF_SMOKE))
+    # exactly two exchanges: the doc_id fan-out (which also serves the
+    # sliding-min window AND the distinct) and the final output sort's
+    # range partitioning - a third would mean the distinct stopped
+    # reusing the doc_id clustering
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Generate" in plan          # explode runs AFTER the fan-out
+
+
+def test_lang_id_is_shuffle_free_before_output_sort(spark):
+    from spark_streaming_testbed_spark.operators.text import lang_id_ngram
+
+    plan = plan_of(lang_id_ngram(spark, SF_SMOKE))
+    import re
+
+    # one Exchange total (the orderBy) - scoring is row-local codegen
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Generate" not in plan      # no explode
+    assert "HashAggregate" not in plan # no aggregation
