@@ -639,6 +639,65 @@ ORDER BY n_pairs DESC, source_1, source_2
 """
 
 
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional n-gram contamination score (the GPT-3-style overlap
+    metric, finer than :func:`decontaminate`'s drop report): for EVERY
+    training doc, the fraction of its distinct 4-gram shingles that also
+    appear in the benchmark proxy set — zero-hit docs included, so the
+    output is a full-corpus audit column, not just the flagged tail.
+
+    Scale shape: identical to ``decontaminate`` — the tiny benchmark
+    shingle set is DISTINCT'd and broadcast; the corpus streams through
+    exploded once (shingles are already distinct per doc, so plain
+    count/sum aggregates suffice, no countDistinct expand). One hash
+    aggregate keyed on doc_id."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    shingled = docs.where(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("sstr")
+    ).select("doc_id", F.xxhash64("sstr").alias("s"))
+    bench = (
+        shingled.where(F.col("doc_id") < BENCHMARK_MAX_ID)
+        .select("s").distinct().withColumn("hit", F.lit(1))
+    )
+    frac = F.col("n_hits") / F.col("n_shingles")
+    return (
+        shingled.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_hits",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= 0.1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_OVERLAP_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE len(shingles) > 0),
+bench AS (SELECT DISTINCT s FROM inv WHERE doc_id < {BENCHMARK_MAX_ID}),
+hits AS (
+  SELECT i.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM inv i LEFT JOIN bench b USING (s)
+  WHERE i.doc_id >= {BENCHMARK_MAX_ID}
+  GROUP BY i.doc_id)
+SELECT doc_id, n_shingles, n_hits,
+       round(n_hits * 1.0 / n_shingles, 6) AS overlap_frac,
+       n_hits * 1.0 / n_shingles >= 0.1 AS contaminated
+FROM hits ORDER BY doc_id
+"""
+
+
 def _lsh_pairs_cte() -> str:
     """Shared CTE chain reproducing the full LSH pipeline in DuckDB:
     shingles → portable base hashes → K minhashes → banded buckets →
@@ -714,6 +773,8 @@ DEDUP_ORACLES = {
     "lsh_near_dup_pairs": LSH_NEAR_DUP_PAIRS_ORACLE,
     "dedup_minhash_survivors": DEDUP_MINHASH_SURVIVORS_ORACLE,
     "source_leakage": SOURCE_LEAKAGE_ORACLE,
+    "contamination_overlap": CONTAMINATION_OVERLAP_ORACLE,
 }
 
 DEDUP_QUERIES["source_leakage"] = source_leakage
+DEDUP_QUERIES["contamination_overlap"] = contamination_overlap

@@ -434,3 +434,33 @@ def test_top_ngrams_ranks_are_consistent(spark):
         # counts non-increasing; ties broken lexicographically
         for a, b in zip(sub, sub[1:]):
             assert a.cnt > b.cnt or (a.cnt == b.cnt and a.gram < b.gram)
+
+
+def test_filter_funnel_is_a_monotone_cascade(spark):
+    from spark_streaming_testbed_spark.operators.text import filter_funnel
+
+    rows = filter_funnel(spark, SF_SMOKE).collect()
+    assert [r.stage for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        # each stage consumes exactly the previous stage's survivors
+        assert cur.docs_in == prev.survivors
+    for r in rows:
+        assert r.dropped == r.docs_in - r.survivors
+        assert 0 <= r.survivors <= r.docs_in
+
+
+def test_contamination_overlap_bounds_and_decontaminate_consistency(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    rows = contamination_overlap(spark, SF_SMOKE).collect()
+    assert rows, "training docs expected"
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_shingles
+        assert 0.0 <= r.overlap_frac <= 1.0
+    # every doc decontaminate reports as hit appears here with >=1 hit
+    hit_docs = {r.doc_id: r.n_hits for r in rows}
+    for d in decontaminate(spark, SF_SMOKE).collect():
+        assert hit_docs.get(d.doc_id) == d.n_hits
