@@ -176,7 +176,7 @@ _FIRST_WINDOW: list[str] = [
     # dedup
     "dedup_exact",
     "simhash",
-    "dedup_minhash_survivors",
+    "contamination_overlap",
     "decontaminate",
     "source_leakage",
     # similarity / embeddings
@@ -187,7 +187,7 @@ _FIRST_WINDOW: list[str] = [
     "dedup_embedding_pairs",
     # loglake
     "loglake_memory_roundtrip",
-    "loglake_execution_dedup",
+    "filter_funnel",
     # streaming / advanced
     "streaming_stateful_totals",
     "streaming_dedup",
