@@ -481,7 +481,57 @@ FROM dist GROUP BY 1 ORDER BY 1
 """
 
 
+PROJ_SEED = 7
+PROJ_K = 8  # projected dimensionality (64 -> 8)
+
+
+def _proj_planes():
+    """Seeded Gaussian projection matrix, scaled 1/sqrt(K) per the
+    Johnson–Lindenstrauss construction."""
+    rng = np.random.RandomState(PROJ_SEED)
+    return rng.randn(PROJ_K, DIM) / np.sqrt(PROJ_K)
+
+
+def project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    ``DIM``-d embeddings compressed to ``PROJ_K`` dims against a seeded
+    Gaussian matrix folded into the plan as literals — the same
+    driver-side-constants trick as :func:`ann_lsh_topk`, so no UDF and no
+    broadcast variable. Entirely row-local (zero shuffles, survives
+    whole-stage codegen); at 100 TB this is the cheap pre-ANN compression
+    map that shrinks the vector column 8x before any bucketed join.
+    North-star LLM-pipeline scope (the reference has no embedding ops)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _proj_planes()
+    cols = []
+    for k in range(PROJ_K):
+        coeffs = ", ".join(repr(float(c)) for c in planes[k])
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, array({coeffs}), "
+            "(x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+        )
+        cols.append(F.round(dot, 6).alias(f"p{k}"))
+    return emb.select("vec_id", "label", *cols).orderBy("vec_id")
+
+
+def _project_oracle() -> str:
+    """DuckDB twin: identical seeded plane literals (same ``repr(float)``
+    text in both generated plans, so both engines parse the same doubles)."""
+    planes = _proj_planes()
+    terms = ",\n       ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(c)) for c in planes[k])
+        + f"]::DOUBLE[]), 6) AS p{k}"
+        for k in range(PROJ_K)
+    )
+    return f"SELECT vec_id, label,\n       {terms}\nFROM embeddings ORDER BY vec_id"
+
+
+PROJECT_EMBEDDINGS_ORACLE = _project_oracle()
+
+
 SIMILARITY_QUERIES = {
+    "project_embeddings": project_embeddings,
     "label_dispersion": label_dispersion,
     "embedding_centroids": embedding_centroids,
     "quantize_int8": quantize_int8,
@@ -492,6 +542,7 @@ SIMILARITY_QUERIES = {
 }
 
 SIMILARITY_ORACLES = {
+    "project_embeddings": PROJECT_EMBEDDINGS_ORACLE,
     "label_dispersion": LABEL_DISPERSION_ORACLE,
     "embedding_centroids": EMBEDDING_CENTROIDS_ORACLE,
     "quantize_int8": QUANTIZE_INT8_ORACLE,

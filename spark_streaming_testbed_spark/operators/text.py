@@ -1212,7 +1212,87 @@ ORDER BY stage
 FILTER_FUNNEL_ORACLE = _filter_funnel_oracle()
 
 
+TOKEN_BUDGET = 1_000_000  # global training-token budget for the mix plan
+MAX_EPOCHS = 4.0          # cap on per-source repeat factor
+
+
+def epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLaMA-style epoch mixing plan: per-source token totals -> sampling
+    weights -> repeat factors (epochs) against a global token budget, with
+    the repeat factor capped at ``MAX_EPOCHS``.
+
+    Shape: one shuffle keyed on ``source`` (partial+final hash agg, so the
+    map side pre-combines ~#sources rows per task), then the scalar weight
+    total is crossed back via ``crossJoin(broadcast(...))`` — the anchor
+    pattern from ``time_shift``. At 100 TB the rollup output is ~#sources
+    rows, so everything after the first agg is driver-trivial.
+
+    Weights are a deterministic function of the source name (portable
+    md5-derived hash mod 4, plus one) so the plan is reproducible and the
+    DuckDB oracle can mirror it without a side table."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    per_src = (
+        docs.select("source", F.size("tokens").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("src_tokens"),
+        )
+        # weights are small integer-valued doubles (1..4), so the scalar
+        # sum below is fp-exact under any partition order
+        .withColumn("weight", (F.lit(1) + md5h("source") % 4).cast("double"))
+    )
+    total = per_src.agg(F.sum("weight").alias("w_total"))
+    planned = per_src.crossJoin(F.broadcast(total)).withColumn(
+        "target_tokens",
+        F.floor(F.col("weight") / F.col("w_total") * TOKEN_BUDGET).cast("bigint"),
+    )
+    return (
+        planned.select(
+            "source", "docs", "src_tokens", "weight", "target_tokens",
+            F.round(
+                F.least(
+                    F.lit(MAX_EPOCHS),
+                    F.col("target_tokens") / F.col("src_tokens"),
+                ),
+                ROUND,
+            ).alias("epochs"),
+        )
+        .withColumn(
+            "sampled_tokens",
+            F.floor(F.col("epochs") * F.col("src_tokens")).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+EPOCH_MIX_PLAN_ORACLE = f"""
+WITH tok AS (SELECT source, len({TOKENS_SQL}) AS n_tokens FROM documents),
+per_src AS (
+  SELECT source, count(*) AS docs,
+         CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+         CAST(1 + ({MD5H_SQL_TEMPLATE.format(expr='source')} % 4) AS DOUBLE)
+           AS weight
+  FROM tok GROUP BY source),
+tot AS (SELECT CAST(sum(weight) AS DOUBLE) AS w_total FROM per_src),
+planned AS (
+  SELECT source, docs, src_tokens, weight,
+         CAST(floor(weight / w_total * {TOKEN_BUDGET}) AS BIGINT)
+           AS target_tokens
+  FROM per_src CROSS JOIN tot),
+eps AS (
+  SELECT source, docs, src_tokens, weight, target_tokens,
+         round(least(CAST({MAX_EPOCHS} AS DOUBLE),
+                     target_tokens / src_tokens), {ROUND}) AS epochs
+  FROM planned)
+SELECT source, docs, src_tokens, weight, target_tokens, epochs,
+       CAST(floor(epochs * src_tokens) AS BIGINT) AS sampled_tokens
+FROM eps ORDER BY source
+"""
+
+
 TEXT_ORACLES = {
+    "epoch_mix_plan": EPOCH_MIX_PLAN_ORACLE,
     "filter_funnel": FILTER_FUNNEL_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
@@ -1235,6 +1315,7 @@ TEXT_ORACLES = {
 }
 
 TEXT_QUERIES = {
+    "epoch_mix_plan": epoch_mix_plan,
     "filter_funnel": filter_funnel,
     "tfidf_top_terms": tfidf_top_terms,
     "unigram_logprob": unigram_logprob,

@@ -99,3 +99,29 @@ def test_lang_id_is_shuffle_free_before_output_sort(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Generate" not in plan      # no explode
     assert "HashAggregate" not in plan # no aggregation
+
+
+def test_project_embeddings_is_shuffle_free_before_output_sort(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    plan = plan_of(project_embeddings(spark, SF_SMOKE))
+    import re
+
+    # one Exchange total (the orderBy) — the projection is a row-local
+    # codegen map over literal planes, no UDF, no aggregation
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_mix_plan_single_fact_shuffle_and_broadcast_total(spark):
+    from spark_streaming_testbed_spark.operators.text import epoch_mix_plan
+
+    plan = plan_of(epoch_mix_plan(spark, SF_SMOKE))
+    # partial+final agg keyed on source; the scalar weight total comes
+    # back via a broadcast, never a second fact-table shuffle join
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ReadSchema: struct<text:string,source:string>" in plan
