@@ -55,8 +55,12 @@ def get_session(app_name: str = "spark_streaming_testbed_spark") -> SparkSession
     return builder.getOrCreate()
 
 
-#: columns stored as parquet TIMESTAMP(NANOS), surfaced as long under
-#: ``nanosAsLong`` and normalized back to TimestampType here.
+#: event-time columns whose parquet physical type varies across testdata
+#: generations (TIMESTAMP(NANOS) → bigint under ``nanosAsLong``; micro
+#: timestamps without the UTC flag → TIMESTAMP_NTZ). Both are normalized
+#: to plain TimestampType at load so every downstream ``unix_millis``/
+#: window expression sees one type; with the session timezone pinned to
+#: UTC the NTZ→LTZ cast is value-identical.
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
@@ -110,8 +114,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
