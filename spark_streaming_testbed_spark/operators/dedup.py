@@ -486,6 +486,112 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     )
 
 
+def _cc_star(edges: DataFrame, max_iter: int = 15) -> tuple[DataFrame, int]:
+    """Alternating-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): repeat large-star
+    (hook every strictly-larger neighbor to the min of the closed
+    neighborhood) then small-star (hook every smaller neighbor, and the
+    node itself, to its min) until the edge set is a fixpoint. Converges
+    in O(log n) rounds regardless of graph diameter — the upgrade over
+    min-label propagation (O(diameter) rounds) for long-chain duplicate
+    graphs. Each half-round is one shuffle keyed on vertex; the edge set
+    only shrinks toward stars, and ``localCheckpoint`` truncates lineage
+    per round.
+
+    ``edges`` must be canonical undirected pairs ``(u, v)`` with
+    ``u > v``. Returns ``(labels, rounds)`` where labels maps every
+    non-root vertex to its component min; roots are absent (label =
+    self for them).
+    """
+    edges = edges.localCheckpoint(eager=True)
+
+    def witness(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            # XOR-fold, not sum: order-free and cannot overflow under ANSI
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev = witness(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: symmetrize, take m = min(closed neighborhood), and
+        # re-point each strictly-larger neighbor v at m. Output is
+        # (v, m) with v > u >= m, so canonical order is preserved.
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: on canonical edges every neighbor is smaller, so
+        # m = min(neighbors); re-point the other neighbors and the
+        # center itself at m. (v, m) keeps v > m, canonical again.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select("u", F.col("mn").alias("v")))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        cur = witness(edges)
+        if cur == prev:
+            break
+        prev = cur
+    labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("v"), "label"
+    )
+    return labels, rounds
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str,
+                        max_iter: int = 15) -> DataFrame:
+    """``dedup_clusters`` computed by alternating-star contraction instead
+    of min-label propagation: identical output (cluster_id = component min
+    doc_id + component size), O(log n) shuffle rounds instead of
+    O(diameter) — the production path when duplicate chains are long
+    (pairwise near-dup graphs of boilerplate families form paths, not
+    cliques). Shares the recursive-CTE oracle with ``dedup_clusters``."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels, _ = _cc_star(edges, max_iter=max_iter)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = (
+        docs.join(labels, docs.doc_id == labels.v, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window as W
+    return (
+        assigned.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_clusters_oracle() -> str:
     """Transitive closure via recursive CTE = the same fixpoint."""
     pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix("ORDER BY doc_a, doc_b")
@@ -566,6 +672,7 @@ GROUP BY doc_id ORDER BY doc_id
 DEDUP_QUERIES = {
     "decontaminate": decontaminate,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "lsh_near_dup_pairs": lsh_near_dup_pairs,
@@ -764,6 +871,8 @@ ORDER BY doc_id"""
 DEDUP_ORACLES = {
     "decontaminate": DECONTAMINATE_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    # same fixpoint, different contraction schedule -> same oracle
+    "dedup_clusters_star": DEDUP_CLUSTERS_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "minhash_signatures": MINHASH_SIGNATURES_ORACLE,
     "ngram_jaccard_pairs": NGRAM_JACCARD_ORACLE,

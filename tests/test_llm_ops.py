@@ -159,6 +159,38 @@ def test_dedup_clusters_agree_with_pairs(spark):
             assert c == doc and len(members[c]) == 1
 
 
+def test_dedup_clusters_star_matches_label_prop(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    base = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters_star(spark, SF_SMOKE).collect()
+    }
+    assert star == base
+
+
+def test_cc_star_converges_logarithmically_on_a_path(spark):
+    from spark_streaming_testbed_spark.operators.dedup import _cc_star
+
+    # a 64-node path: label propagation needs ~63 rounds; alternating-star
+    # must finish in O(log n) — the whole point of the contraction schedule.
+    n = 64
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "u long, v long"
+    )
+    labels, rounds = _cc_star(edges, max_iter=15)
+    got = {r.v: r.label for r in labels.collect()}
+    assert all(got[v] == 0 for v in range(1, n))
+    assert rounds <= 10
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
