@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h
+from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h, with_tokens
 
 import random
 
@@ -887,3 +887,89 @@ DEDUP_ORACLES = {
 
 DEDUP_QUERIES["source_leakage"] = source_leakage
 DEDUP_QUERIES["contamination_overlap"] = contamination_overlap
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication audit (sliding token windows)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per window ~ the 50-token spans of the suffix-array
+            # method, scaled to this corpus's ~30-token documents
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (the exact-substring dedup signal
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", computed with hashed sliding windows instead of a suffix
+    array): for every doc, the fraction of its ``SPAN_K``-token windows
+    that occur verbatim in at least one OTHER document. Catches copied
+    passages inside otherwise-distinct documents, which whole-doc
+    fingerprints and shingle-Jaccard both dilute away.
+
+    Scale shape: one explode pass (positions are generated row-local with
+    ``sequence``/``slice``, all codegen), one hash aggregate on the 60-bit
+    window hash to find cross-doc windows, and one shuffled equi-join back
+    on that hash — linear in corpus size, never pairwise. A window
+    repeated across k docs costs k join rows here (vs k² in pair
+    generation), so no max-df cap is needed. Unlike a suffix array the
+    window length is fixed, which is exactly what makes it a single
+    data-parallel pass at 100 TB."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    wins = (
+        docs.where(F.size("tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {SPAN_K}), "
+                    f"i -> array_join(slice(tokens, i + 1, {SPAN_K}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", md5h("g").alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        wins.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(F.sum("dup"), F.lit(0)).alias("dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6)
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_HASH_SQL = MD5H_SQL_TEMPLATE.format(
+    expr=f"array_to_string(list_slice(tokens, i + 1, i + {SPAN_K}), ' ')"
+)
+
+DUPLICATE_SPANS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+pos AS (SELECT doc_id, tokens,
+               unnest(range(0, len(tokens) - {SPAN_K} + 1)) AS i
+        FROM tok WHERE len(tokens) >= {SPAN_K}),
+wins AS (SELECT doc_id, {_SPAN_HASH_SQL} AS h FROM pos),
+shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       round(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_frac
+FROM wins w LEFT JOIN shared s ON w.h = s.h
+GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+DEDUP_QUERIES["duplicate_spans"] = duplicate_spans
+DEDUP_ORACLES["duplicate_spans"] = DUPLICATE_SPANS_ORACLE

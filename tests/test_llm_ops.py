@@ -191,6 +191,51 @@ def test_cc_star_converges_logarithmically_on_a_path(spark):
     assert rounds <= 10
 
 
+def test_duplicate_spans_flags_cross_doc_windows(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        SPAN_K,
+        duplicate_spans,
+        DEDUP_QUERIES,
+    )
+
+    assert "duplicate_spans" in DEDUP_QUERIES
+    rows = duplicate_spans(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_windows <= r.n_windows
+        assert abs(r.dup_frac - round(r.dup_windows / r.n_windows, 6)) < 1e-9
+    # duplication is cross-doc by construction: a window can only be "dup"
+    # if a second doc holds it, so flagged docs never come alone
+    n_flagged = sum(1 for r in rows if r.dup_windows > 0)
+    assert n_flagged != 1
+    # near-identical docs (the corpus has seeded near-dups) must surface
+    assert n_flagged >= 2
+    # a synthetic pair sharing one window, planted through the same plan
+    import pyspark.sql.functions as F
+    from spark_streaming_testbed_spark.operators.text import md5h, with_tokens
+
+    shared = " ".join(f"w{i}" for i in range(SPAN_K))
+    docs = spark.createDataFrame(
+        [(1, f"{shared} tail one"), (2, f"head two {shared}"),
+         (3, "totally different words " * SPAN_K)],
+        "doc_id long, text string",
+    )
+    wins = (
+        with_tokens(docs)
+        .where(F.size("tokens") >= SPAN_K)
+        .select("doc_id", F.explode(F.expr(
+            f"transform(sequence(0, size(tokens) - {SPAN_K}), "
+            f"i -> array_join(slice(tokens, i + 1, {SPAN_K}), ' '))"
+        )).alias("g"))
+        .select("doc_id", md5h("g").alias("h"))
+    )
+    cross = (
+        wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2).count()
+    )
+    assert cross == 1  # exactly the planted window is shared
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
