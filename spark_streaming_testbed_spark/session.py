@@ -93,6 +93,28 @@ def _ship_engine_to_workers(spark: SparkSession) -> None:
     spark._sst_engine_shipped = True
 
 
+def pickle_datasources_by_value() -> None:
+    """Make the Python DataSource modules cloudpickle BY VALUE.
+
+    Batch UDF workers prepend ``addPyFile`` includes to ``sys.path``
+    before unpickling, but the streaming Python DataSource planner
+    (``python_streaming_source_runner``) on PySpark 4.1 does not — so a
+    pickled-by-reference source instance raises ``ModuleNotFoundError``
+    whenever the driver process's cwd/PYTHONPATH doesn't already expose
+    this package (e.g. the driver harness running from its own cwd).
+    Registering the modules the pickled instance closes over — the two
+    DataSource modules and the pure-Python plan arithmetic they use —
+    embeds their code in the pickle itself, so the runner needs nothing
+    but pyspark + stdlib. Idempotent; cheap (the modules are small)."""
+    from pyspark import cloudpickle
+
+    from .plans import phases
+    from .sources import profile_datasource, rs_tcp
+
+    for mod in (phases, profile_datasource, rs_tcp):
+        cloudpickle.register_pickle_by_value(mod)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set runtime confs the engine depends on, even on a caller-owned session.
 

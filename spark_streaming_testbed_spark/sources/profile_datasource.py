@@ -283,7 +283,10 @@ class ProfileDataSource(DataSource):
 
 
 def register(spark) -> None:
-    from ..session import ensure_session_confs
+    from ..session import ensure_session_confs, pickle_datasources_by_value
 
     ensure_session_confs(spark)  # ships the package to Python workers
+    # the streaming source runner doesn't apply addPyFile includes, so the
+    # pickled source must carry its own code (see session.py)
+    pickle_datasources_by_value()
     spark.dataSource.register(ProfileDataSource)

@@ -251,9 +251,12 @@ class RsTcpDataSource(DataSource):
 
 
 def register(spark) -> None:
-    from ..session import ensure_session_confs
+    from ..session import ensure_session_confs, pickle_datasources_by_value
 
     ensure_session_confs(spark)
+    # the streaming source runner doesn't apply addPyFile includes, so the
+    # pickled source must carry its own code (see session.py)
+    pickle_datasources_by_value()
     spark.dataSource.register(RsTcpDataSource)
 
 
