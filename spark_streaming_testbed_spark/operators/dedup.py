@@ -973,3 +973,106 @@ GROUP BY w.doc_id ORDER BY w.doc_id
 
 DEDUP_QUERIES["duplicate_spans"] = duplicate_spans
 DEDUP_ORACLES["duplicate_spans"] = DUPLICATE_SPANS_ORACLE
+
+
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal action of exact-substring dedup (Lee et al. 2022):
+    every ``SPAN_K``-token window that occurs in ≥2 documents is owned by
+    its minimum doc_id; all its occurrences in OTHER docs are cut, and
+    the cleaned text is rebuilt from the surviving tokens. Emits, per
+    doc, the original/removed token counts and the cleaned text — the
+    corpus one actually trains on, not just the audit column.
+
+    Scale shape: every stage is keyed — window hashes aggregate to find
+    owners (one shuffle), cut windows expand to covered token positions
+    row-locally, and the cut/rebuild is an anti-join plus ordered
+    re-aggregation all co-partitioned on doc_id. Duplicated volume, not
+    corpus volume, drives the intermediate size; nothing is pairwise."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    wins = (
+        docs.where(F.size("tokens") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {SPAN_K}), "
+                    f"i -> array_join(slice(tokens, i + 1, {SPAN_K}), ' '))"
+                )
+            ).alias("p", "g"),
+        )
+        .select("doc_id", "p", md5h("g").alias("h"))
+    )
+    owners = wins.groupBy("h").agg(
+        F.min("doc_id").alias("owner"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    covered = (
+        wins.join(owners.where(F.col("nd") >= 2), "h")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(p, p + {SPAN_K} - 1)")).alias("t"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("tokens").alias("t", "tok")
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "t"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(t, tok))), "
+                       "s -> s.tok)"),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.size("tokens").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DEDUP_CLEAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+pos AS (SELECT doc_id, tokens,
+               unnest(range(0, len(tokens) - {SPAN_K} + 1)) AS i
+        FROM tok WHERE len(tokens) >= {SPAN_K}),
+wins AS (SELECT doc_id, i AS p, {_SPAN_HASH_SQL} AS h FROM pos),
+own AS (SELECT h, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd
+        FROM wins GROUP BY h),
+bad AS (SELECT w.doc_id, w.p FROM wins w JOIN own o ON w.h = o.h
+        WHERE o.nd >= 2 AND w.doc_id <> o.owner),
+cov AS (SELECT DISTINCT doc_id, p + j AS t
+        FROM bad, (SELECT unnest(range({SPAN_K})) AS j)),
+tokse AS (SELECT doc_id, i AS t, tokens[i + 1] AS tok
+          FROM (SELECT doc_id, tokens, unnest(range(0, len(tokens))) AS i
+                FROM tok)),
+kept AS (
+  SELECT e.doc_id,
+         count(*) AS n_kept,
+         array_to_string(list(e.tok ORDER BY e.t), ' ') AS clean_text
+  FROM tokse e LEFT JOIN cov c ON e.doc_id = c.doc_id AND e.t = c.t
+  WHERE c.doc_id IS NULL
+  GROUP BY e.doc_id)
+SELECT d.doc_id,
+       len(d.tokens) AS n_tokens,
+       CAST(len(d.tokens) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM tok d LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+DEDUP_QUERIES["span_dedup_clean"] = span_dedup_clean
+DEDUP_ORACLES["span_dedup_clean"] = SPAN_DEDUP_CLEAN_ORACLE

@@ -236,6 +236,36 @@ def test_duplicate_spans_flags_cross_doc_windows(spark):
     assert cross == 1  # exactly the planted window is shared
 
 
+def test_span_dedup_clean_removes_only_cross_doc_spans(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        duplicate_spans,
+        span_dedup_clean,
+    )
+
+    audit = {r.doc_id: r for r in duplicate_spans(spark, SF_SMOKE).collect()}
+    rows = span_dedup_clean(spark, SF_SMOKE).collect()
+    assert rows
+    removed_any = False
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_tokens
+        kept = r.clean_text.split(" ") if r.clean_text else []
+        assert len(kept) == r.n_tokens - r.n_removed
+        if r.n_removed > 0:
+            removed_any = True
+            # removal only happens to docs the audit flagged as holding
+            # a cross-doc window (the owner keeps its copy untouched)
+            assert audit[r.doc_id].dup_windows > 0
+    assert removed_any  # the corpus has seeded near-dups
+    # every duplicated window has exactly one surviving owner: the min
+    # doc_id among the docs flagged for that window keeps n_removed == 0
+    # for at least one flagged doc overall
+    flagged = [d for d, a in audit.items() if a.dup_windows > 0]
+    owners_intact = [
+        r.doc_id for r in rows if r.doc_id in set(flagged) and r.n_removed == 0
+    ]
+    assert owners_intact
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
