@@ -1336,3 +1336,118 @@ TEXT_QUERIES = {
     "pack_sequences": pack_sequences,
     "top_ngrams": top_ngrams,
 }
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling and vocabulary growth
+# ---------------------------------------------------------------------------
+
+SAMPLE_N = 100
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass scheme): each doc gets key
+    ``ln(u)/w`` with weight w = ``n_chars`` and u a uniform (0,1] drawn
+    from the portable 60-bit md5 hash of its id; the SAMPLE_N largest
+    keys win. The standard way to length/quality-weight a training-mix
+    draw reproducibly — rerunning selects the same docs, and the weights
+    bias selection exactly proportionally.
+
+    Scale shape: key computation is row-local; the top-N is
+    ``orderBy(...).limit(n)``, which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-N then a single
+    merge of n-row heaps, never a global sort. Deterministic u means the
+    oracle replays the identical draw."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5h("cast(doc_id as string)") + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(key, ROUND).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(SAMPLE_N)
+        .select("doc_id", "weight", "sample_key")
+        .orderBy("doc_id")
+    )
+
+
+_U_SQL = (
+    "((" + MD5H_SQL_TEMPLATE.format(expr="cast(doc_id AS VARCHAR)")
+    + " + 1) / 1152921504606846976.0)"
+)
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight, ln({_U_SQL}) / n_chars AS k
+  FROM documents),
+top AS (
+  SELECT doc_id, weight, round(k, {ROUND}) AS sample_key
+  FROM keyed ORDER BY k DESC, doc_id LIMIT {SAMPLE_N})
+SELECT doc_id, weight, sample_key FROM top ORDER BY doc_id
+"""
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: per doc in id order, how
+    many never-before-seen token types it introduces and the cumulative
+    vocabulary size — the corpus-health view that shows when additional
+    data stops contributing new types.
+
+    Scale shape: the one real shuffle is the min-doc-per-token hash
+    aggregate (vocabulary-sized, with map-side partial min); the prefix
+    sum then runs over the per-doc spine, which is |docs| rows — tiny
+    after aggregation. (At extreme spine sizes the single-partition
+    cumulative window becomes chunked partial sums + broadcast offsets;
+    at any realistic doc count the aggregated spine fits one task.)"""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    first = (
+        docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_per_doc = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docs.select("doc_id")
+        .join(new_per_doc, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .withColumn("vocab_size", F.sum("new_tokens").over(win))
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+firsts AS (
+  SELECT t, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS t FROM tok)
+  GROUP BY t),
+npd AS (SELECT first_doc, count(*) AS new_tokens FROM firsts
+        GROUP BY first_doc)
+SELECT d.doc_id,
+       coalesce(n.new_tokens, 0) AS new_tokens,
+       CAST(sum(coalesce(n.new_tokens, 0))
+            OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM documents d LEFT JOIN npd n ON d.doc_id = n.first_doc
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["weighted_sample"] = weighted_sample
+TEXT_ORACLES["weighted_sample"] = WEIGHTED_SAMPLE_ORACLE
+TEXT_QUERIES["vocab_growth"] = vocab_growth
+TEXT_ORACLES["vocab_growth"] = VOCAB_GROWTH_ORACLE

@@ -266,6 +266,47 @@ def test_span_dedup_clean_removes_only_cross_doc_spans(spark):
     assert owners_intact
 
 
+def test_weighted_sample_is_deterministic_and_biased(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        SAMPLE_N,
+        weighted_sample,
+    )
+
+    a = weighted_sample(spark, SF_SMOKE).collect()
+    b = weighted_sample(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == SAMPLE_N
+    # selection must be weight-biased: sampled docs are longer on average
+    import statistics
+
+    from spark_streaming_testbed_spark.session import load_table
+
+    corpus = [r.n_chars for r in
+              load_table(spark, SF_SMOKE, "documents").collect()]
+    assert statistics.mean(r.weight for r in a) > statistics.mean(corpus)
+
+
+def test_vocab_growth_is_monotone_and_totals(spark):
+    from spark_streaming_testbed_spark.operators.text import vocab_growth
+
+    rows = vocab_growth(spark, SF_SMOKE).collect()
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r.vocab_size == prev + r.new_tokens
+        prev = r.vocab_size
+    # final point equals the corpus-wide distinct token count
+    from spark_streaming_testbed_spark.operators.text import with_tokens
+    from spark_streaming_testbed_spark.session import load_table
+    import pyspark.sql.functions as F
+
+    total = (
+        with_tokens(load_table(spark, SF_SMOKE, "documents"))
+        .select(F.explode("tokens").alias("t")).distinct().count()
+    )
+    assert rows[-1].vocab_size == total
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
