@@ -196,8 +196,9 @@ _FIRST_WINDOW: list[str] = [
     "range_join_bands",
     "wire_format_batches",
     "hanoi_load_stats",
-    # relational anchor
-    "tpch_q1",
+    # substring-level dedup flagship (tpch_q1 already carries a green
+    # round-1 driver row, so its slot goes to the new operator family)
+    "span_dedup_clean",
 ]
 
 
