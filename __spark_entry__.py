@@ -105,6 +105,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_agg": R.grouping_sets_agg,
     "sliding_window_stats": R.sliding_window_stats,
     "approx_distinct_users": R.approx_distinct_users,
+    "hll_user_overlap": R.hll_user_overlap,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

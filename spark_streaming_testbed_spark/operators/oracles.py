@@ -346,6 +346,26 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+RELATIONAL_ORACLES["hll_user_overlap"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+base AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         FROM events GROUP BY event_type),
+inter AS (
+  SELECT x.event_type AS type_1, y.event_type AS type_2,
+         count(*) AS exact_overlap
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT a.event_type AS type_1, b.event_type AS type_2,
+       a.exact_users AS users_1, b.exact_users AS users_2,
+       coalesce(i.exact_overlap, 0) AS exact_overlap,
+       true AS within_10pct
+FROM base a
+JOIN base b ON a.event_type < b.event_type
+LEFT JOIN inter i ON i.type_1 = a.event_type AND i.type_2 = b.event_type
+ORDER BY type_1, type_2
+"""
+
 RELATIONAL_ORACLES["tpch_q6"] = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_items

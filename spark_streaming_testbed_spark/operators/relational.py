@@ -678,6 +678,63 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types via Datasketches HLL
+    union and inclusion-exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) —
+    the mergeable-sketch pattern that answers cross-segment overlap at
+    100 TB without re-scanning raw events: per-partition sketches merge
+    associatively, and pairwise unions touch only the tiny sketch table.
+    The exact overlap (distinct-user self-join) rides along for the
+    oracle hash; the sketch estimate is bounded by a tolerance flag,
+    mirroring ``approx_distinct_users``."""
+    events = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = events.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    pairs = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_1"),
+            F.col("b.event_type").alias("type_2"),
+            F.col("a.exact_users").alias("users_1"),
+            F.col("b.exact_users").alias("users_2"),
+            (
+                F.expr("hll_sketch_estimate(a.sk)")
+                + F.expr("hll_sketch_estimate(b.sk)")
+                - F.expr("hll_sketch_estimate(hll_union(a.sk, b.sk))")
+            ).alias("est_overlap"),
+        )
+    )
+    du = events.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_1"),
+            F.col("y.event_type").alias("type_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        pairs.join(inter, ["type_1", "type_2"], "left")
+        .select(
+            "type_1", "type_2", "users_1", "users_2",
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+            (
+                F.abs(F.col("est_overlap") - F.coalesce("exact_overlap", F.lit(0)))
+                <= (F.col("users_1") + F.col("users_2")) * 0.1
+            ).alias("within_10pct"),
+        )
+        .orderBy("type_1", "type_2")
+    )
+
+
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate —
     the pushdown showcase (all three predicates reach the parquet scan)."""

@@ -307,6 +307,21 @@ def test_vocab_growth_is_monotone_and_totals(spark):
     assert rows[-1].vocab_size == total
 
 
+def test_hll_user_overlap_sketch_within_tolerance(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        hll_user_overlap,
+    )
+
+    rows = hll_user_overlap(spark, SF_SMOKE).collect()
+    types = {r.type_1 for r in rows} | {r.type_2 for r in rows}
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair, once
+    for r in rows:
+        assert r.type_1 < r.type_2
+        assert r.within_10pct  # sketch inclusion-exclusion stays bounded
+        assert 0 <= r.exact_overlap <= min(r.users_1, r.users_2)
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
