@@ -315,3 +315,120 @@ ADVANCED_ORACLES = {
     "dedup_embedding_pairs": DEDUP_EMBEDDING_PAIRS_ORACLE,
     "wire_format_batches": WIRE_FORMAT_BATCHES_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel and cohort retention (events analytics)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events table: users whose first
+    ``view`` precedes a ``click`` that precedes a ``purchase``. Stage k
+    counts users with a strictly time-ordered chain through the first k
+    event types (first view, then first click after it, then first
+    purchase after that click) — the classic min-timestamp chaining
+    semantics of product funnels.
+
+    Scale shape: one conditional aggregate per stage, each keyed on
+    user_id and joined co-partitioned to the previous stage's anchor
+    timestamp; the per-stage right side only shrinks. No per-user event
+    lists are ever materialized (collect_list funnels die on power
+    users), and no window over the raw event stream."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    anchors = None
+    stage_counts = []
+    for stage in FUNNEL_STAGES:
+        hits = events.where(F.col("event_type") == stage)
+        if anchors is not None:
+            hits = hits.join(anchors, "user_id").where(
+                F.col("ts") > F.col("anchor_ts")
+            )
+        anchors = hits.groupBy("user_id").agg(
+            F.min("ts").alias("anchor_ts")
+        )
+        stage_counts.append(anchors.agg(
+            F.count(F.lit(1)).alias("users")
+        ).select(F.lit(stage).alias("stage"), "users"))
+    funnel = stage_counts[0]
+    for df in stage_counts[1:]:
+        funnel = funnel.unionByName(df)
+    top = funnel.where(F.col("stage") == FUNNEL_STAGES[0]).select(
+        F.col("users").alias("top_users")
+    )
+    return (
+        funnel.crossJoin(F.broadcast(top))
+        .select(
+            "stage", "users",
+            F.round(F.col("users") / F.col("top_users"), 6).alias("pct_of_top"),
+        )
+        .orderBy(F.col("users").desc(), "stage")
+    )
+
+
+EVENT_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+counts AS (
+  SELECT 'view' AS stage, count(*) AS users FROM v
+  UNION ALL SELECT 'click', count(*) FROM c
+  UNION ALL SELECT 'purchase', count(*) FROM p)
+SELECT stage, users,
+       round(users * 1.0 / (SELECT users FROM counts WHERE stage = 'view'),
+             6) AS pct_of_top
+FROM counts ORDER BY users DESC, stage
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date, counted
+    per whole week of age since that date — the curation-adjacent view of
+    whether an event stream's population persists or churns.
+
+    Scale shape: first-seen is one min-aggregate keyed on user_id; the
+    matrix is one distinct-count keyed on (cohort_date, age_week) after a
+    co-partitioned join back on user_id. Both shuffles carry only keys
+    and dates."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = events.groupBy("user_id").agg(
+        F.min("d").alias("cohort_date")
+    )
+    return (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id", "cohort_date",
+            F.floor(F.datediff("d", "cohort_date") / 7).alias("age_week"),
+        )
+        .groupBy("cohort_date", "age_week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_date", "age_week")
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+fs AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id)
+SELECT fs.cohort_date,
+       CAST(floor(date_diff('day', fs.cohort_date, ev.d) / 7.0) AS BIGINT)
+         AS age_week,
+       count(DISTINCT ev.user_id) AS active_users
+FROM ev JOIN fs ON ev.user_id = fs.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ADVANCED_QUERIES["event_funnel"] = event_funnel
+ADVANCED_ORACLES["event_funnel"] = EVENT_FUNNEL_ORACLE
+ADVANCED_QUERIES["retention_cohorts"] = retention_cohorts
+ADVANCED_ORACLES["retention_cohorts"] = RETENTION_COHORTS_ORACLE

@@ -322,6 +322,46 @@ def test_hll_user_overlap_sketch_within_tolerance(spark):
         assert 0 <= r.exact_overlap <= min(r.users_1, r.users_2)
 
 
+def test_event_funnel_is_monotone(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        FUNNEL_STAGES,
+        event_funnel,
+    )
+
+    rows = {r.stage: r for r in event_funnel(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(FUNNEL_STAGES)
+    counts = [rows[s].users for s in FUNNEL_STAGES]
+    assert counts == sorted(counts, reverse=True)  # funnels only narrow
+    assert rows[FUNNEL_STAGES[0]].pct_of_top == 1.0
+    assert all(0 <= rows[s].pct_of_top <= 1.0 for s in FUNNEL_STAGES)
+
+
+def test_retention_cohorts_week0_covers_cohort(spark):
+    import pyspark.sql.functions as F
+
+    from spark_streaming_testbed_spark.operators.advanced import (
+        retention_cohorts,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = retention_cohorts(spark, SF_SMOKE).collect()
+    assert rows
+    # every user appears in their cohort's week-0 row by construction
+    week0 = {r.cohort_date: r.active_users for r in rows if r.age_week == 0}
+    cohort_sizes = {
+        r.cohort_date: r.n for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .select("user_id", F.to_date("ts").alias("d"))
+            .groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+            .groupBy("cohort_date").agg(F.count(F.lit(1)).alias("n"))
+        ).collect()
+    }
+    assert week0 == cohort_sizes
+    # retention never exceeds the cohort's size
+    for r in rows:
+        assert r.active_users <= cohort_sizes[r.cohort_date]
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
