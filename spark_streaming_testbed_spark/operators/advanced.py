@@ -432,3 +432,47 @@ ADVANCED_QUERIES["event_funnel"] = event_funnel
 ADVANCED_ORACLES["event_funnel"] = EVENT_FUNNEL_ORACLE
 ADVANCED_QUERIES["retention_cohorts"] = retention_cohorts
 ADVANCED_ORACLES["retention_cohorts"] = RETENTION_COHORTS_ORACLE
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: mean / population-stddev / max
+    gap between consecutive events in seconds — the burstiness profile
+    behind bot detection and traffic modeling. One window (partitioned by
+    user_id, ordered by ts with event_id tiebreak) computes the lag gaps
+    and one hash aggregate summarizes them; both stages shuffle on
+    user_id only, so the plan reuses a single exchange."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    ) / 1000.0
+    return (
+        events.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.stddev_pop("gap_s"), 6).alias("stddev_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERARRIVAL_STATS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) / 1000.0 AS gap_s
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap_s), 6) AS mean_gap_s,
+       round(stddev_pop(gap_s), 6) AS stddev_gap_s,
+       round(max(gap_s), 6) AS max_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+ADVANCED_QUERIES["interarrival_stats"] = interarrival_stats
+ADVANCED_ORACLES["interarrival_stats"] = INTERARRIVAL_STATS_ORACLE

@@ -1451,3 +1451,81 @@ TEXT_QUERIES["weighted_sample"] = weighted_sample
 TEXT_ORACLES["weighted_sample"] = WEIGHTED_SAMPLE_ORACLE
 TEXT_QUERIES["vocab_growth"] = vocab_growth
 TEXT_ORACLES["vocab_growth"] = VOCAB_GROWTH_ORACLE
+
+
+def entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals, entirely row-local: token entropy
+    (over the doc's own token distribution — low for boilerplate/repeated
+    text, high for diverse prose) and letter entropy (over a-z counts —
+    catches base64 blobs and keyboard mash). A standard cheap feature in
+    quality-filter cascades, computed with zero shuffles: per-token
+    counts come from higher-order array functions over the row's own
+    tokens, letter counts from 26 fused regexp_count columns, all
+    whole-stage codegen."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n = F.size("tokens")
+    tok_ent = F.expr(
+        "aggregate(transform(array_distinct(tokens), "
+        "t -> size(filter(tokens, x -> x = t))), cast(0.0 as double), "
+        "(acc, c) -> acc - (c / cast(size(tokens) as double)) "
+        "* ln(c / cast(size(tokens) as double)))"
+    )
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    counts = F.array(*[
+        F.expr(f"regexp_count(text, '{ch}')") for ch in letters
+    ])
+    total = F.aggregate(counts, F.lit(0), lambda a, c: a + c)
+    let_ent = F.aggregate(
+        counts,
+        F.lit(0.0).cast("double"),
+        lambda acc, c: acc - F.when(
+            c > 0,
+            (c / total.cast("double"))
+            * F.log(c / total.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(tok_ent, ROUND).alias("token_entropy"),
+            F.round(let_ent, ROUND).alias("letter_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LETTER_COUNTS_SQL = ", ".join(
+    f"(length(text) - length(replace(text, '{ch}', '')))"
+    for ch in "abcdefghijklmnopqrstuvwxyz"
+)
+
+ENTROPY_SIGNALS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, text, {TOKENS_SQL} AS tokens FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         list_aggregate(
+           list_transform(list_distinct(tokens),
+             t -> -(len(list_filter(tokens, x -> x = t)) * 1.0 / len(tokens))
+                  * ln(len(list_filter(tokens, x -> x = t)) * 1.0
+                       / len(tokens))),
+           'sum') AS tok_ent,
+         [{_LETTER_COUNTS_SQL}] AS lc
+  FROM tok),
+lett AS (
+  SELECT doc_id, n_tokens, tok_ent,
+         list_aggregate(list_transform(lc,
+           c -> CASE WHEN c > 0 THEN
+                  -(c * 1.0 / list_aggregate(lc, 'sum'))
+                  * ln(c * 1.0 / list_aggregate(lc, 'sum'))
+                ELSE 0.0 END), 'sum') AS let_ent
+  FROM base)
+SELECT doc_id, n_tokens,
+       round(tok_ent, {ROUND}) AS token_entropy,
+       round(let_ent, {ROUND}) AS letter_entropy
+FROM lett ORDER BY doc_id
+"""
+
+TEXT_QUERIES["entropy_signals"] = entropy_signals
+TEXT_ORACLES["entropy_signals"] = ENTROPY_SIGNALS_ORACLE

@@ -362,6 +362,38 @@ def test_retention_cohorts_week0_covers_cohort(spark):
         assert r.active_users <= cohort_sizes[r.cohort_date]
 
 
+def test_entropy_signals_bounds(spark):
+    import math
+
+    from spark_streaming_testbed_spark.operators.text import entropy_signals
+
+    rows = entropy_signals(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # token entropy is bounded by ln(n_tokens); letter entropy by ln(26)
+        assert -1e-9 <= r.token_entropy <= math.log(r.n_tokens) + 1e-6
+        assert -1e-9 <= r.letter_entropy <= math.log(26) + 1e-6
+
+
+def test_interarrival_stats_reconcile(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        interarrival_stats,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = interarrival_stats(spark, SF_SMOKE).collect()
+    totals = dict(
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id").count().collect()
+    )
+    assert {r.user_id for r in rows} == set(totals)
+    for r in rows:
+        assert r.n_events == totals[r.user_id]
+        if r.n_events > 1:
+            assert r.mean_gap_s is not None and r.mean_gap_s >= 0
+            assert r.max_gap_s >= r.mean_gap_s
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
