@@ -106,6 +106,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_stats": R.sliding_window_stats,
     "approx_distinct_users": R.approx_distinct_users,
     "hll_user_overlap": R.hll_user_overlap,
+    "table_profile": R.table_profile,
+    "snapshot_diff": R.snapshot_diff,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

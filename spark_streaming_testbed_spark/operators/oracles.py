@@ -657,3 +657,34 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+RELATIONAL_ORACLES["table_profile"] = "\nUNION ALL ".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+    f"count(*) - count({c}) AS n_nulls, "
+    f"count(DISTINCT {c}) AS n_distinct, "
+    f"min(CAST({c} AS VARCHAR)) AS min_s, "
+    f"max(CAST({c} AS VARCHAR)) AS max_s FROM events"
+    for c in ("event_id", "user_id", "event_type", "value", "props")
+) + "\nORDER BY column_name"
+
+RELATIONAL_ORACLES["snapshot_diff"] = """
+WITH a AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents_a
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents_b
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+d AS (
+  SELECT CASE WHEN cents_a IS NULL THEN 'added'
+              WHEN cents_b IS NULL THEN 'removed'
+              WHEN cents_a <> cents_b THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         abs(coalesce(cents_b, 0) - coalesce(cents_a, 0)) AS drift_cents
+  FROM a FULL OUTER JOIN b USING (o_orderkey))
+SELECT change_type, count(*) AS n_keys,
+       round(sum(drift_cents) / 100.0, 2) AS abs_price_drift
+FROM d GROUP BY change_type ORDER BY change_type
+"""

@@ -1301,3 +1301,100 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the events table: per column, row
+    count, null count, distinct count, and lexicographic min/max of the
+    string rendering — the data-profiling pass every warehouse runs
+    before trusting a feed.
+
+    Scale shape: ONE scan computes every per-column aggregate fused in a
+    single HashAggregate row (Catalyst evaluates all 4xN aggregates in
+    one pass); the wide single row is then unpivoted row-locally with
+    stack(). No shuffle carries data — only the one-row partial aggs.
+    count_distinct upgrades to approx_count_distinct at extreme
+    cardinalities; exact here so the oracle can hash it."""
+    events = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    wide = events.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, non_null, n_distinct, min_s, max_s)",
+        )
+        .select(
+            "column_name",
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col("non_null")).alias("n_nulls"),
+            "n_distinct", "min_s", "max_s",
+        )
+        .orderBy("column_name")
+    )
+
+
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two deterministic snapshots of the orders
+    feed (A = orders before 1998-01-01; B = orders from 1997-01-01 with
+    urgent orders repriced +10%) are compared keyed on o_orderkey and
+    every key classified added / removed / changed / unchanged, with the
+    absolute price drift summed per class — the reconciliation report of
+    warehouse snapshot maintenance.
+
+    Scale shape: one full-outer shuffle join on the snapshot key, then a
+    4-row aggregate; the classification is row-local. At petabyte
+    snapshots this is the canonical partition-wise diff (both sides
+    partition on the same key, so AQE plans a co-located join)."""
+    orders = _t(spark, sf_dir, "orders")
+    # prices handled as exact integer cents throughout: round(x*1.1, 2)
+    # is engine-dependent (Spark HALF_UPs the shortest decimal repr,
+    # DuckDB rounds the raw binary double), but integer cent arithmetic
+    # with `div` is bit-identical everywhere
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", cents.alias("cents_a"))
+    b = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr("cast(cast(round(o_totalprice * 100) as bigint) "
+                   "* 11 div 10 as bigint)"),
+        ).otherwise(cents).alias("cents_b"),
+    )
+    d = a.join(b, "o_orderkey", "full")
+    change = (
+        F.when(F.col("cents_a").isNull(), "added")
+        .when(F.col("cents_b").isNull(), "removed")
+        .when(F.col("cents_a") != F.col("cents_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            change.alias("change_type"),
+            F.abs(F.coalesce("cents_b", F.lit(0))
+                  - F.coalesce("cents_a", F.lit(0))).alias("drift_cents"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("drift_cents") / 100.0, 2).alias("abs_price_drift"),
+        )
+        .orderBy("change_type")
+    )
