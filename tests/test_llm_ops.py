@@ -394,6 +394,41 @@ def test_interarrival_stats_reconcile(spark):
             assert r.max_gap_s >= r.mean_gap_s
 
 
+def test_table_profile_counts_reconcile(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        table_profile,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = {r.column_name: r for r in table_profile(spark, SF_SMOKE).collect()}
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert set(rows) == {"event_id", "user_id", "event_type", "value", "props"}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.n_distinct <= n - r.n_nulls
+        assert r.min_s <= r.max_s
+    assert rows["event_id"].n_distinct == n  # primary key
+
+
+def test_snapshot_diff_partitions_every_key(spark):
+    import pyspark.sql.functions as F
+
+    from spark_streaming_testbed_spark.operators.relational import (
+        snapshot_diff,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = {r.change_type: r for r in snapshot_diff(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    total_keys = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey"
+    ).distinct().count()
+    assert sum(r.n_keys for r in rows.values()) == total_keys
+    assert rows["unchanged"].abs_price_drift == 0.0
+    assert rows["changed"].abs_price_drift > 0
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     from spark_streaming_testbed_spark.operators.text import hash_split
 
