@@ -330,6 +330,18 @@ def _stateful_query(spark, sf_dir):
     return streaming_stateful_totals(spark, sf_dir)
 
 
+def _stateful_funnel_query(spark, sf_dir):
+    from .stateful import streaming_funnel
+
+    return streaming_funnel(spark, sf_dir)
+
+
+def _streaming_funnel_oracle() -> str:
+    from ..operators.advanced import EVENT_FUNNEL_ORACLE
+
+    return EVENT_FUNNEL_ORACLE
+
+
 def _stateful_oracle() -> str:
     from .stateful import STREAMING_STATEFUL_TOTALS_ORACLE
 
@@ -343,6 +355,7 @@ STREAMING_QUERIES = {
     "streaming_stateful_totals": _stateful_query,
     "streaming_dedup": streaming_dedup,
     "streaming_decontaminate": streaming_decontaminate,
+    "streaming_funnel": _stateful_funnel_query,
 }
 
 STREAMING_ORACLES = {
@@ -352,4 +365,6 @@ STREAMING_ORACLES = {
     "streaming_stateful_totals": _stateful_oracle(),
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
     "streaming_decontaminate": _streaming_decontaminate_oracle(),
+    # batch==stream equality: the stateful funnel shares the batch oracle
+    "streaming_funnel": _streaming_funnel_oracle(),
 }

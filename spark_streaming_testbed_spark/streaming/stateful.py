@@ -116,3 +116,119 @@ SELECT value,
        CAST(sum(value) AS BIGINT) AS total_sum
 FROM vals GROUP BY value ORDER BY value
 """
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel (batch == stream equality with event_funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int"
+FUNNEL_STATE_SCHEMA = "stage int, anchor long"
+
+
+def _update_funnel(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Greedy in-order funnel scan: with events arriving in event-time
+    order, advancing the stage at the first matching event with ts
+    strictly after the previous anchor IS the batch min-timestamp
+    chaining (the first 'view' is the min-ts view; the first 'click'
+    strictly after it is the min click > t_view; ...)."""
+    from ..operators.advanced import FUNNEL_STAGES
+
+    stage, anchor = state.get if state.exists else (0, -1)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    ts_us = rows["ts"].astype("int64")
+    for t, et in zip(ts_us, rows["event_type"]):
+        if stage < len(FUNNEL_STAGES) and et == FUNNEL_STAGES[stage] \
+                and (stage == 0 or t > anchor):
+            stage += 1
+            anchor = int(t)
+    state.update((stage, anchor))
+    yield pd.DataFrame({"user_id": [int(key[0])], "stage": [stage]})
+
+
+def streaming_funnel(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED stateful streaming funnel: the events table replays
+    as a time-ordered multi-trigger file stream; per-user funnel state
+    (stage reached + anchor timestamp) lives in
+    ``applyInPandasWithState`` across micro-batches, and the final per-
+    user stages roll up into the same 3-row report as the batch
+    ``event_funnel`` — batch==stream equality proved by sharing its
+    oracle. The streaming twin of the product-funnel chaining every
+    online analytics pipeline wants without re-scanning history.
+
+    Scale shape: per-trigger work is one user-keyed shuffle into the
+    stateful operator; state is two longs per user."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.advanced import FUNNEL_STAGES
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    with tempfile.TemporaryDirectory(prefix="sfunnel_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        # the file source replays files in MODIFICATION-TIME order, so the
+        # time chunks must be written sequentially (a single parallel
+        # range-write lands with arbitrary mtime order and would feed the
+        # funnel late ranges first); 5-day chunks, one append job each
+        chunk = ((F.dayofmonth("ts") - 1) / 5).cast("int")
+        for k in range(6):
+            (
+                events.where(chunk == k)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"sfunnel_{uuid.uuid4().hex[:8]}"
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.table(name).groupBy("user_id").agg(
+            F.max("stage").alias("stage")
+        )
+        wide = final.agg(*[
+            F.sum((F.col("stage") >= k).cast("long")).alias(s)
+            for k, s in enumerate(FUNNEL_STAGES, 1)
+        ])
+        stack = ", ".join(f"'{s}', {s}" for s in FUNNEL_STAGES)
+        funnel = wide.selectExpr(
+            f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, users)"
+        )
+        top = funnel.where(
+            F.col("stage") == FUNNEL_STAGES[0]
+        ).select(F.col("users").alias("top_users"))
+        return (
+            funnel.crossJoin(F.broadcast(top))
+            .select(
+                "stage", "users",
+                F.round(F.col("users") / F.col("top_users"), 6)
+                .alias("pct_of_top"),
+            )
+            .orderBy(F.col("users").desc(), "stage")
+        )

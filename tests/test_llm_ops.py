@@ -336,6 +336,17 @@ def test_event_funnel_is_monotone(spark):
     assert all(0 <= rows[s].pct_of_top <= 1.0 for s in FUNNEL_STAGES)
 
 
+def test_streaming_funnel_equals_batch_funnel(spark):
+    from spark_streaming_testbed_spark.operators.advanced import event_funnel
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    batch = {tuple(r) for r in event_funnel(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in streaming_funnel(spark, SF_SMOKE).collect()}
+    assert stream == batch
+
+
 def test_retention_cohorts_week0_covers_cohort(spark):
     import pyspark.sql.functions as F
 
