@@ -168,15 +168,8 @@ MINHASH_SIGNATURES_ORACLE = _minhash_oracle()
 # LSH near-dup candidate pairs → verified pairs → survivors
 # ---------------------------------------------------------------------------
 
-def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash).
-
-    The self-join sides carry only the slim ``(doc_id, band, bh)``
-    triple — 20 bytes/row through the band shuffle. The shingle arrays
-    (needed for Jaccard verification) are joined back onto the few
-    surviving candidate pairs by the caller; shipping them through the
-    band join itself would multiply the shuffle payload by the document
-    shingle count at 100 TB."""
+def _banded(docs_with_sig: DataFrame) -> DataFrame:
+    """Explode a signature table into slim ``(doc_id, band, bh)`` rows."""
     r = MINHASH_K // LSH_BANDS
     bands = F.array(*[
         F.struct(
@@ -189,10 +182,22 @@ def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
-    exploded = (
+    return (
         docs_with_sig.select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     )
+
+
+def _lsh_candidates(docs_with_sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash).
+
+    The self-join sides carry only the slim ``(doc_id, band, bh)``
+    triple — 20 bytes/row through the band shuffle. The shingle arrays
+    (needed for Jaccard verification) are joined back onto the few
+    surviving candidate pairs by the caller; shipping them through the
+    band join itself would multiply the shuffle payload by the document
+    shingle count at 100 TB."""
+    exploded = _banded(docs_with_sig)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -1076,3 +1081,81 @@ ORDER BY d.doc_id
 
 DEDUP_QUERIES["span_dedup_clean"] = span_dedup_clean
 DEDUP_ORACLES["span_dedup_clean"] = SPAN_DEDUP_CLEAN_ORACLE
+
+
+def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the newest ~20% of docs (ids above
+    floor(0.8 * max doc_id), standing in for an arriving ingest batch)
+    are checked against the LSH band index of the EXISTING corpus — the
+    production online-ingest shape, where each new batch joins the
+    historical index instead of re-running the full all-pairs pipeline.
+
+    Scale shape: same signature computation as ``lsh_near_dup_pairs``,
+    but the band join is new-side ⋈ old-side, so per-ingest cost is
+    |batch| × bands probed against a prebuilt index (in a warehouse the
+    old side's banded table is persisted and only appended to). Exact
+    Jaccard verification touches only the surviving cross pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr_df = docs.agg(
+        F.floor(F.max("doc_id") * 0.8).cast("long").alias("thr")
+    )
+    shingled = (
+        _with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+    )
+    with_sig = exploded.groupBy("doc_id").agg(*[
+        F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ])
+    banded = _banded(with_sig).crossJoin(F.broadcast(thr_df))
+    new = banded.where(F.col("doc_id") > F.col("thr"))
+    old = banded.where(F.col("doc_id") <= F.col("thr"))
+    cand = (
+        new.alias("n")
+        .join(
+            old.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("dup_of"),
+        )
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    sh_n = shingled.select(
+        F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_n")
+    )
+    sh_o = shingled.select(
+        F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_o")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    return (
+        cand.join(sh_n, "new_doc").join(sh_o, "dup_of")
+        .select(
+            "new_doc", "dup_of",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("new_doc", "dup_of")
+    )
+
+
+LSH_INCREMENTAL_PAIRS_ORACLE = (
+    _lsh_pairs_cte()
+    + """SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard
+FROM verified, (SELECT floor(max(doc_id) * 0.8) AS thr FROM documents)
+WHERE doc_a <= thr AND doc_b > thr
+ORDER BY new_doc, dup_of"""
+)
+
+DEDUP_QUERIES["lsh_incremental_pairs"] = lsh_incremental_pairs
+DEDUP_ORACLES["lsh_incremental_pairs"] = LSH_INCREMENTAL_PAIRS_ORACLE

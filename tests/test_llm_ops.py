@@ -266,6 +266,31 @@ def test_span_dedup_clean_removes_only_cross_doc_spans(spark):
     assert owners_intact
 
 
+def test_lsh_incremental_equals_cross_threshold_subset(spark):
+    import pyspark.sql.functions as F
+
+    from spark_streaming_testbed_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        lsh_near_dup_pairs,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    thr = load_table(spark, SF_SMOKE, "documents").agg(
+        F.floor(F.max("doc_id") * 0.8)
+    ).collect()[0][0]
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in lsh_near_dup_pairs(spark, SF_SMOKE).collect()
+    }
+    incr = {
+        (r.dup_of, r.new_doc, r.jaccard)
+        for r in lsh_incremental_pairs(spark, SF_SMOKE).collect()
+    }
+    expected = {(a, b, j) for a, b, j in full if a <= thr < b}
+    assert incr == expected
+    assert incr  # the seeded near-dups straddle the 80% split
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark):
     from spark_streaming_testbed_spark.operators.text import (
         SAMPLE_N,
