@@ -1159,3 +1159,51 @@ ORDER BY new_doc, dup_of"""
 
 DEDUP_QUERIES["lsh_incremental_pairs"] = lsh_incremental_pairs
 DEDUP_ORACLES["lsh_incremental_pairs"] = LSH_INCREMENTAL_PAIRS_ORACLE
+
+
+def cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance rollup of the near-dup cluster assignment: corpus size,
+    clustered-doc count, number of multi-doc clusters, largest cluster,
+    singleton count, and the duplicate mass (docs a keep-one-per-cluster
+    policy would drop) — the one-row dashboard a curation team reads
+    before approving a dedup pass.
+
+    Scale shape: one aggregate over the cluster assignment (itself the
+    O(log n)-round star contraction); the report is a single row."""
+    assigned = dedup_clusters_star(spark, sf_dir)
+    return assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias("clustered_docs"),
+        F.count_distinct(
+            F.when(F.col("cluster_size") > 1, F.col("cluster_id"))
+        ).alias("clusters_gt1"),
+        F.max("cluster_size").alias("max_cluster"),
+        F.sum((F.col("cluster_size") == 1).cast("long")).alias("singletons"),
+        F.sum(
+            (F.col("cluster_id") != F.col("doc_id")).cast("long")
+        ).alias("dup_mass"),
+    )
+
+
+def _cluster_report_oracle() -> str:
+    body = DEDUP_CLUSTERS_ORACLE.strip().removesuffix("ORDER BY d.doc_id")
+    return f"""
+WITH assigned AS ({body})
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clustered_docs,
+       count(DISTINCT CASE WHEN cluster_size > 1 THEN cluster_id END)
+         AS clusters_gt1,
+       max(cluster_size) AS max_cluster,
+       CAST(sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singletons,
+       CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_mass
+FROM assigned
+"""
+
+
+CLUSTER_REPORT_ORACLE = _cluster_report_oracle()
+
+DEDUP_QUERIES["cluster_report"] = cluster_report
+DEDUP_ORACLES["cluster_report"] = CLUSTER_REPORT_ORACLE

@@ -291,6 +291,16 @@ def test_lsh_incremental_equals_cross_threshold_subset(spark):
     assert incr  # the seeded near-dups straddle the 80% split
 
 
+def test_cluster_report_identities(spark):
+    from spark_streaming_testbed_spark.operators.dedup import cluster_report
+
+    r = cluster_report(spark, SF_SMOKE).collect()[0]
+    assert r.n_docs == r.clustered_docs + r.singletons
+    # every multi-doc cluster keeps exactly one doc (its min id)
+    assert r.dup_mass == r.clustered_docs - r.clusters_gt1
+    assert r.max_cluster >= 2 <= r.clusters_gt1 + 1  # seeded near-dups exist
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark):
     from spark_streaming_testbed_spark.operators.text import (
         SAMPLE_N,
