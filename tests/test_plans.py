@@ -125,3 +125,31 @@ def test_epoch_mix_plan_single_fact_shuffle_and_broadcast_total(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_interarrival_reuses_user_exchange_for_window_and_agg(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        interarrival_stats,
+    )
+
+    plan = plan_of(interarrival_stats(spark, SF_SMOKE))
+    import re
+
+    # exactly two exchanges: the user_id fan-out (serving BOTH the lag
+    # window and the per-user aggregate) and the output sort's range
+    # partitioning — a third means the aggregate stopped reusing the
+    # window's hash clustering
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Window" in plan
+
+
+def test_entropy_signals_zero_compute_shuffles(spark):
+    from spark_streaming_testbed_spark.operators.text import entropy_signals
+
+    plan = plan_of(entropy_signals(spark, SF_SMOKE))
+    import re
+
+    # only the output sort's range partitioning exchanges data — the
+    # entropy math itself is row-local (the zero-shuffle claim)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" not in plan
