@@ -476,3 +476,67 @@ FROM g GROUP BY user_id ORDER BY user_id
 
 ADVANCED_QUERIES["interarrival_stats"] = interarrival_stats
 ADVANCED_ORACLES["interarrival_stats"] = INTERARRIVAL_STATS_ORACLE
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: among users who complete the full
+    view→click→purchase chain (the ``event_funnel`` semantics), the
+    min/median/p90/max seconds from first view to the converting
+    purchase — the metric product teams read next to the funnel counts.
+
+    Scale shape: reuses the funnel's per-stage min-ts chaining (user-
+    keyed aggregates and co-partitioned joins), then one global
+    percentile aggregate over the converter set — converters are a
+    filtered per-user table, orders of magnitude smaller than events."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = events.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"),
+             F.first("t_view").alias("t_view"))
+    )
+    lag = (F.unix_millis("t_purchase") - F.unix_millis("t_view")) / 1000.0
+    return p.select(lag.alias("lag_s")).agg(
+        F.count(F.lit(1)).alias("converters"),
+        F.round(F.min("lag_s"), 3).alias("min_s"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 3).alias("median_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.max("lag_s"), 3).alias("max_s"),
+    )
+
+
+CONVERSION_LAG_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click, any_value(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase, any_value(c.t_view) AS t_view
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+lags AS (SELECT (epoch_ms(t_purchase) - epoch_ms(t_view)) / 1000.0 AS lag_s
+         FROM p)
+SELECT count(*) AS converters,
+       round(min(lag_s), 3) AS min_s,
+       round(quantile_cont(lag_s, 0.5), 3) AS median_s,
+       round(quantile_cont(lag_s, 0.9), 3) AS p90_s,
+       round(max(lag_s), 3) AS max_s
+FROM lags
+"""
+
+ADVANCED_QUERIES["conversion_lag"] = conversion_lag
+ADVANCED_ORACLES["conversion_lag"] = CONVERSION_LAG_ORACLE

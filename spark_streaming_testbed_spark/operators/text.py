@@ -1529,3 +1529,57 @@ FROM lett ORDER BY doc_id
 
 TEXT_QUERIES["entropy_signals"] = entropy_signals
 TEXT_ORACLES["entropy_signals"] = ENTROPY_SIGNALS_ORACLE
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: each doc's raw quality score
+    is mapped to its percent-rank WITHIN its source — the standard fix
+    for cross-source score drift (a 0.6 from a clean feed and a 0.6 from
+    a noisy feed mean different things; per-source ranks make a global
+    keep-top-X% threshold fair across feeds).
+
+    Scale shape: the raw scores are row-local (``quality_score``); the
+    calibration is one window keyed on source — a single hash exchange
+    partitioned by feed, each feed ranked independently in parallel.
+    Rank ties (identical scores) get identical percentiles in both
+    engines by percent_rank's definition."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn(
+            "calibrated", F.round(F.percent_rank().over(w), ROUND)
+        )
+        .select("doc_id", "source", "quality", "calibrated")
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CALIBRATION_ORACLE = f"""
+WITH tok AS (SELECT doc_id, text, source, {TOKENS_SQL} AS tokens
+             FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         len(list_filter(tokens, t -> list_contains({_STOP_LIST_SQL}, t))) * 1.0
+           / len(tokens) AS stop_ratio,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+           / length(text) AS alpha_ratio,
+         least(1.0, len(tokens) / 100.0) AS len_sat
+  FROM tok),
+scored AS (
+  SELECT doc_id, source,
+         round(0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio,
+               {ROUND}) AS quality
+  FROM feats)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id), {ROUND})
+         AS calibrated
+FROM scored ORDER BY doc_id
+"""
+
+TEXT_QUERIES["quality_calibration"] = quality_calibration
+TEXT_ORACLES["quality_calibration"] = QUALITY_CALIBRATION_ORACLE

@@ -301,6 +301,38 @@ def test_cluster_report_identities(spark):
     assert r.max_cluster >= 2 <= r.clusters_gt1 + 1  # seeded near-dups exist
 
 
+def test_conversion_lag_consistent_with_funnel(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        conversion_lag,
+        event_funnel,
+    )
+
+    lag = conversion_lag(spark, SF_SMOKE).collect()[0]
+    funnel = {r.stage: r.users for r in event_funnel(spark, SF_SMOKE).collect()}
+    assert lag.converters == funnel["purchase"]
+    assert 0 < lag.min_s <= lag.median_s <= lag.p90_s <= lag.max_s
+
+
+def test_quality_calibration_uniform_within_source(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        quality_calibration,
+    )
+
+    rows = quality_calibration(spark, SF_SMOKE).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r.calibrated <= 1.0
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        # ranks are uniform within each feed: min is 0, max is 1, and
+        # higher raw quality never gets a lower calibrated rank
+        assert min(r.calibrated for r in rs) == 0.0
+        assert max(r.calibrated for r in rs) == 1.0
+        rs.sort(key=lambda r: (r.quality, r.doc_id))
+        cal = [r.calibrated for r in rs]
+        assert cal == sorted(cal)
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark):
     from spark_streaming_testbed_spark.operators.text import (
         SAMPLE_N,
