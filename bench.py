@@ -46,6 +46,8 @@ HEADLINE = [
     "streaming_profile_stats",
     "tpch_q21",
     "dedup_clusters",
+    "dedup_clusters_star",
+    "duplicate_spans",
     "doc_chunks",
 ]
 
