@@ -1207,3 +1207,62 @@ CLUSTER_REPORT_ORACLE = _cluster_report_oracle()
 
 DEDUP_QUERIES["cluster_report"] = cluster_report
 DEDUP_ORACLES["cluster_report"] = CLUSTER_REPORT_ORACLE
+
+
+def span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-source leakage: for each source pair, how
+    many distinct 8-token windows appear verbatim in both feeds — the
+    span-granularity twin of :func:`source_leakage`, catching feeds that
+    re-publish passages inside otherwise-distinct documents (which
+    whole-doc near-dup pairs miss).
+
+    Scale shape: windows tagged with their source collapse to DISTINCT
+    (source, window-hash) pairs first — one hash aggregate — so the
+    per-hash source list is tiny (#sources, not #docs); the pair
+    expansion joins those slim lists, never document rows."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    wins = (
+        docs.where(F.size("tokens") >= SPAN_K)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(tokens) - {SPAN_K}), "
+                    f"i -> array_join(slice(tokens, i + 1, {SPAN_K}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("source", md5h("g").alias("h"))
+        .distinct()
+    )
+    return (
+        wins.alias("a")
+        .join(
+            wins.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_1"),
+            F.col("b.source").alias("source_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .orderBy(F.col("shared_windows").desc(), "source_1", "source_2")
+    )
+
+
+SPAN_LEAKAGE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, {TOKENS_SQL} AS tokens FROM documents),
+pos AS (SELECT source, tokens,
+               unnest(range(0, len(tokens) - {SPAN_K} + 1)) AS i
+        FROM tok WHERE len(tokens) >= {SPAN_K}),
+wins AS (SELECT DISTINCT source, {_SPAN_HASH_SQL} AS h FROM pos)
+SELECT a.source AS source_1, b.source AS source_2,
+       count(*) AS shared_windows
+FROM wins a JOIN wins b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY shared_windows DESC, source_1, source_2
+"""
+
+DEDUP_QUERIES["span_leakage"] = span_leakage
+DEDUP_ORACLES["span_leakage"] = SPAN_LEAKAGE_ORACLE
