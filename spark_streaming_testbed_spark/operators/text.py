@@ -1583,3 +1583,64 @@ FROM scored ORDER BY doc_id
 
 TEXT_QUERIES["quality_calibration"] = quality_calibration
 TEXT_ORACLES["quality_calibration"] = QUALITY_CALIBRATION_ORACLE
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM perplexity per document: mean −ln P(wᵢ|wᵢ₋₁)
+    with MLE probabilities C(wᵢ₋₁wᵢ)/C(wᵢ₋₁) from the corpus's own
+    counts (every doc bigram occurs in the corpus, so no smoothing is
+    needed), plus exp of it as perplexity — the step up from
+    ``unigram_logprob`` that catches token-salad where every word is
+    common but no transition is.
+
+    Scale shape: bigram and unigram count tables are corpus-level
+    aggregates joined back on the gram/token key (vocabulary-sized,
+    broadcast-able at scale); the per-doc rollup is one doc-keyed hash
+    aggregate. All JVM built-ins."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    bg = (
+        with_grams(docs, 2, "bigrams")
+        .select("doc_id", F.explode("bigrams").alias("gram"))
+    )
+    bg_counts = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("bg_cnt"))
+    uni = (
+        docs.select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("uni_cnt"))
+    )
+    scored = (
+        bg.join(bg_counts, "gram")
+        .withColumn("prev", F.split("gram", " ")[0])
+        .join(uni, F.col("prev") == F.col("token"))
+        .withColumn("nll", -F.log(F.col("bg_cnt") / F.col("uni_cnt")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_PERPLEXITY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+bg AS (SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM tok),
+bgc AS (SELECT gram, count(*) AS bg_cnt FROM bg GROUP BY gram),
+uni AS (SELECT t AS token, count(*) AS uni_cnt
+        FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY t),
+scored AS (
+  SELECT bg.doc_id,
+         -ln(bgc.bg_cnt * 1.0 / uni.uni_cnt) AS nll
+  FROM bg
+  JOIN bgc ON bg.gram = bgc.gram
+  JOIN uni ON string_split(bg.gram, ' ')[1] = uni.token)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS perplexity
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXT_QUERIES["bigram_perplexity"] = bigram_perplexity
+TEXT_ORACLES["bigram_perplexity"] = BIGRAM_PERPLEXITY_ORACLE

@@ -333,6 +333,24 @@ def test_quality_calibration_uniform_within_source(spark):
         assert cal == sorted(cal)
 
 
+def test_bigram_perplexity_bounds_and_coverage(spark):
+    import math
+
+    from spark_streaming_testbed_spark.operators.text import (
+        bigram_perplexity,
+        token_stats,
+    )
+
+    rows = {r.doc_id: r for r in bigram_perplexity(spark, SF_SMOKE).collect()}
+    toks = {r.doc_id: r.n_tokens for r in token_stats(spark, SF_SMOKE).collect()}
+    for doc_id, r in rows.items():
+        assert r.n_bigrams == toks[doc_id] - 1  # every adjacent pair scored
+        assert r.avg_nll >= 0  # MLE probabilities never exceed 1
+        assert abs(r.perplexity - math.exp(r.avg_nll)) < 1e-4
+    # perplexity must vary across docs (it separates salad from prose)
+    assert len({r.perplexity for r in rows.values()}) > 1
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark):
     from spark_streaming_testbed_spark.operators.text import (
         SAMPLE_N,
