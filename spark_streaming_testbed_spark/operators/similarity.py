@@ -234,70 +234,104 @@ ANN_LSH_TOPK_ORACLE = _ann_lsh_oracle()
 
 IVF_CLUSTERS = 8
 IVF_NPROBE = 2
-IVF_FIT_SAMPLE_CAP = 65536  # max vectors the coarse quantizer trains on
+IVF_ITERS = 5         # fixed Lloyd iterations -- no tolerance early-stop
+IVF_FIT_SAMPLE = 256  # deterministic md5-ordered sample the quantizer fits on
+
+
+def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic coarse-quantizer fit, reproducible in ANSI SQL.
+
+    Sample = the ``IVF_FIT_SAMPLE`` vectors with the smallest
+    ``md5(cast(vec_id as string))`` (an engine-portable "seeded shuffle");
+    init = the first ``IVF_CLUSTERS`` of those in the same order; then
+    exactly ``IVF_ITERS`` Lloyd iterations with each updated centroid
+    rounded to 6 dp (so both engines' float-accumulation orders land on
+    identical values). Squared-L2 assignment with ties to the smallest
+    list id; empty clusters carry the previous centroid.
+
+    The sample is bounded (256 x 64 doubles ~ 128 KB) and collected to
+    the driver -- the standard IVF train pattern (coarse quantizers are
+    always fit centrally on a bounded sample; cf. faiss train()) -- and
+    the only collect: corpus assignment happens distributed against the
+    fitted centroid literals.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(IVF_FIT_SAMPLE)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                 dtype=np.float64)
+    C = X[:IVF_CLUSTERS].copy()  # init: exact float32 values, unrounded
+    for _ in range(IVF_ITERS):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)  # numpy argmin keeps the first (smallest) id
+        for j in range(IVF_CLUSTERS):
+            members = X[a == j]
+            if len(members):
+                C[j] = np.round(members.mean(axis=0), 6)
+            # else: empty cluster keeps its previous centroid
+    return [[float(v) for v in c] for c in C]
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: a seeded k-means coarse quantizer
-    partitions the corpus into inverted lists; each query probes only its
-    ``IVF_NPROBE`` nearest centroids' lists. The 100 TB path: the corpus
-    is scanned once to assign lists (shuffle by list id ≈ partition
-    pruning for vectors), and query work scales with probed-list size,
-    not corpus size. Rows-only (approximate recall by design; exact twin
-    ``cosine_topk`` is oracle-checked)."""
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(f"pyspark.ml unavailable: {e}") from e
-
+    """IVF approximate top-k: a deterministic k-means coarse quantizer
+    (:func:`_ivf_fit_centroids`) partitions the corpus into inverted
+    lists; each query probes only its ``IVF_NPROBE`` nearest centroids'
+    lists. The 100 TB path: the corpus is scanned once, list assignment
+    is a row-local codegen expression against centroid literals folded
+    into the plan (no broadcast variable, no UDF), and query work scales
+    with probed-list size, not corpus size. Oracle-checked: the DuckDB
+    twin re-derives the identical centroids with unrolled Lloyd CTEs, so
+    the approximate candidate set is deterministic; the exact twin
+    ``cosine_topk`` provides the recall ground truth."""
+    cents = _ivf_fit_centroids(spark, sf_dir)
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .withColumn("_cents", cent_lit)
+        .withColumn(
+            "_dists",
+            F.expr(
+                "transform(_cents, c -> aggregate("
+                "zip_with(embedding, c, (x, y) -> "
+                "(cast(x as double) - y) * (cast(x as double) - y)), "
+                "cast(0 as double), (acc, v) -> acc + v))"
+            ),
+        )
+        .withColumn(
+            "list_id",
+            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
+        )
     )
-    # Train the coarse quantizer on a bounded hash-sample (≤ ~64k
-    # vectors): k-means centroid quality saturates long before corpus
-    # size, and fitting on the full 100 TB corpus would iterate the whole
-    # scan maxIter times. Hash-mod sampling is deterministic and
-    # partition-independent; below the cap (every local SF) the modulus
-    # is 1 and the fit sees every vector, so small-scale results are
-    # unchanged.
-    n = vecs.count()
-    mod = max(1, n // IVF_FIT_SAMPLE_CAP)
-    fit_on = (
-        vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
-        if mod > 1
-        else vecs
-    )
-    model = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10).fit(fit_on)
-    assigned = model.transform(vecs).select(
-        "vec_id", "embedding", F.col("prediction").alias("list_id")
-    )
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id int, centroid array<double>",
-    )
-    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    # rank centroids per query, keep nprobe nearest
-    qc = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", -_cosine("q_emb", "centroid"))
-    )
-    from pyspark.sql import Window as W2
-
-    wq = W2.partitionBy("q_id").orderBy("dist", "list_id")
-    probes = (
-        qc.withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "list_id")
+    queries = (
+        assigned.where(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "probe",
+            F.explode(F.expr(
+                "slice(array_sort(transform(_dists, "
+                f"(d, i) -> struct(d as dist, i as list_id))), 1, {IVF_NPROBE})"
+            )),
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("probe.list_id").alias("list_id"),
+        )
     )
     cand = assigned.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "list_id"
     )
     scored = (
-        cand.join(F.broadcast(probes), on="list_id")
+        cand.join(F.broadcast(queries), on="list_id")
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"))
     )
@@ -308,6 +342,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rk", "c_id", "cosine")
         .orderBy("q_id", "rk")
     )
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of :func:`ann_ivf_topk`: the same deterministic
+    Lloyd fit unrolled as ``IVF_ITERS`` chained CTEs (md5-ordered
+    sample + init, squared-L2 assignment tie-broken by list id, 6 dp
+    centroid rounding, empty-cluster carry), then the same probe /
+    score / top-k tail. Per-iteration rounding is what makes the two
+    engines' independently-accumulated float means land on identical
+    centroids; every downstream decision is a discrete argmin, robust
+    to last-ulp distance differences."""
+    dist = ("list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c}) "
+            "+ list_dot_product({c}, {c})")
+    parts = [
+        f"""s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {IVF_FIT_SAMPLE})""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS list_id,
+         embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {IVF_CLUSTERS})""",
+    ]
+    for t in range(1, IVF_ITERS + 1):
+        d = dist.format(e="s.emb", c="c.centroid")
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT s.vec_id, s.emb, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d}, c.list_id) AS rk
+    FROM s CROSS JOIN c{t - 1} c) WHERE rk = 1)""")
+        parts.append(f"""m{t} AS (
+  SELECT list_id, list(mv ORDER BY dim) AS centroid FROM (
+    SELECT a.list_id, t.dim, round(avg(a.emb[t.dim]), 6) AS mv
+    FROM a{t} a CROSS JOIN range(1, {DIM + 1}) t(dim)
+    GROUP BY a.list_id, t.dim)
+  GROUP BY list_id)""")
+        parts.append(f"""c{t} AS (
+  SELECT p.list_id, coalesce(m.centroid, p.centroid) AS centroid
+  FROM c{t - 1} p LEFT JOIN m{t} m USING (list_id))""")
+    de = dist.format(e="e.emb", c="c.centroid")
+    parts.append(f"""assigned AS (
+  SELECT vec_id, emb, list_id FROM (
+    SELECT e.vec_id, e.emb, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {de}, c.list_id) AS rk
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+    CROSS JOIN c{IVF_ITERS} c) WHERE rk = 1)""")
+    parts.append(f"""probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb, list_id FROM (
+    SELECT e.vec_id, e.emb, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {de}, c.list_id) AS rk
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+          WHERE vec_id < {N_QUERIES}) e
+    CROSS JOIN c{IVF_ITERS} c) WHERE rk <= {IVF_NPROBE})""")
+    parts.append("""scored AS (
+  SELECT q_id, c_id,
+         round(list_dot_product(q_emb, c_emb) /
+               (sqrt(list_dot_product(q_emb, q_emb)) *
+                sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM probes JOIN (SELECT vec_id AS c_id, emb AS c_emb, list_id
+                    FROM assigned) c USING (list_id)
+  WHERE q_id <> c_id)""")
+    parts.append("""ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, c_id) AS rk
+  FROM scored)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT q_id, rk, c_id, cosine FROM ranked"
+          f"\nWHERE rk <= {TOP_K} ORDER BY q_id, rk"
+    )
+
+
+ANN_IVF_TOPK_ORACLE = _ann_ivf_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -548,7 +658,8 @@ SIMILARITY_ORACLES = {
     "quantize_int8": QUANTIZE_INT8_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "embedding_norms": EMBEDDING_NORMS_ORACLE,
-    # deterministic seeded hyperplanes → even the ANN path is checkable
+    # deterministic seeded hyperplanes / deterministic Lloyd fit → even
+    # the ANN paths are checkable
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
-    # ann_ivf_topk: rows-only (k-means quantizer is pyspark.ml-internal)
+    "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
 }

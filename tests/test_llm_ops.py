@@ -58,6 +58,26 @@ def test_ivf_recall_vs_exact(spark):
     assert len(ivf & exact) / len(exact) >= 0.2
 
 
+def test_ivf_fit_is_deterministic(spark):
+    """The coarse-quantizer fit must be bit-reproducible across calls —
+    that determinism is what lets the DuckDB oracle re-derive identical
+    centroids from unrolled Lloyd CTEs."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        _ivf_fit_centroids,
+    )
+
+    c1 = _ivf_fit_centroids(spark, SF_SMOKE)
+    c2 = _ivf_fit_centroids(spark, SF_SMOKE)
+    assert c1 == c2
+    assert len(c1) == IVF_CLUSTERS
+    from spark_streaming_testbed_spark.operators.similarity import (
+        SIMILARITY_ORACLES,
+    )
+
+    assert "ann_ivf_topk" in SIMILARITY_ORACLES
+
+
 def test_decode_image_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
