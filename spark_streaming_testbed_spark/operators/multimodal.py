@@ -1,10 +1,14 @@
 """Multimodal-column plumbing (SURVEY.md §7 M7).
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
-metadata. The container has no image/audio libraries, so the *decode*
-step is stubbed (``NotImplementedError`` unless the deterministic fake
-decoder is requested) — but the Spark-side plumbing is real and tested:
-schema, Arrow batch shape, ``mapInPandas`` signature, partition behavior.
+metadata. The container has no image/audio libraries, so full *raster*
+decoding stays stubbed (``NotImplementedError`` unless the deterministic
+fake decoder is requested) — but header-level decoding is REAL: documents
+are encoded as genuine PNG files by a pure-stdlib writer and
+width/height/bit-depth/color-type/channels are parsed back out of the
+actual IHDR bytes, oracle-checked end to end. The Spark-side plumbing is
+real and tested: schema, Arrow batch shape, ``mapInPandas`` signature,
+partition behavior.
 
 Scale design: payload bytes never leave the executor; feature extraction
 is an Arrow-batched ``mapInPandas`` over binary columns (the only
@@ -25,30 +29,75 @@ from pyspark.sql import functions as F
 from ..session import load_table
 
 FEATURE_SCHEMA = (
-    "doc_id long, mime string, byte_len int, crc32 long, sha1_8 string, "
-    "fake_width int, fake_height int"
+    "doc_id long, mime string, width int, height int, bit_depth int, "
+    "color_type int, channels int"
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# deterministic construction formulas -- the DuckDB oracle recomputes
+# these directly from the documents columns, closing the encode ->
+# binary -> header-parse roundtrip
+PNG_W_MOD, PNG_H_MOD = 64, 48
 
-def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model documents as multimodal assets: payload = utf-8 bytes of the
-    text (stand-in for image bytes), plus a typed metadata struct."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("image/fake").alias("mime"),
-            F.col("n_chars").cast("int").alias("declared_len"),
-            F.col("source").alias("origin"),
-        ).alias("meta"),
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
     )
 
 
+def png_encode(width: int, height: int, color_type: int, src: bytes) -> bytes:
+    """Minimal pure-stdlib PNG writer (real format: signature, IHDR,
+    zlib-deflated filtered scanlines in IDAT, IEND). ``color_type`` 0 =
+    8-bit grayscale (1 channel), 2 = 8-bit truecolor RGB (3 channels);
+    pixel bytes are ``src`` cropped/cycled to fill the raster."""
+    import struct
+
+    channels = {0: 1, 2: 3}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    need = width * height * channels
+    body = ((src or b"\x00") * (need // max(len(src), 1) + 1))[:need]
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + body[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL header decode from the actual bytes: validates the PNG
+    signature and the IHDR chunk tag, then parses (width, height,
+    bit_depth, color_type, channels) big-endian from the wire format.
+    Full raster decode would additionally need zlib + per-filter
+    reconstruction; header parsing needs no image library at all."""
+    import struct
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("corrupt PNG: first chunk is not IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type = payload[24], payload[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    return width, height, bit_depth, color_type, channels
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Decode stub. Real decoding needs an image library that is not in
-    this container — STUBBED by contract. The deterministic fake derives a
-    (width, height) from payload bytes so pipelines are testable."""
+    """Raster-decode stub. Full pixel decoding needs an image library
+    that is not in this container -- STUBBED by contract (header-level
+    decoding is real: :func:`png_decode_header`). The deterministic fake
+    derives a (width, height) from payload bytes so pipelines are
+    testable."""
     if not fake:
         raise NotImplementedError(
             "image decoding requires an image library not present in this "
@@ -58,37 +107,92 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     return (h % 640) + 1, ((h >> 16) % 480) + 1
 
 
+def _build_png_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each document as a real (tiny) PNG: dimensions derive from
+    the document columns, color type alternates grayscale/RGB by doc_id
+    parity, pixel bytes come from the text."""
+    for pdf in batches:
+        payloads = [
+            png_encode(
+                int(n_chars) % PNG_W_MOD + 1,
+                int(doc_id) % PNG_H_MOD + 1,
+                0 if int(doc_id) % 2 == 0 else 2,
+                str(text).encode("utf-8"),
+            )
+            for doc_id, n_chars, text in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["text"]
+            )
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> real PNG binary payloads (Arrow-batched encode)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    return docs.mapInPandas(_build_png_assets, schema="doc_id long, payload binary")
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "mime": pdf["mime"],
-                "byte_len": payloads.map(len).astype("int32"),
-                "crc32": payloads.map(zlib.crc32).astype("int64"),
-                "sha1_8": payloads.map(
-                    lambda b: hashlib.sha1(b).hexdigest()[:8]
-                ),
-                "fake_width": payloads.map(
-                    lambda b: decode_image(b, fake=True)[0]
-                ).astype("int32"),
-                "fake_height": payloads.map(
-                    lambda b: decode_image(b, fake=True)[1]
-                ).astype("int32"),
-            }
+        feats = [png_decode_header(p) for p in pdf["payload"]]
+        mimes = [
+            "image/png" if bytes(p[:8]) == PNG_SIG else "application/octet-stream"
+            for p in pdf["payload"]
+        ]
+        out = pd.DataFrame(
+            feats, columns=["width", "height", "bit_depth", "color_type", "channels"]
         )
+        out.insert(0, "mime", mimes)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        for c in ("width", "height", "bit_depth", "color_type", "channels"):
+            out[c] = out[c].astype("int32")
+        yield out
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas``. Rows-only check for the pandas-side features; the
-    byte-accounting twin ``multimodal_meta`` is oracle-checked."""
-    assets = binary_assets(spark, sf_dir).select(
-        "doc_id", F.col("meta.mime").alias("mime"), "payload"
-    )
+    """ORACLE-CHECKED multimodal decode roundtrip: documents are encoded
+    as real PNG files (pure-stdlib writer), then ``_extract_features``
+    parses width/height/bit-depth/color-type/channels back out of the
+    actual header bytes (big-endian IHDR fields -- no image library
+    needed) plus signature-sniffed mime, Arrow-batched end to end. The
+    DuckDB twin recomputes the expected dimensions from the construction
+    formulas, closing the encode -> binary -> decode loop. Payload bytes
+    never leave the executor; both hops are ``mapInPandas`` over binary
+    columns -- the shape a real (library-backed) raster decode would
+    use at 100 TB."""
+    assets = png_assets(spark, sf_dir)
     return assets.mapInPandas(_extract_features, schema=FEATURE_SCHEMA).orderBy(
         "doc_id"
+    )
+
+
+MULTIMODAL_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       'image/png' AS mime,
+       CAST(n_chars % {PNG_W_MOD} + 1 AS INT) AS width,
+       CAST(doc_id % {PNG_H_MOD} + 1 AS INT) AS height,
+       8 AS bit_depth,
+       CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS color_type,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+FROM documents ORDER BY doc_id
+"""
+
+
+def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model documents as multimodal assets: payload = utf-8 bytes of the
+    text (stand-in for arbitrary opaque bytes), plus a typed metadata
+    struct. (:func:`png_assets` is the real-format sibling.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.col("n_chars").cast("int").alias("declared_len"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
     )
 
 
@@ -204,5 +308,5 @@ MULTIMODAL_QUERIES = {
 MULTIMODAL_ORACLES = {
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
-    # multimodal_features: rows-only (pandas-side features; decode stubbed)
+    "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
 }

@@ -86,6 +86,37 @@ def test_decode_image_stub_contract():
     assert (w, h) == decode_image(b"abc", fake=True)  # deterministic
 
 
+def test_png_writer_parser_roundtrip():
+    """The pure-stdlib PNG writer emits structurally valid files and the
+    header parser reads the IHDR fields back off the actual bytes."""
+    import struct
+    import zlib
+
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        PNG_SIG,
+        png_decode_header,
+        png_encode,
+    )
+
+    for w, h, ct, channels in [(5, 3, 2, 3), (1, 1, 0, 1), (64, 48, 0, 1)]:
+        b = png_encode(w, h, ct, b"pixel source bytes")
+        assert b[:8] == PNG_SIG
+        assert png_decode_header(b) == (w, h, 8, ct, channels)
+        # chunk CRCs valid + IDAT inflates to the filtered raster size
+        off, chunks = 8, {}
+        while off < len(b):
+            (ln,) = struct.unpack(">I", b[off : off + 4])
+            tag, data = b[off + 4 : off + 8], b[off + 8 : off + 8 + ln]
+            (crc,) = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])
+            assert crc == zlib.crc32(tag + data)
+            chunks[tag] = data
+            off += 12 + ln
+        assert zlib.decompress(chunks[b"IDAT"]) != b""
+        assert len(zlib.decompress(chunks[b"IDAT"])) == h * (1 + w * channels)
+    with pytest.raises(ValueError):
+        png_decode_header(b"not a png at all")
+
+
 def test_resize_and_frame_sample(spark):
     from spark_streaming_testbed_spark.operators.multimodal import (
         FRAMES_PER_ASSET,
