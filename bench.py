@@ -329,13 +329,10 @@ def main() -> None:
     # warmup: JVM + parquet footers
     entry.entry(spark).count()
 
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # JVM warmup + run-to-run variance: report the median of 3 runs
+    # scenario suite FIRST (VERDICT r2 item 7): the 20 query timings heat
+    # the JVM differently round to round, so the scenarios run before
+    # them under identical conditions, and the headline reports its
+    # min/median/max spread so contention skew is visible in the line.
     runs = sorted(scenario1_rows_per_sec(spark)[0] for _ in range(3))
     rows_per_sec = runs[1]
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
@@ -347,12 +344,39 @@ def main() -> None:
     timings["scenario4_ramp_rows_per_sec"] = round(
         scenario4_ramp_rows_per_sec(spark), 1)
 
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    from spark_streaming_testbed_spark.functions.hanoi import (
+        burn_us_per_record,
+    )
+
     out = {
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "
                   "profile, hanoi-7 kernel stats, 5s windows) + headline "
                   "query seconds",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
+        "value_spread": {
+            "min": round(runs[0], 1),
+            "median": round(runs[1], 1),
+            "max": round(runs[2], 1),
+        },
+        # measured per-record burn cost, comparable to the reference's
+        # 0.031 ms at n=7 (BASELINE.md:28) — proves the rows/s above is
+        # earned against an honest kernel, not a cheap one
+        "burn_us_per_record_n7": round(
+            min(burn_us_per_record(7) for _ in range(3)), 2),
+        "notes": (
+            "r3 recalibrated the burn kernel to the reference's measured "
+            "0.031 ms/record at n=7 (r1/r2 burned ~5x cheaper, inflating "
+            "scenario rows/s): scenario ratios vs BENCH_r02 reflect that "
+            "recalibration, not an engine regression; rows/s is now "
+            "apples-to-apples with BASELINE.md"
+        ),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }

