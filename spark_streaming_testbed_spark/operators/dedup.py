@@ -520,6 +520,7 @@ def _cc_star(edges: DataFrame, max_iter: int = 15) -> tuple[DataFrame, int]:
 
     prev = witness(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # large-star: symmetrize, take m = min(closed neighborhood), and
@@ -553,8 +554,22 @@ def _cc_star(edges: DataFrame, max_iter: int = 15) -> tuple[DataFrame, int]:
         edges = small.localCheckpoint(eager=True)
         cur = witness(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # exhausting max_iter without the (count, xor-hash) witness
+        # reaching a fixpoint means the edge set may not be stars yet —
+        # labels below could be silently wrong, so say so loudly
+        import warnings
+
+        warnings.warn(
+            f"_cc_star exited after max_iter={max_iter} rounds without "
+            "reaching the alternating-star fixpoint; component labels "
+            "may be incomplete — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(
         F.col("u").alias("v"), "label"
     )

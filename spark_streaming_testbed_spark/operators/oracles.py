@@ -65,10 +65,14 @@ FROM events
 ORDER BY event_id
 """
 
+# running sum accumulates in DECIMAL in both engines (exact, order-
+# independent) so the Spark side's two-phase re-association cannot
+# drift; one double cast before the 6 dp round.
 RELATIONAL_ORACLES["cumulative_counts"] = """
 SELECT event_id, event_type,
        count(*) OVER w AS running_cnt,
-       round(sum(value) OVER w, 6) AS running_sum
+       round(CAST(sum(CAST(value AS DECIMAL(28,9))) OVER w AS DOUBLE), 6)
+         AS running_sum
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -658,12 +662,20 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 ORDER BY gid, l_returnflag, l_linestatus
 """
 
+# numeric columns: native min/max through a shared explicit printf
+# format (+0.0 normalizes IEEE -0.0) — engine-default double->VARCHAR
+# casts diverge once scientific notation appears
 RELATIONAL_ORACLES["table_profile"] = "\nUNION ALL ".join(
     f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
     f"count(*) - count({c}) AS n_nulls, "
     f"count(DISTINCT {c}) AS n_distinct, "
-    f"min(CAST({c} AS VARCHAR)) AS min_s, "
-    f"max(CAST({c} AS VARCHAR)) AS max_s FROM events"
+    + (
+        f"printf('%.6f', min({c}) + CAST(0 AS DOUBLE)) AS min_s, "
+        f"printf('%.6f', max({c}) + CAST(0 AS DOUBLE)) AS max_s FROM events"
+        if c == "value"
+        else f"min(CAST({c} AS VARCHAR)) AS min_s, "
+             f"max(CAST({c} AS VARCHAR)) AS max_s FROM events"
+    )
     for c in ("event_id", "user_id", "event_type", "value", "props")
 ) + "\nORDER BY column_name"
 

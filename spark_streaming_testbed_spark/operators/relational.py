@@ -147,19 +147,67 @@ def unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cumulative_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-key cumulative sum ordered by time — rebuild of the
     stacked/accumulated counts of ``TestData.accCountsWithMissing``
-    (TestData.scala:155-168) as a window frame cumsum."""
+    (TestData.scala:155-168).
+
+    TWO-PHASE cumsum, not a single per-key window: ``event_type`` has ~5
+    distinct values, so ``partitionBy(event_type)`` alone would drag the
+    whole table through ≤5 window partitions — a serialization point at
+    100 TB. Instead rows are windowed within (event_type, day) — day is a
+    prefix of the (ts, event_id) sort order, so per-day running values
+    are correct — and the cross-day offsets come from a tiny per-(key,
+    day) partial-aggregate table (|keys|·|days| rows), prefix-summed and
+    broadcast back. Parallelism becomes |keys|·|days| instead of |keys|.
+    Sums accumulate in decimal (exact, order-independent) so the
+    re-association cannot drift against the oracle; one double cast at
+    the end."""
     events = _t(spark, sf_dir, "events")
-    w = (
+    base = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.to_date("ts").alias("bkt"),
+        F.col("value").cast("decimal(28,9)").alias("v"),
+    )
+    parts = base.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum("v").alias("p_sum"),
+    )
+    wb = (
         W.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = parts.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("p_cnt").over(wb), F.lit(0)).alias("off_cnt"),
+        F.coalesce(
+            F.sum("p_sum").over(wb), F.lit(0).cast("decimal(28,9)")
+        ).alias("off_sum"),
+    )
+    w = (
+        W.partitionBy("event_type", "bkt")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # window first, broadcast-join the offsets after: the offset columns
+    # ride only on the post-window rows instead of widening the shuffle
+    within = base.select(
+        "event_id",
+        "event_type",
+        "bkt",
+        F.count(F.lit(1)).over(w).alias("in_cnt"),
+        F.sum("v").over(w).alias("in_sum"),
+    )
     return (
-        events.select(
+        within.join(F.broadcast(offsets), ["event_type", "bkt"])
+        .select(
             "event_id",
             "event_type",
-            F.count(F.lit(1)).over(w).alias("running_cnt"),
-            F.round(F.sum("value").over(w), ROUND).alias("running_sum"),
+            (F.col("in_cnt") + F.col("off_cnt")).alias("running_cnt"),
+            F.round(
+                (F.col("in_sum") + F.col("off_sum")).cast("double"), ROUND
+            ).alias("running_sum"),
         )
         .orderBy("event_id")
     )
@@ -1314,16 +1362,34 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass); the wide single row is then unpivoted row-locally with
     stack(). No shuffle carries data — only the one-row partial aggs.
     count_distinct upgrades to approx_count_distinct at extreme
-    cardinalities; exact here so the oracle can hash it."""
+    cardinalities; exact here so the oracle can hash it.
+
+    Numeric (double) columns take NATIVE numeric min/max rendered with an
+    explicit shared printf format — engine-default double→string casts
+    disagree once values need scientific notation, and lexicographic
+    min of a string rendering is the wrong order for numbers anyway.
+    The ``+ 0.0`` normalizes IEEE −0.0, which Java prints signed and
+    DuckDB doesn't."""
     events = _t(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value", "props"]
+    num_cols = {"value"}
     aggs = []
     for c in cols:
+        if c in num_cols:
+            mn = F.expr(
+                f"format_string('%.6f', min({c}) + cast(0 as double))"
+            )
+            mx = F.expr(
+                f"format_string('%.6f', max({c}) + cast(0 as double))"
+            )
+        else:
+            mn = F.min(F.col(c).cast("string"))
+            mx = F.max(F.col(c).cast("string"))
         aggs += [
             F.count(c).alias(f"{c}__nn"),
             F.count_distinct(c).alias(f"{c}__nd"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+            mn.alias(f"{c}__mn"),
+            mx.alias(f"{c}__mx"),
         ]
     wide = events.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     stack = ", ".join(

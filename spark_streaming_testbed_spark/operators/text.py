@@ -1505,21 +1505,24 @@ WITH tok AS (SELECT doc_id, text, {TOKENS_SQL} AS tokens FROM documents),
 base AS (
   SELECT doc_id,
          len(tokens) AS n_tokens,
-         list_aggregate(
+         -- coalesce: list_aggregate('sum') is NULL on an empty list,
+         -- while the Spark side's aggregate() returns its 0.0 seed — a
+         -- zero-token document must score 0.0 in both engines
+         coalesce(list_aggregate(
            list_transform(list_distinct(tokens),
              t -> -(len(list_filter(tokens, x -> x = t)) * 1.0 / len(tokens))
                   * ln(len(list_filter(tokens, x -> x = t)) * 1.0
                        / len(tokens))),
-           'sum') AS tok_ent,
+           'sum'), 0.0) AS tok_ent,
          [{_LETTER_COUNTS_SQL}] AS lc
   FROM tok),
 lett AS (
   SELECT doc_id, n_tokens, tok_ent,
-         list_aggregate(list_transform(lc,
+         coalesce(list_aggregate(list_transform(lc,
            c -> CASE WHEN c > 0 THEN
                   -(c * 1.0 / list_aggregate(lc, 'sum'))
                   * ln(c * 1.0 / list_aggregate(lc, 'sum'))
-                ELSE 0.0 END), 'sum') AS let_ent
+                ELSE 0.0 END), 'sum'), 0.0) AS let_ent
   FROM base)
 SELECT doc_id, n_tokens,
        round(tok_ent, {ROUND}) AS token_entropy,

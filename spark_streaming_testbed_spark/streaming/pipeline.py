@@ -102,7 +102,11 @@ def streaming_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, not just a rows-only smoke."""
     plan = parse_plan(_FIXED_RAMP_PLAN_JSON)
     with tempfile.TemporaryDirectory(prefix="profile_stream_") as tmp:
-        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        # 4 s/file halves the trigger count vs r2's 2 s/file: the query's
+        # cost is fixed per-trigger overhead (file-stream replay + memory
+        # sink), not data volume, and the oracle result is trigger-count
+        # independent (complete-mode tumbling windows).
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=4)
         stats = windowed_stats(stream, window="5 seconds", by_stream=False)
         table = run_stream_to_table(stats, mode="complete")
         # memory sink is fully materialized once awaitTermination returns

@@ -11,6 +11,8 @@ state.
 
 from __future__ import annotations
 
+import os
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -177,38 +179,69 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="sfunnel_") as tmp:
         path = f"{tmp}/events_by_ts"
         # the file source replays files in MODIFICATION-TIME order, so the
-        # time chunks must be written sequentially (a single parallel
-        # range-write lands with arbitrary mtime order and would feed the
-        # funnel late ranges first); 5-day chunks, one append job each
-        chunk = ((F.dayofmonth("ts") - 1) / 5).cast("int")
-        for k in range(6):
+        # time chunks must land in event-time order. Chunk on an ABSOLUTE
+        # epoch-day expression (not dayofmonth, which folds month 2 day 1
+        # under month 1 day 1 and replays multi-month data out of order):
+        # bucket width is derived from the data's min/max span so any
+        # span yields ~N_CHUNKS triggers, and each chunk's files get
+        # explicit strictly-increasing mtimes — relying on write latency
+        # to separate timestamps makes replay order (and the in-order
+        # funnel) flaky on equal mtimes.
+        N_CHUNKS = 6
+        day = F.unix_date(F.to_date("ts"))
+        bounds = events.select(
+            F.min(day).alias("lo"), F.max(day).alias("hi")
+        ).first()
+        lo = 0 if bounds.lo is None else int(bounds.lo)
+        hi = lo if bounds.hi is None else int(bounds.hi)
+        width = max(1, -(-(hi - lo + 1) // N_CHUNKS))
+        chunk = F.floor((day - F.lit(lo)) / F.lit(width)).cast("long")
+        n_chunks = (hi - lo) // width + 1
+        os.makedirs(path, exist_ok=True)
+        t_base = time.time()
+        seen: set[str] = set()
+        for i in range(n_chunks):
             (
-                events.where(chunk == k)
+                events.where(chunk == F.lit(i))
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(path)
             )
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(path)
-        )
-        updates = stream.groupBy("user_id").applyInPandasWithState(
-            _update_funnel,
-            outputStructType=FUNNEL_OUTPUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        name = f"sfunnel_{uuid.uuid4().hex[:8]}"
-        q = (
-            updates.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            for fname in os.listdir(path):
+                if fname.endswith(".parquet") and fname not in seen:
+                    full = os.path.join(path, fname)
+                    os.utime(full, (t_base + i, t_base + i))
+                    seen.add(fname)
+        # per-trigger cost is dominated by the stateful shuffle's task
+        # count, not data: run the micro-batches at a narrow partition
+        # width (state is two longs per user; at scale this knob comes
+        # from the checkpoint, not the session default)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            updates = stream.groupBy("user_id").applyInPandasWithState(
+                _update_funnel,
+                outputStructType=FUNNEL_OUTPUT_SCHEMA,
+                stateStructType=FUNNEL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"sfunnel_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         final = spark.table(name).groupBy("user_id").agg(
             F.max("stage").alias("stage")
         )

@@ -881,3 +881,40 @@ def test_contamination_overlap_bounds_and_decontaminate_consistency(spark):
     hit_docs = {r.doc_id: r.n_hits for r in rows}
     for d in decontaminate(spark, SF_SMOKE).collect():
         assert hit_docs.get(d.doc_id) == d.n_hits
+
+
+def test_entropy_signals_degenerate_docs_match_oracle(spark, tmp_path):
+    """A zero-token and a letterless document must score 0.0 entropy in
+    BOTH engines (Spark's aggregate() returns its 0.0 seed; the DuckDB
+    twin coalesces list_aggregate's empty-list NULL) — the degenerate
+    path the shipped corpus never exercises."""
+    import duckdb
+
+    from spark_streaming_testbed_spark.operators.text import (
+        ENTROPY_SIGNALS_ORACLE,
+        entropy_signals,
+    )
+
+    rows = [
+        (0, "", "en", "web", 0),
+        (1, "12345 678 90", "en", "web", 12),  # tokens but no letters
+        (2, "normal text with words", "en", "web", 22),
+    ]
+    sf_dir = str(tmp_path / "sf_degenerate")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = entropy_signals(spark, sf_dir).orderBy("doc_id")
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    orows = [tuple(r) for r in con.execute(ENTROPY_SIGNALS_ORACLE).fetchall()]
+    con.close()
+    assert srows == orows
+    assert srows[0][2] == 0.0 and srows[0][3] == 0.0  # empty doc
+    assert srows[1][3] == 0.0  # letterless doc
