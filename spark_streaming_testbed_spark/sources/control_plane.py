@@ -26,6 +26,27 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from ..plans.phases import TestPlan, parse_plan
 
 
+def plan_spec(obj) -> dict:
+    """Recursively serialize a parsed plan/phase dataclass to a JSON-safe
+    dict with a ``type`` discriminator — what ``GET /`` reports as the
+    running plan (the Play index page's analog,
+    testbed/app/controllers/Application.scala:13-16, conf/routes:6)."""
+    import dataclasses
+
+    out: dict = {"type": type(obj).__name__}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, list):
+            v = [
+                plan_spec(x) if dataclasses.is_dataclass(x) else x
+                for x in v
+            ]
+        elif dataclasses.is_dataclass(v):
+            v = plan_spec(v)
+        out[f.name] = v
+    return out
+
+
 class ControlPlaneServer:
     """Threaded HTTP endpoint accepting test plans (see module docstring)."""
 
@@ -59,6 +80,9 @@ class ControlPlaneServer:
                     "plans_received": outer.plans_received,
                     "current_plan_duration": (
                         plan.duration if plan is not None else None
+                    ),
+                    "current_plan": (
+                        plan_spec(plan) if plan is not None else None
                     ),
                 }
                 self._reply(200, json.dumps(summary))

@@ -52,6 +52,18 @@ def test_post_plan_hocon_and_json_roundtrip():
             summary = json.loads(resp.read())
         assert summary["plans_received"] == 2
         assert summary["current_plan_duration"] == 5
+        # GET / reports the running plan itself as JSON (Play index parity)
+        assert summary["current_plan"]["type"] == "TestPlan"
+        assert summary["current_plan"]["phases"][0]["type"] == "NoopPhase"
+        assert summary["current_plan"]["phases"][0]["duration"] == 5
+
+        # and the full POST -> GET roundtrip for a data-bearing plan
+        _post(f"{base}/postPlan", HOCON_PLAN)
+        with urllib.request.urlopen(base + "/", timeout=5) as resp:
+            summary = json.loads(resp.read())
+        fixed = summary["current_plan"]["phases"][0]
+        assert fixed["type"] == "FixedPhase"
+        assert (fixed["value"], fixed["rate"], fixed["duration"]) == (7, 50, 2)
     finally:
         server.close()
 
