@@ -153,3 +153,29 @@ def test_entropy_signals_zero_compute_shuffles(spark):
     # entropy math itself is row-local (the zero-shuffle claim)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "HashAggregate" not in plan
+
+
+def test_cumulative_counts_two_phase_shape(spark):
+    """The cumsum must not serialize on the ~5-value event_type alone:
+    the data window partitions on (event_type, day-bucket) and the
+    cross-bucket offsets arrive via a broadcast join."""
+    plan = plan_of(R.cumulative_counts(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the big-side window partition spec carries the day bucket
+    assert "bkt" in plan
+
+
+def test_ann_ivf_assignment_is_codegen_not_udf(spark):
+    """IVF corpus list-assignment must stay JVM-side against centroid
+    literals — a Python UDF here would put every corpus row through
+    Arrow at 100 TB. (The only accepted Python is none at all: probes
+    and scoring are built-ins too.)"""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    plan = plan_of(ann_ivf_topk(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # probes are the broadcast side
