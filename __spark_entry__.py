@@ -47,6 +47,10 @@ from spark_streaming_testbed_spark.sources.rs_tcp import (
     RS_TCP_ORACLES,
     RS_TCP_QUERIES,
 )
+from spark_streaming_testbed_spark.sources.warehouse import (
+    WAREHOUSE_ORACLES,
+    WAREHOUSE_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -118,6 +122,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **CONGESTION_QUERIES,
     **RS_TCP_QUERIES,
     **ADVANCED_QUERIES,
+    **WAREHOUSE_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -131,6 +136,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **CONGESTION_ORACLES,
     **RS_TCP_ORACLES,
     **ADVANCED_ORACLES,
+    **WAREHOUSE_ORACLES,
 }
 
 

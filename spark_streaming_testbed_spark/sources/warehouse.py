@@ -78,3 +78,110 @@ def compact(
         df, dst, partition_cols, max_records_per_file=max_records_per_file
     )
     return spark.read.parquet(dst)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (the pre-shuffled warehouse layout)
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = N_BUCKETS
+) -> None:
+    """Persist ``df`` as a bucketed+sorted table: rows are hash-assigned
+    to ``n_buckets`` files per write task by ``bucket_col`` and sorted
+    within each bucket. A join between two tables bucketed the same way
+    on the same key needs NO exchange on either side — at 100 TB the
+    shuffle is paid once at write time and amortized over every
+    subsequent join, the classic warehouse co-location contract."""
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per session per sf) bucketed twins of orders and
+    lineitem keyed on the order key; returns their table names."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..session import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lineitem = f"wh_b_{tag}_orders", f"wh_b_{tag}_lineitem"
+    # the session catalog is in-memory but the warehouse directory
+    # persists: a table absent from the catalog with a leftover location
+    # from an earlier process must be cleared before saveAsTable
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lineitem):
+        loc = os.path.join(wh, t)
+        if not spark.catalog.tableExists(t) and os.path.exists(loc):
+            shutil.rmtree(loc)
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            t_orders,
+            "o_orderkey",
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_lineitem,
+            "l_orderkey",
+        )
+    return t_orders, t_lineitem
+
+
+def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED bucketed co-located join: orders ⋈ lineitem on the
+    order key with BOTH sides pre-bucketed on the join key, so the join
+    plan carries no hash-partition exchange (pinned by
+    ``tests/test_plans.py::test_bucketed_join_has_no_exchange``) —
+    Spark's answer to the reference's per-stream pre-partitioning
+    (SURVEY §2.4 J1) lifted to the warehouse layout, and the shape that
+    turns the biggest TPC-H-style shuffle into a local merge at 100 TB.
+    Revenue aggregates in integer cents (exact, engine-portable)."""
+    t_orders, t_lineitem = _ensure_bucketed_pair(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem).select(
+        "l_orderkey",
+        (
+            F.expr("cast(round(l_extendedprice * 100) as bigint)")
+            * (F.lit(100) - F.expr("cast(round(l_discount * 100) as bigint)"))
+        ).alias("rev_c4"),
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round((F.sum("rev_c4") / F.lit(10000.0)), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_STATS_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+WAREHOUSE_QUERIES = {"bucketed_join_stats": bucketed_join_stats}
+WAREHOUSE_ORACLES = {"bucketed_join_stats": BUCKETED_JOIN_STATS_ORACLE}

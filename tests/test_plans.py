@@ -179,3 +179,26 @@ def test_ann_ivf_assignment_is_codegen_not_udf(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # probes are the broadcast side
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both join sides are bucketed on the join key, so the join must
+    plan as a sort-merge with ZERO hash-partition exchanges — the
+    co-located warehouse contract. Broadcast is disabled for the assert:
+    at smoke scale Spark prefers broadcasting the tiny orders side
+    (also shuffle-free), but at 100 TB neither side broadcasts and the
+    bucket layout is what saves the shuffle."""
+    from spark_streaming_testbed_spark.sources.warehouse import (
+        bucketed_join_stats,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(bucketed_join_stats(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in plan
