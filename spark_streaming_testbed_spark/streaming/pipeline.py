@@ -352,6 +352,86 @@ def _stateful_oracle() -> str:
     return STREAMING_STATEFUL_TOTALS_ORACLE
 
 
+_SSJ_PLAN_A = (
+    '{"sequence": [{"type": "fixed", "value": 1, "rate": 40, "duration": 2},'
+    ' {"type": "fixed", "value": 2, "rate": 40, "duration": 2}]}'
+)
+_SSJ_PLAN_B = (
+    '{"sequence": [{"type": "fixed", "value": 3, "rate": 50, "duration": 2},'
+    ' {"type": "fixed", "value": 2, "rate": 50, "duration": 2}]}'
+)
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED stream-stream inner join: two live profile streams
+    (watermarked both sides) joined on value within a 1 s event-time
+    bound — the capability tier above the reference's single-stream
+    pipeline (T9 stretch; batch==stream equality separately proved in
+    ``tests/test_stream_stream_join.py``). The joined pairs roll up into
+    per-(value, left-second, right-second) counts; the DuckDB twin
+    re-derives both generators' 10 ms bucket arithmetic in SQL and joins
+    the row sets directly.
+
+    Scale shape: the time bound lets the state store evict rows once the
+    watermark passes lts + 1 s — bounded state, the only shape that
+    survives unbounded streams."""
+    plan_a, plan_b = parse_plan(_SSJ_PLAN_A), parse_plan(_SSJ_PLAN_B)
+    with tempfile.TemporaryDirectory(prefix="ssj_") as tmp:
+        sa = profile_stream(spark, plan_a, tmp, stream_id=0, seconds_per_file=4)
+        sb = profile_stream(spark, plan_b, tmp, stream_id=1, seconds_per_file=4)
+        left = sa.withWatermark("ts", "10 seconds").select(
+            F.col("ts").alias("lts"), F.col("value").alias("v")
+        )
+        right = sb.withWatermark("ts", "10 seconds").select(
+            F.col("ts").alias("rts"), F.col("value").alias("rv")
+        )
+        joined = left.join(
+            right,
+            (left.v == right.rv)
+            & (right.rts >= left.lts)
+            & (right.rts <= left.lts + F.expr("interval 1 second")),
+        ).select("v", "lts", "rts")
+        # per-trigger cost is the stateful join's task count, not data —
+        # run the micro-batches at a narrow shuffle width (cf.
+        # streaming_funnel; at scale this knob lives in the checkpoint)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            table = run_stream_to_table(joined, mode="append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.table(table)
+            .groupBy(
+                "v",
+                F.col("lts").cast("long").alias("l_sec"),
+                F.col("rts").cast("long").alias("r_sec"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("v", "l_sec", "r_sec")
+        )
+
+
+STREAMING_STREAM_JOIN_ORACLE = f"""
+WITH a AS (
+  SELECT {DEFAULT_EPOCH_MS} + (s + 2) * 1000 + i * 10 AS lms, 2 AS v
+  FROM (SELECT unnest(range(2)) AS s), (SELECT unnest(range(100)) AS i),
+       (SELECT unnest(range(40)) AS j)
+  WHERE j < CAST(floor((i + 1) * 0.4) AS INT) - CAST(floor(i * 0.4) AS INT)
+), b AS (
+  SELECT {DEFAULT_EPOCH_MS} + (s + 2) * 1000 + i * 10 AS rms, 2 AS v
+  FROM (SELECT unnest(range(2)) AS s), (SELECT unnest(range(100)) AS i),
+       (SELECT unnest(range(50)) AS j)
+  WHERE j < CAST(floor((i + 1) * 0.5) AS INT) - CAST(floor(i * 0.5) AS INT)
+), p AS (
+  SELECT a.v, a.lms, b.rms
+  FROM a JOIN b ON a.v = b.v AND b.rms >= a.lms AND b.rms <= a.lms + 1000)
+SELECT v, lms // 1000 AS l_sec, rms // 1000 AS r_sec,
+       count(*) AS n_pairs
+FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES = {
     "streaming_profile_stats": streaming_profile_stats,
     "streaming_multi_source_union": streaming_multi_source_union,
@@ -360,6 +440,7 @@ STREAMING_QUERIES = {
     "streaming_dedup": streaming_dedup,
     "streaming_decontaminate": streaming_decontaminate,
     "streaming_funnel": _stateful_funnel_query,
+    "streaming_stream_join": streaming_stream_join,
 }
 
 STREAMING_ORACLES = {
@@ -368,6 +449,7 @@ STREAMING_ORACLES = {
     "hanoi_load_stats": HANOI_LOAD_STATS_ORACLE,
     "streaming_stateful_totals": _stateful_oracle(),
     "streaming_dedup": STREAMING_DEDUP_ORACLE,
+    "streaming_stream_join": STREAMING_STREAM_JOIN_ORACLE,
     "streaming_decontaminate": _streaming_decontaminate_oracle(),
     # batch==stream equality: the stateful funnel shares the batch oracle
     "streaming_funnel": _streaming_funnel_oracle(),
