@@ -200,7 +200,9 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
                     reader.option("rate_limit", 20_000)
                     .option("control_file", ctrl)
                 )
-            stream = reader.load()
+            stream = reader.load().repartition(
+                spark.sparkContext.defaultParallelism
+            )
             stats = (
                 stream.withColumn("us", hanoi_burn_us("value"))
                 .groupBy(F.window("ts", "5 seconds").alias("w"), "value")
@@ -264,6 +266,10 @@ def scenario3_reactive_rows_per_sec(spark) -> float:
         .option("plan", plan_json)
         .option("seconds_per_batch", 5)
         .load()
+        # the simple stream reader admits each trigger as ONE partition
+        # (single ingest point, like the reference's receiver socket);
+        # fan the micro-batch out across cores before the CPU kernel
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     stats = (
         stream.withColumn("us", hanoi_burn_us("value"))

@@ -281,21 +281,16 @@ def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [[float(v) for v in c] for c in C]
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: a deterministic k-means coarse quantizer
-    (:func:`_ivf_fit_centroids`) partitions the corpus into inverted
-    lists; each query probes only its ``IVF_NPROBE`` nearest centroids'
-    lists. The 100 TB path: the corpus is scanned once, list assignment
-    is a row-local codegen expression against centroid literals folded
-    into the plan (no broadcast variable, no UDF), and query work scales
-    with probed-list size, not corpus size. Oracle-checked: the DuckDB
-    twin re-derives the identical centroids with unrolled Lloyd CTEs, so
-    the approximate candidate set is deterministic; the exact twin
-    ``cosine_topk`` provides the recall ground truth."""
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → inverted-list assignment against the deterministic
+    quantizer: every vector gains ``list_id`` (argmin squared-L2 to the
+    centroid literals, ties to the smallest id) plus the ``_dists``
+    array, all row-local codegen — the shared front half of
+    :func:`ann_ivf_topk` and :func:`semantic_dup_pairs`."""
     cents = _ivf_fit_centroids(spark, sf_dir)
     cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = (
+    return (
         emb.select("vec_id", "embedding")
         .withColumn("_cents", cent_lit)
         .withColumn(
@@ -312,6 +307,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
         )
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a deterministic k-means coarse quantizer
+    (:func:`_ivf_fit_centroids`) partitions the corpus into inverted
+    lists; each query probes only its ``IVF_NPROBE`` nearest centroids'
+    lists. The 100 TB path: the corpus is scanned once, list assignment
+    is a row-local codegen expression against centroid literals folded
+    into the plan (no broadcast variable, no UDF), and query work scales
+    with probed-list size, not corpus size. Oracle-checked: the DuckDB
+    twin re-derives the identical centroids with unrolled Lloyd CTEs, so
+    the approximate candidate set is deterministic; the exact twin
+    ``cosine_topk`` provides the recall ground truth."""
+    assigned = ivf_assign(spark, sf_dir)
     queries = (
         assigned.where(F.col("vec_id") < N_QUERIES)
         .withColumn(
@@ -418,6 +427,65 @@ def _ann_ivf_oracle() -> str:
 
 
 ANN_IVF_TOPK_ORACLE = _ann_ivf_oracle()
+
+
+SEMDEDUP_THRESHOLD = 0.4  # same bar as the exact detector, for comparability
+
+
+def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidates (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public arXiv:2303.09540): cluster the
+    corpus with the deterministic coarse quantizer, then compare
+    embeddings ONLY within their cluster; pairs with cosine ≥ threshold
+    are semantic dups (keep-policy: retain the min vec_id — the
+    keep-first convention used across this repo's dedup family).
+
+    Scale shape: the O(n²) cosine blow-up is confined to within-cluster
+    blocks — exactly the SemDeDup contract (k grows with the corpus so
+    per-cluster sizes stay bounded); the cluster assignment itself is
+    row-local codegen (:func:`ivf_assign`). The exact global twin
+    ``dedup_embedding_pairs`` is the recall ground truth: every pair
+    here appears there (cluster-locality only removes candidates)."""
+    assigned = ivf_assign(spark, sf_dir).select(
+        "vec_id", "embedding", "list_id"
+    )
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "list_id", "id_a", "id_b",
+            F.round(_cosine("ea", "eb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .orderBy("list_id", "id_a", "id_b")
+    )
+
+
+# the oracle reuses the generated Lloyd-fit CTE chain verbatim: split the
+# IVF oracle at its probes CTE — everything before it is the fit +
+# corpus-assignment prefix ending in `assigned(vec_id, emb, list_id)`
+_IVF_FIT_PREFIX_SQL = ANN_IVF_TOPK_ORACLE.split(",\nprobes AS (")[0]
+
+SEMANTIC_DUP_PAIRS_ORACLE = f"""{_IVF_FIT_PREFIX_SQL},
+pairs AS (
+  SELECT CAST(a.list_id AS INT) AS list_id,
+         a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM assigned a JOIN assigned b USING (list_id)
+  WHERE a.vec_id < b.vec_id)
+SELECT list_id, id_a, id_b, cosine FROM pairs
+WHERE cosine >= {SEMDEDUP_THRESHOLD}
+ORDER BY list_id, id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +717,7 @@ SIMILARITY_QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "semantic_dup_pairs": semantic_dup_pairs,
 }
 
 SIMILARITY_ORACLES = {
@@ -662,4 +731,5 @@ SIMILARITY_ORACLES = {
     # the ANN paths are checkable
     "ann_lsh_topk": ANN_LSH_TOPK_ORACLE,
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
+    "semantic_dup_pairs": SEMANTIC_DUP_PAIRS_ORACLE,
 }

@@ -918,3 +918,25 @@ def test_entropy_signals_degenerate_docs_match_oracle(spark, tmp_path):
     assert srows == orows
     assert srows[0][2] == 0.0 and srows[0][3] == 0.0  # empty doc
     assert srows[1][3] == 0.0  # letterless doc
+
+
+def test_semantic_dup_pairs_subset_of_exact(spark):
+    """SemDeDup candidates are cluster-local, so every pair must appear
+    in the exact global detector's output with the identical cosine
+    (cluster-locality only removes candidates, never invents them)."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        dedup_embedding_pairs,
+    )
+    from spark_streaming_testbed_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_pairs(spark, SF_SMOKE).collect()
+    }
+    sem = semantic_dup_pairs(spark, SF_SMOKE).collect()
+    assert sem, "semantic dup pairs should exist at smoke scale"
+    for r in sem:
+        assert (r.id_a, r.id_b) in exact
+        assert abs(exact[(r.id_a, r.id_b)] - r.cosine) < 1e-9
