@@ -145,7 +145,9 @@ _EXTRA_ORACLES: dict[str, str] = {
 # a driver row in rounds 1-2 (they were green only under the local
 # tools/check_oracle.py replica) come first, then 17 regression slots for
 # the family flagships that anchored rounds 1-2. Union of all rounds'
-# CORRECTNESS files then covers every one of the 131 registry entries.
+# CORRECTNESS files then covers every one of the 131 pre-r3 registry
+# entries. NEW in r3 (rotate into the r4 window): bucketed_join_stats,
+# streaming_stream_join, semantic_dup_pairs.
 _FIRST_WINDOW: list[str] = [
     # --- never-driver-checked until round 3 (33) ---
     # relational tail
