@@ -146,8 +146,11 @@ _EXTRA_ORACLES: dict[str, str] = {
 # tools/check_oracle.py replica) come first, then 17 regression slots for
 # the family flagships that anchored rounds 1-2. Union of all rounds'
 # CORRECTNESS files then covers every one of the 131 pre-r3 registry
-# entries. NEW in r3 (rotate into the r4 window): bucketed_join_stats,
-# streaming_stream_join, semantic_dup_pairs.
+# entries. The three operators ADDED in r3 (bucketed_join_stats,
+# streaming_stream_join, semantic_dup_pairs) take three of the
+# regression slots so they land under the hard signal immediately —
+# the flagships they displace (tpch_q1, token_stats, multimodal_meta)
+# already carry prior-round driver rows.
 _FIRST_WINDOW: list[str] = [
     # --- never-driver-checked until round 3 (33) ---
     # relational tail
@@ -198,12 +201,12 @@ _FIRST_WINDOW: list[str] = [
     "dedup_clusters",
     "cosine_topk",
     "ann_lsh_topk",
-    "token_stats",
-    "multimodal_meta",
+    "bucketed_join_stats",
+    "streaming_stream_join",
     "loglake_execution_roundtrip",
     "profile_fixed_ramp",
     "streaming_profile_stats",
-    "tpch_q1",
+    "semantic_dup_pairs",
     "tpch_q12",
     "congestion_drop_accounting",
     "rs_tcp_roundtrip",
