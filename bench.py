@@ -339,6 +339,7 @@ def main() -> None:
     # the JVM differently round to round, so the scenarios run before
     # them under identical conditions, and the headline reports its
     # min/median/max spread so contention skew is visible in the line.
+    scenario1_rows_per_sec(spark)  # untimed warmup: UDF worker spin-up
     runs = sorted(scenario1_rows_per_sec(spark)[0] for _ in range(3))
     rows_per_sec = runs[1]
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS

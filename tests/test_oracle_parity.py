@@ -52,9 +52,13 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) >= 2
 
 
+# one hard-signal representative per operator family in the CURRENT
+# driver window (the window rotates per round; displaced flagships keep
+# their prior-round driver rows): dedup x3, similarity x2, text,
+# multimodal, loglake, streaming, profile-generator, relational
 FAMILY_FLAGSHIPS = {
     "minhash_signatures", "lsh_near_dup_pairs", "dedup_clusters",
-    "cosine_topk", "ann_lsh_topk", "token_stats", "multimodal_meta",
+    "cosine_topk", "ann_lsh_topk", "lang_id", "multimodal_features",
     "loglake_execution_roundtrip", "streaming_profile_stats",
     "profile_fixed_ramp", "tpch_q12",
 }
