@@ -82,6 +82,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": R.tpch_q18,
     "order_priority_count": R.order_priority_count,
     "skew_salted_agg": R.skew_salted_agg,
+    "skew_salted_join": R.skew_salted_join,
     "value_percentiles": R.value_percentiles,
     "approx_percentiles": R.approx_percentiles,
     "cube_agg": R.cube_agg,

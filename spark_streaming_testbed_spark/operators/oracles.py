@@ -275,6 +275,14 @@ SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_v
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+RELATIONAL_ORACLES["skew_salted_join"] = """
+SELECT e.user_id, c.c_name,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_v
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1
+"""
+
 RELATIONAL_ORACLES["value_percentiles"] = """
 SELECT event_type,
        round(quantile_cont(value, 0.25), 6) AS p25,

@@ -582,6 +582,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_N = 16
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN — the join-side companion of
+    :func:`skew_salted_agg`, proven result-identical to the plain join
+    by the oracle.
+
+    events.user_id is hot (~150 distinct keys over the whole fact
+    table), so a plain shuffle join lands each hot key on ONE reducer.
+    The general fix when the dimension is too big to broadcast: salt the
+    FACT side deterministically (``pmod(xxhash64(event_id), S)``) and
+    explode the DIM side ×S, joining on (key, salt) — every hot key's
+    rows spread across S reducers, at the cost of S dim copies (still
+    ≪ fact). AQE's skew-join handles sort-merge cases adaptively
+    (``tests/test_scale_patterns.py``); the explicit salt is the
+    deterministic tool that also works under AQE-hostile shapes.
+    Plan gate: tests/test_plans.py::test_salted_join_spreads_hot_keys."""
+    events = _t(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_N)).cast("int")
+    )
+    dim_x = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_N)]))
+    )
+    return (
+        salted.join(dim_x, ["user_id", "salt"])
+        .groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND).alias("sum_v"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per key (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, both R-7). The documented scale path swaps

@@ -202,3 +202,18 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """Under disabled broadcast, the salted join must shuffle on
+    (user_id, salt) — the hot keys' rows spread across reducers — and
+    the dim side must carry the explode."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(R.skew_salted_join(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_keys = plan.split("Left keys")[1].split("\n")[0] if "Left keys" in plan else ""
+    assert "salt" in join_keys and "user_id" in join_keys
+    assert "Generate" in plan  # the dim-side explode
