@@ -382,7 +382,12 @@ def main() -> None:
             "0.031 ms/record at n=7 (r1/r2 burned ~5x cheaper, inflating "
             "scenario rows/s): scenario ratios vs BENCH_r02 reflect that "
             "recalibration, not an engine regression; rows/s is now "
-            "apples-to-apples with BASELINE.md"
+            "apples-to-apples with BASELINE.md. cumulative_counts was "
+            "rewritten as a two-phase (key, day)-bucketed cumsum — "
+            "parallelism |keys|*|days| instead of the 5 event_type "
+            "partitions — which adds one extra tiny-sf scan (warm runs "
+            "are at parity with r2; the shape is the one that survives "
+            "100 TB)"
         ),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],

@@ -18,6 +18,10 @@ SAMPLE = [
     "lsh_near_dup_pairs",
     "profile_fixed_ramp",
     "multimodal_features",
+    "ann_ivf_topk",        # deterministic Lloyd fit
+    "semantic_dup_pairs",  # cluster-local pairs off the same fit
+    "skew_salted_join",    # salt is hash-derived, not random
+    "bucketed_join_stats", # bucketed table rewrite must be idempotent
 ]
 
 
