@@ -147,11 +147,12 @@ _EXTRA_ORACLES: dict[str, str] = {
 # tools/check_oracle.py replica) come first, then 17 regression slots for
 # the family flagships that anchored rounds 1-2. Union of all rounds'
 # CORRECTNESS files then covers every one of the 131 pre-r3 registry
-# entries. The three operators ADDED in r3 (bucketed_join_stats,
-# streaming_stream_join, semantic_dup_pairs) take three of the
-# regression slots so they land under the hard signal immediately —
-# the flagships they displace (tpch_q1, token_stats, multimodal_meta)
-# already carry prior-round driver rows.
+# entries. The four operators ADDED in r3 (bucketed_join_stats,
+# streaming_stream_join, semantic_dup_pairs, skew_salted_join) take
+# four of the regression slots so they land under the hard signal
+# immediately — the flagships they displace (tpch_q1, token_stats,
+# multimodal_meta, streaming_stateful_totals) already carry
+# prior-round driver rows.
 _FIRST_WINDOW: list[str] = [
     # --- never-driver-checked until round 3 (33) ---
     # relational tail
@@ -211,7 +212,7 @@ _FIRST_WINDOW: list[str] = [
     "tpch_q12",
     "congestion_drop_accounting",
     "rs_tcp_roundtrip",
-    "streaming_stateful_totals",
+    "skew_salted_join",
     "hanoi_load_stats",
 ]
 
