@@ -30,6 +30,10 @@ from spark_streaming_testbed_spark.operators.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
 )
+from spark_streaming_testbed_spark.operators.sketches import (
+    SKETCH_ORACLES,
+    SKETCH_QUERIES,
+)
 from spark_streaming_testbed_spark.operators.text import TEXT_ORACLES, TEXT_QUERIES
 from spark_streaming_testbed_spark.streaming.congestion import (
     CONGESTION_ORACLES,
@@ -124,6 +128,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **RS_TCP_QUERIES,
     **ADVANCED_QUERIES,
     **WAREHOUSE_QUERIES,
+    **SKETCH_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -138,6 +143,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **RS_TCP_ORACLES,
     **ADVANCED_ORACLES,
     **WAREHOUSE_ORACLES,
+    **SKETCH_ORACLES,
 }
 
 

@@ -1,0 +1,95 @@
+"""Algorithm-level invariants for the sketch operators (sketches.py).
+
+The registry-wide oracle parity test already proves end-to-end
+equality with DuckDB; these tests pin the *guarantees* the two-phase
+designs rely on: Misra-Gries never loses an above-threshold item, and
+the Bloom filter never rejects a member.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spark_streaming_testbed_spark.operators.sketches import (
+    HH_K,
+    _bloom_build,
+    _bloom_probe,
+    _mg_partition,
+    heavy_hitters,
+)
+from spark_streaming_testbed_spark.operators.text import with_tokens
+from spark_streaming_testbed_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _mg_summary(tokens: list[str], batch: int = 97) -> dict[str, int]:
+    batches = (
+        pd.DataFrame({"token": tokens[i : i + batch]})
+        for i in range(0, len(tokens), batch)
+    )
+    out = next(_mg_partition(batches))
+    return {
+        t: int(e)
+        for t, e in zip(out["token"], out["est"])
+        if t is not None
+    }
+
+
+def test_mg_no_false_negatives_on_zipf_stream():
+    # Zipf-ish adversarial stream: token i appears ~N/(i+1) times,
+    # shuffled deterministically so heavy items interleave with tail
+    rng = np.random.RandomState(7)
+    tokens: list[str] = []
+    for i in range(2000):
+        tokens += [f"t{i}"] * max(1, 4000 // (i + 1))
+    order = rng.permutation(len(tokens))
+    tokens = [tokens[i] for i in order]
+    n = len(tokens)
+    exact = pd.Series(tokens).value_counts()
+    summary = _mg_summary(tokens)
+    # guarantee: every token with count > n / HH_K survives the summary
+    for tok, cnt in exact.items():
+        if cnt * HH_K > n:
+            assert tok in summary, f"{tok} (count {cnt}) lost by MG"
+    # and the summary stays within its counter budget (plus merge slack)
+    assert len(summary) <= 2 * HH_K
+
+
+def test_mg_partition_total_row_is_exact():
+    tokens = ["a"] * 10 + ["b"] * 5 + ["c"]
+    batches = iter([pd.DataFrame({"token": tokens})])
+    out = next(_mg_partition(batches))
+    total = out[out["token"].isna()]["est"]
+    assert len(total) == 1 and int(total.iloc[0]) == 16
+
+
+def test_bloom_has_no_false_negatives_and_few_false_positives():
+    rng = np.random.RandomState(11)
+    members = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
+    others = rng.randint(-(2**62), 2**62, size=20000, dtype=np.int64)
+    others = others[~np.isin(others, members)]
+    bits, m = _bloom_build(members)
+    assert _bloom_probe(bits, m, members).all(), "bloom false negative"
+    fp = _bloom_probe(bits, m, others).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f} too high for 10 b/elem"
+
+
+def test_heavy_hitters_matches_direct_exact(spark):
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    toks = with_tokens(load_table(spark, SF_SMOKE, "documents")).select(
+        F.explode("tokens").alias("token")
+    )
+    n = toks.count()
+    exact = {
+        (r.token, r.cnt)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * HH_K > n)
+        .collect()
+    }
+    assert got == exact and len(got) > 0
