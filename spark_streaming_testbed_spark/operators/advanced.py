@@ -540,3 +540,219 @@ FROM lags
 
 ADVANCED_QUERIES["conversion_lag"] = conversion_lag
 ADVANCED_ORACLES["conversion_lag"] = CONVERSION_LAG_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (previous event_type -> next event_type) pair observed within a
+    user's time-ordered stream, the transition count and the row-
+    normalized probability — the behavioral model behind next-action
+    prediction and bot detection.
+
+    Scale shape: one lag window partitioned BY USER (thousands of small
+    partitions, never a global sort), then a 25-row aggregate; the
+    probability normalization is a window over the tiny transition
+    matrix itself. Deterministic: (ts, event_id) orders every stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p",
+            F.round(F.col("cnt") / F.sum("cnt").over(wp), 6),
+        )
+        .select("prev_type", "next_type", "cnt", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+MARKOV_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, next_type, count(*) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, cnt,
+       round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs ORDER BY prev_type, next_type
+"""
+
+ADVANCED_QUERIES["markov_transitions"] = markov_transitions
+ADVANCED_ORACLES["markov_transitions"] = MARKOV_TRANSITIONS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over the per-minute event rate
+# ---------------------------------------------------------------------------
+
+ANOMALY_LOOKBACK = 10   # trailing minutes in the baseline window
+ANOMALY_Z = 2.0         # |z| flag threshold
+
+
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detector: the per-minute event count compared to a
+    trailing ``ANOMALY_LOOKBACK``-minute baseline (mean/stddev over the
+    PRECEDING minutes only — the current minute never contaminates its
+    own baseline), flagging minutes whose z-score exceeds ``ANOMALY_Z``.
+    The monitoring query every ingest pipeline runs on itself.
+
+    Scale shape: the raw stream collapses to one row per minute FIRST
+    (hash aggregate, linear), so the window runs over the tiny minute
+    series — a year is ~526k rows regardless of data volume. Minutes
+    with no events are absent (rate 0 needs a calendar spine — out of
+    scope, documented). Windows need >= 2 baseline minutes for a
+    defined stddev; earlier minutes report NULL z and never flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        (
+            F.floor(F.unix_millis("ts") / F.lit(60_000)) * 60_000
+        ).alias("minute_ms")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.orderBy("minute_ms")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    base_mean = F.avg("cnt").over(w)
+    base_std = F.stddev_samp("cnt").over(w)
+    z = F.when(
+        base_std > 0, (F.col("cnt") - base_mean) / base_std
+    )
+    return (
+        per_min.select(
+            "minute_ms",
+            "cnt",
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias(
+                "anomaly"
+            ),
+        )
+        .orderBy("minute_ms")
+    )
+
+
+ROLLING_ANOMALY_ORACLE = f"""
+WITH per_min AS (
+  SELECT CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) * 60000 AS minute_ms,
+         count(*) AS cnt
+  FROM events GROUP BY 1),
+scored AS (
+  SELECT minute_ms, cnt,
+         avg(cnt) OVER w AS m,
+         stddev_samp(cnt) OVER w AS s
+  FROM per_min
+  WINDOW w AS (ORDER BY minute_ms
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING))
+SELECT minute_ms, cnt,
+       round(CASE WHEN s > 0 THEN (cnt - m) / s END, 6) AS z,
+       coalesce(CASE WHEN s > 0 THEN abs((cnt - m) / s) > {ANOMALY_Z} END,
+                false) AS anomaly
+FROM scored ORDER BY minute_ms
+"""
+
+ADVANCED_QUERIES["rolling_anomaly"] = rolling_anomaly
+ADVANCED_ORACLES["rolling_anomaly"] = ROLLING_ANOMALY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend regression (value vs time, per event_type)
+# ---------------------------------------------------------------------------
+
+def groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time: slope (per day),
+    intercept, and r² — the drift detector behind metric-regression
+    alerts, computed from closed-form sufficient statistics.
+
+    Scale shape: ONE aggregation pass computes the five sufficient sums
+    (n, Σx, Σy, Σxy, Σx²(+Σy² for r²)) per group — the textbook
+    map-side-combinable regression; no window, no second scan, no
+    Python. The time axis is recentred per group (x = days since the
+    group's first event, via min(ts) computed in the SAME aggregate
+    with Spark's two-arg min_by-free form x - min(x) applied after) so
+    Σx² stays ~10³ instead of ~10¹⁸ — double-precision-safe, which is
+    what keeps the two engines bit-comparable at 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_type",
+        (F.unix_millis("ts") / F.lit(86_400_000.0)).alias("x_abs"),
+        F.col("value").alias("y"),
+    )
+    mins = raw.groupBy("event_type").agg(F.min("x_abs").alias("x0"))
+    xy = raw.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("x_abs") - F.col("x0")).alias("x"), "y"
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    det = agg.withColumn(
+        "dxx", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).withColumn(
+        "dxy", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).withColumn(
+        "dyy", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    slope = F.col("dxy") / F.col("dxx")
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (F.col("dxy") * F.col("dxy")) / (F.col("dxx") * F.col("dyy"))
+    return (
+        det.select(
+            "event_type",
+            "n",
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GROUPWISE_REGRESSION_ORACLE = """
+WITH xy AS (
+  SELECT event_type,
+         epoch_ms(ts) / 86400000.0
+           - min(epoch_ms(ts) / 86400000.0) OVER (PARTITION BY event_type)
+           AS x,
+         value AS y
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY event_type),
+d AS (
+  SELECT *, n * sxx - sx * sx AS dxx, n * sxy - sx * sy AS dxy,
+         n * syy - sy * sy AS dyy
+  FROM s)
+SELECT event_type, n,
+       round(dxy / dxx, 6) AS slope_per_day,
+       round((sy - (dxy / dxx) * sx) / n, 6) AS intercept,
+       round((dxy * dxy) / (dxx * dyy), 6) AS r2
+FROM d ORDER BY event_type
+"""
+
+ADVANCED_QUERIES["groupwise_regression"] = groupwise_regression
+ADVANCED_ORACLES["groupwise_regression"] = GROUPWISE_REGRESSION_ORACLE

@@ -1281,3 +1281,120 @@ ORDER BY shared_windows DESC, source_1, source_2
 
 DEDUP_QUERIES["span_leakage"] = span_leakage
 DEDUP_ORACLES["span_leakage"] = SPAN_LEAKAGE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs (q-gram count filter + PPJoin prefix filter)
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_LEN = 80   # compare the 80-char head (title/lead proxy)
+EDIT_Q = 3             # q-gram width
+EDIT_MAX_DIST = 8      # report pairs with levenshtein <= this
+#: per-string q-gram count (strings are exactly EDIT_PREFIX_LEN chars)
+_EDIT_GRAMS = EDIT_PREFIX_LEN - EDIT_Q + 1
+#: Gravano et al. 2001 count-filter bound: lev(a,b) <= d implies the two
+#: q-gram BAGS share >= L - q + 1 - q*d elements
+_EDIT_OVERLAP_T = _EDIT_GRAMS - EDIT_Q * EDIT_MAX_DIST
+#: PPJoin prefix size: sets with overlap >= T must collide within each
+#: other's (|set| - T + 1) globally-rarest elements (Xiao et al. 2008)
+_EDIT_PREFIX_K = _EDIT_GRAMS - _EDIT_OVERLAP_T + 1
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by edit distance on the 80-char document
+    head: every pair of docs whose heads are within ``EDIT_MAX_DIST``
+    Levenshtein edits, with the exact distance. Docs shorter than 80
+    chars are out of scope (the head IS the comparison key).
+
+    Scale shape: the O(n²) string join is pruned to candidates by the
+    PPJoin prefix filter (Bayardo et al. 2007 "Scaling Up All Pairs";
+    Xiao et al. 2008 "Efficient Similarity Joins"): each head's 78
+    positional q-gram bag elements (gram, occurrence#) are ranked by
+    global document frequency, and only the ``_EDIT_PREFIX_K`` rarest
+    per doc enter the equi-join — hot grams ('the', 'ing') never join.
+    Soundness chain: lev <= 8 ⇒ bag overlap >= 54 (Gravano count
+    filter) ⇒ prefixes collide (PPJoin theorem) ⇒ candidate survives ⇒
+    exact JVM-side levenshtein() confirms. No false negatives at any
+    stage, so the all-pairs SQL oracle matches exactly. The df ranking
+    table is gram-keyed and tiny (alphabet³ bounded) -> broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= EDIT_PREFIX_LEN)
+        .select(
+            "doc_id",
+            F.substring("text", 1, EDIT_PREFIX_LEN).alias("s"),
+        )
+    )
+    elems = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {_EDIT_GRAMS}), "
+                    f"i -> substring(s, i, {EDIT_Q}))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id", "gram",
+            F.explode(F.expr("sequence(1, c)")).alias("k"),
+        )
+    )
+    df_freq = elems.groupBy("gram", "k").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = (
+        elems.join(F.broadcast(df_freq), ["gram", "k"])
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "gram", "k")
+            ),
+        )
+        .where(F.col("rk") <= _EDIT_PREFIX_K)
+        .select("doc_id", "gram", "k")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= EDIT_MAX_DIST)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+EDIT_DISTANCE_PAIRS_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX_LEN}) AS s
+  FROM documents WHERE length(text) >= {EDIT_PREFIX_LEN})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.s, b.s) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= {EDIT_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""
+
+DEDUP_QUERIES["edit_distance_pairs"] = edit_distance_pairs
+DEDUP_ORACLES["edit_distance_pairs"] = EDIT_DISTANCE_PAIRS_ORACLE

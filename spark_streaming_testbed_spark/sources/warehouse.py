@@ -185,3 +185,183 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 WAREHOUSE_QUERIES = {"bucketed_join_stats": bucketed_join_stats}
 WAREHOUSE_ORACLES = {"bucketed_join_stats": BUCKETED_JOIN_STATS_ORACLE}
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: rank-interleaved clustering + per-file min/max
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 10          # 1024 rank buckets per dimension
+ZORDER_FILES = 16         # target file count for the audit
+
+#: shared Spark/DuckDB SQL for one bit of the interleave; only integer
+#: division differs between the engines (`div` vs `//`)
+
+
+def _z_value_sql(intdiv) -> str:
+    """Bit-interleave of two 0-based ``ZORDER_BITS``-bit ranks r1/r2 into
+    a single z-value, as portable integer arithmetic (no engine-specific
+    bit operators). ``intdiv(a, b)`` renders integer division."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"({intdiv('r1', 2 ** i)} % 2) * {2 ** (2 * i)}")
+        terms.append(f"({intdiv('r2', 2 ** i)} % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over events: rows are rank-bucketed on
+    (user_id, value), bit-interleaved into a Morton z-value, packed into
+    ``ZORDER_FILES`` equal files in z order, and the per-file min/max
+    ranges of BOTH dimensions are reported — the data-skipping index a
+    lakehouse OPTIMIZE ZORDER pass produces, proving every file covers a
+    narrow rectangle of the 2-D key space (so point/range predicates on
+    either column prune most files).
+
+    Scale shape: rank-based z-values (ntile per dimension) are exactly
+    how production z-ordering normalizes heterogeneous column domains
+    (range-partition ids, not raw bits of the values). The two ntile
+    windows + the final z sort are the inherent cost of a clustering
+    rewrite — a layout pass you run once per compaction cycle, not per
+    query; at cluster scale each global sort is a range-partitioned
+    exchange (Spark sorts distributedly; no driver bottleneck). The
+    interleave itself is pure codegen arithmetic. Deterministic:
+    event_id tiebreaks every window.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _load_events(spark, sf_dir)
+    ranked = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.ntile(2 ** ZORDER_BITS).over(
+            W.orderBy("user_id", "event_id")) - 1).alias("r1"),
+        (F.ntile(2 ** ZORDER_BITS).over(
+            W.orderBy("value", "event_id")) - 1).alias("r2"),
+    )
+    spark_div = lambda a, b: f"({a} div {b})"  # noqa: E731
+    z = ranked.withColumn("z", F.expr(_z_value_sql(spark_div)))
+    packed = z.withColumn(
+        "file_id",
+        F.ntile(ZORDER_FILES).over(W.orderBy("z", "event_id")),
+    )
+    return (
+        packed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _load_events_sql() -> str:
+    return "SELECT event_id, user_id, value FROM events"
+
+
+ZORDER_LAYOUT_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         ntile({2 ** ZORDER_BITS}) OVER (ORDER BY user_id, event_id) - 1 AS r1,
+         ntile({2 ** ZORDER_BITS}) OVER (ORDER BY value, event_id) - 1 AS r2
+  FROM events),
+zed AS (
+  SELECT *, {_z_value_sql(lambda a, b: f"({a} // {b})")} AS z FROM ranked),
+packed AS (
+  SELECT *, ntile({ZORDER_FILES}) OVER (ORDER BY z, event_id) AS file_id
+  FROM zed)
+SELECT file_id, count(*) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+FROM packed GROUP BY file_id ORDER BY file_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner: streaming bin-packing of (event_type, day) chunks
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 32_768
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN over events: per (event_type, day)
+    chunk, the estimated payload bytes and the output bin the chunk is
+    assigned to, packing key-adjacent chunks into ~``COMPACT_TARGET_BYTES``
+    output files. This is the planning half of ``compact`` above — the
+    thing a table-maintenance service computes from file listings before
+    launching the rewrite.
+
+    The bin rule is streaming/monotonic — a chunk starts a new bin when
+    the running total crosses a target multiple (bin = cumsum-before-me
+    div target) — so the plan is a pure prefix-sum: one window over the
+    (type, day)-sorted chunk list, embarrassingly parallel per
+    event_type at scale, and deterministic (no first-fit backtracking).
+
+    Scale shape: the chunk list is metadata (one row per partition-day,
+    ~10^5 rows for a year of a 1000-way keyed table even at 100 TB), so
+    the whole plan is a metadata-only computation: one aggregate over
+    the fact table to size chunks, one window over the tiny chunk list.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _load_events(spark, sf_dir)
+    chunks = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_millis("ts") / F.lit(86_400_000)).alias("day"),
+        )
+        .agg(
+            (F.sum(F.length("props")) + 40 * F.count(F.lit(1))).alias(
+                "est_bytes"
+            )
+        )
+    )
+    w = W.orderBy("event_type", "day").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        chunks.withColumn(
+            "bin_id",
+            (
+                F.coalesce(F.sum("est_bytes").over(w), F.lit(0))
+                / F.lit(COMPACT_TARGET_BYTES)
+            ).cast("bigint"),
+        )
+        .select("event_type", "day", "est_bytes", "bin_id")
+        .orderBy("event_type", "day")
+    )
+
+
+COMPACTION_PLAN_ORACLE = f"""
+WITH chunks AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+         CAST(sum(length(props)) + 40 * count(*) AS BIGINT) AS est_bytes
+  FROM events GROUP BY 1, 2),
+planned AS (
+  SELECT event_type, day, est_bytes,
+         CAST(floor(coalesce(sum(est_bytes) OVER (
+             ORDER BY event_type, day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin_id
+  FROM chunks)
+SELECT event_type, day, est_bytes, bin_id
+FROM planned ORDER BY event_type, day
+"""
+
+
+def _load_events(spark: SparkSession, sf_dir: str):
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+WAREHOUSE_QUERIES["zorder_layout"] = zorder_layout
+WAREHOUSE_QUERIES["compaction_plan"] = compaction_plan
+WAREHOUSE_ORACLES["zorder_layout"] = ZORDER_LAYOUT_ORACLE
+WAREHOUSE_ORACLES["compaction_plan"] = COMPACTION_PLAN_ORACLE

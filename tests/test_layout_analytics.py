@@ -1,0 +1,108 @@
+"""Invariant tests for the layout (z-order, compaction) and analytics
+(markov, anomaly, regression) operators plus the edit-distance join's
+blocking soundness. Oracle equality is covered by test_oracle_parity;
+these pin the properties the designs claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_testbed_spark.operators.advanced import (
+    groupwise_regression,
+    markov_transitions,
+    rolling_anomaly,
+)
+from spark_streaming_testbed_spark.operators.dedup import (
+    EDIT_MAX_DIST,
+    EDIT_PREFIX_LEN,
+    edit_distance_pairs,
+)
+from spark_streaming_testbed_spark.session import load_table
+from spark_streaming_testbed_spark.sources.warehouse import (
+    COMPACT_TARGET_BYTES,
+    compaction_plan,
+    zorder_layout,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_edit_distance_blocking_finds_every_true_pair(spark):
+    """The PPJoin prefix filter must lose NO pair within the distance
+    bound: compare against a brute-force cross join."""
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(spark, SF_SMOKE).collect()
+    }
+    p = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.length("text") >= EDIT_PREFIX_LEN)
+        .select("doc_id", F.substring("text", 1, EDIT_PREFIX_LEN).alias("s"))
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= EDIT_MAX_DIST)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_zorder_files_cover_narrow_rectangles(spark):
+    """Z-ordered files must each span a small slice of the key space:
+    the mean per-file user_id range should be well under the global
+    range (unclustered random packing would give ~the full range)."""
+    rows = zorder_layout(spark, SF_SMOKE).collect()
+    assert len(rows) == 16
+    spans = [r.u_max - r.u_min for r in rows]
+    global_span = max(r.u_max for r in rows) - min(r.u_min for r in rows)
+    assert sum(spans) / len(spans) <= 0.55 * global_span
+    assert sum(r.n_rows for r in rows) == load_table(
+        spark, SF_SMOKE, "events"
+    ).count()
+
+
+def test_compaction_bins_are_bounded_and_monotonic(spark):
+    rows = compaction_plan(spark, SF_SMOKE).collect()
+    # plan covers every chunk, bins appear in key order
+    bins: dict[int, int] = {}
+    prev_bin = 0
+    for r in rows:
+        assert r.bin_id >= prev_bin
+        prev_bin = r.bin_id
+        bins[r.bin_id] = bins.get(r.bin_id, 0) + r.est_bytes
+    max_chunk = max(r.est_bytes for r in rows)
+    # streaming rule: a bin never exceeds target + one chunk overhang
+    for total in bins.values():
+        assert total <= COMPACT_TARGET_BYTES + max_chunk
+
+
+def test_markov_rows_are_probabilities(spark):
+    rows = markov_transitions(spark, SF_SMOKE).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_rolling_anomaly_flags_only_extreme_minutes(spark):
+    rows = rolling_anomaly(spark, SF_SMOKE).collect()
+    assert rows[0].z is None and not rows[0].anomaly
+    for r in rows:
+        if r.anomaly:
+            assert r.z is not None and abs(r.z) > 2.0
+        elif r.z is not None:
+            assert abs(r.z) <= 2.0
+
+
+def test_regression_stats_are_well_formed(spark):
+    rows = groupwise_regression(spark, SF_SMOKE).collect()
+    ev_n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == ev_n
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
