@@ -217,3 +217,89 @@ def test_salted_join_spreads_hot_keys(spark):
     join_keys = plan.split("Left keys")[1].split("\n")[0] if "Left keys" in plan else ""
     assert "salt" in join_keys and "user_id" in join_keys
     assert "Generate" in plan  # the dim-side explode
+
+
+def test_edit_distance_pairs_broadcasts_df_and_avoids_cartesian(spark):
+    """The PPJoin shape: the gram-frequency table joins broadcast, and
+    the candidate self-join is an equi-join on (gram, k) — never a
+    cartesian product."""
+    from spark_streaming_testbed_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    plan = plan_of(edit_distance_pairs(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_confirm_join_is_broadcast(spark):
+    """Pass 2's candidate semi-join must broadcast the tiny candidate
+    set — the raw token stream is never hash-exchanged by a join."""
+    from spark_streaming_testbed_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    plan = plan_of(heavy_hitters(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # no shuffle-side join anywhere: the token stream only ever meets
+    # the candidate set through the broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_filters_before_exact_join(spark):
+    """The Bloom prefilter (MapInPandas) must sit below the broadcast
+    exact-confirm join: grams die executor-side before any join."""
+    from spark_streaming_testbed_spark.operators.sketches import (
+        bloom_decontaminate,
+    )
+
+    plan = plan_of(bloom_decontaminate(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("MapInPandas") > plan.index("BroadcastHashJoin"), (
+        "formatted plans print top-down: the map node must be deeper "
+        "(later) than the join consuming it"
+    )
+
+
+def test_groupwise_regression_is_one_agg_pass_plus_broadcast(spark):
+    """Sufficient-statistics regression: a broadcast join for the
+    per-group recentring minimum, then ONE partial+final HashAggregate
+    pair — no window over the fact table, no Python."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        groupwise_regression,
+    )
+
+    plan = plan_of(groupwise_regression(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_markov_window_is_user_partitioned(spark):
+    """The lag window must partition by user_id (small per-user sorts),
+    never a global single-partition sort over the fact table."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        markov_transitions,
+    )
+
+    plan = plan_of(markov_transitions(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_rolling_anomaly_aggregates_before_window(spark):
+    """The per-minute collapse (HashAggregate) must run before the
+    rolling window, so the window only ever sees the minute series."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        rolling_anomaly,
+    )
+
+    plan = plan_of(rolling_anomaly(spark, SF_SMOKE))
+    assert "HashAggregate" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "top-down print: the window consumes the aggregate, so the "
+        "aggregate node prints deeper"
+    )
