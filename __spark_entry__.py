@@ -202,24 +202,30 @@ _FIRST_WINDOW: list[str] = [
     "retention_cohorts",
     "interarrival_stats",
     "conversion_lag",
-    # --- regression slots: family flagships with prior driver rows (17) ---
-    "batch_stats",
-    "minhash_signatures",
-    "lsh_near_dup_pairs",
-    "dedup_clusters",
-    "cosine_topk",
-    "ann_lsh_topk",
+    # --- operators ADDED in round 3 (12): never had a driver row, so
+    # they take the window slots immediately; the flagships they
+    # displace (minhash_signatures, lsh_near_dup_pairs, cosine_topk,
+    # ann_lsh_topk, loglake_execution_roundtrip, tpch_q12,
+    # congestion_drop_accounting, hanoi_load_stats) all carry
+    # driver-green rows from rounds 1-2 ---
     "bucketed_join_stats",
     "streaming_stream_join",
-    "loglake_execution_roundtrip",
+    "semantic_dup_pairs",
+    "skew_salted_join",
+    "heavy_hitters",
+    "bloom_decontaminate",
+    "edit_distance_pairs",
+    "zorder_layout",
+    "compaction_plan",
+    "markov_transitions",
+    "rolling_anomaly",
+    "groupwise_regression",
+    # --- regression slots: family flagships with prior driver rows (5) ---
+    "batch_stats",
+    "dedup_clusters",
     "profile_fixed_ramp",
     "streaming_profile_stats",
-    "semantic_dup_pairs",
-    "tpch_q12",
-    "congestion_drop_accounting",
     "rs_tcp_roundtrip",
-    "skew_salted_join",
-    "hanoi_load_stats",
 ]
 
 

@@ -56,11 +56,24 @@ def test_entry_smoke(spark):
 # driver window (the window rotates per round; displaced flagships keep
 # their prior-round driver rows): dedup x3, similarity x2, text,
 # multimodal, loglake, streaming, profile-generator, relational
+# One flagship per operator family, drawn from the CURRENT window.
+# Rotates with _FIRST_WINDOW: members displaced to make room for
+# never-driver-checked queries keep their hard-signal rows from the
+# prior rounds' CORRECTNESS files (minhash_signatures, cosine_topk,
+# ann_lsh_topk, loglake_execution_roundtrip, tpch_q12 et al. are green
+# in r1/r2).
 FAMILY_FLAGSHIPS = {
-    "minhash_signatures", "lsh_near_dup_pairs", "dedup_clusters",
-    "cosine_topk", "ann_lsh_topk", "lang_id", "multimodal_features",
-    "loglake_execution_roundtrip", "streaming_profile_stats",
-    "profile_fixed_ramp", "tpch_q12",
+    "batch_stats",            # relational
+    "dedup_clusters",         # dedup
+    "semantic_dup_pairs",     # similarity
+    "lang_id",                # text
+    "multimodal_features",    # multimodal
+    "loglake_execution_dedup",  # loglake
+    "streaming_profile_stats",  # streaming
+    "profile_fixed_ramp",     # profile source
+    "rs_tcp_roundtrip",       # reactive source
+    "bucketed_join_stats",    # warehouse layout
+    "heavy_hitters",          # sketches
 }
 
 
