@@ -182,8 +182,16 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
         # fixed overhead, so tiny triggers read as a low processing rate
         # and an unfloored PID would spiral down (the knob the reference
         # exposes as spark.streaming.backpressure.pid.minRate)
+        # compensate_overhead: local micro-batches carry ~1 s of fixed
+        # trigger overhead, which biases the naive rows/duration
+        # estimate far below marginal capacity and parks the controller
+        # at min_rate (tiny batches forever). The compensated estimator
+        # fits the overhead online and feeds the PID the marginal rate,
+        # so backlog drains in large, amortized batches.
         listener = RateFeedbackListener(
-            controller=PIDRateController(min_rate=20_000),
+            controller=PIDRateController(
+                min_rate=20_000, compensate_overhead=True
+            ),
             control_file=ctrl if controlled else None,
         )
         spark.streams.addListener(listener)

@@ -44,10 +44,53 @@ class PIDRateController:
     integral: float = 0.2
     derivative: float = 0.0
     min_rate: float = 100.0
+    #: Overhead compensation (off by default = the published Spark
+    #: algorithm). A micro-batch costs ``duration = a + c*rows``; at
+    #: small batches the fixed term ``a`` dominates, so the naive
+    #: ``rows/duration`` estimate reads far below the true marginal
+    #: capacity ``1/c`` and the controller gets stuck at ``min_rate``
+    #: admitting tiny batches forever (it can never observe a rate it
+    #: never admits). With compensation on, an online least-squares fit
+    #: of (rows, duration) pairs recovers ``a``, and the rate fed to the
+    #: PID is ``rows / (duration - a_hat)`` — the marginal rate, which
+    #: lets the controller grow batches until amortization stops
+    #: helping. This is the local-overhead analogue of sizing
+    #: ``maxOffsetsPerTrigger`` to amortize task-launch latency on a
+    #: real cluster.
+    compensate_overhead: bool = False
+    overhead_window: int = 12
 
     _latest_time_ms: float = field(default=-1.0, init=False)
     _latest_rate: float = field(default=-1.0, init=False)
     _latest_error: float = field(default=-1.0, init=False)
+    _fit_samples: list = field(default_factory=list, init=False)
+    _a_hat: float = field(default=0.0, init=False)
+
+    def _overhead_ms(self) -> float:
+        """Least-squares intercept of duration ~ rows over the recent
+        window. A steady stream produces identical batch sizes (a
+        degenerate, zero-determinant fit) — the LAST well-conditioned
+        estimate is kept rather than resetting to 0, so the controller
+        doesn't unlearn the overhead the moment the loop stabilizes."""
+        pts = self._fit_samples
+        if len(pts) < 2:
+            return self._a_hat
+        n = float(len(pts))
+        sx = sum(r for r, _ in pts)
+        sy = sum(d for _, d in pts)
+        sxx = sum(r * r for r, _ in pts)
+        sxy = sum(r * d for r, d in pts)
+        det = n * sxx - sx * sx
+        # require real spread in batch sizes (>1% relative variance),
+        # not just float noise, before trusting the fit
+        if det <= 1e-4 * sx * sx:
+            return self._a_hat
+        c = (n * sxy - sx * sy) / det
+        a = (sy - c * sx) / n
+        # clamp: the intercept can only be a non-negative overhead and
+        # can never exceed the smallest batch actually observed
+        self._a_hat = max(0.0, min(a, min(d for _, d in pts)))
+        return self._a_hat
 
     def update(
         self,
@@ -61,7 +104,19 @@ class PIDRateController:
         if time_ms <= self._latest_time_ms or num_elements <= 0 or processing_delay_ms <= 0:
             return None
         delay_since_update = time_ms - self._latest_time_ms
-        processing_rate = num_elements / processing_delay_ms * 1000.0
+        effective_delay_ms = processing_delay_ms
+        if self.compensate_overhead:
+            self._fit_samples.append(
+                (float(num_elements), float(processing_delay_ms))
+            )
+            del self._fit_samples[: -self.overhead_window]
+            a_hat = self._overhead_ms()
+            # keep at least 5% of the raw duration so a perfect fit on
+            # overhead-dominated samples can't divide by ~zero
+            effective_delay_ms = max(
+                processing_delay_ms - a_hat, 0.05 * processing_delay_ms
+            )
+        processing_rate = num_elements / effective_delay_ms * 1000.0
         error = self._latest_rate - processing_rate
         hist_error = scheduling_delay_ms * processing_rate / delay_since_update
         d_error = (
