@@ -756,3 +756,365 @@ FROM d ORDER BY event_type
 
 ADVANCED_QUERIES["groupwise_regression"] = groupwise_regression
 ADVANCED_ORACLES["groupwise_regression"] = GROUPWISE_REGRESSION_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the user co-activity graph (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def _coactivity_edges(ev: DataFrame) -> DataFrame:
+    """Directed edge (u, v) whenever two distinct users acted in the
+    same (event_type, minute) cell — both directions, distinct."""
+    cells = ev.select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(60_000)).alias("minute"),
+        "user_id",
+    ).distinct()
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.minute") == F.col("b.minute"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of the user co-activity graph (users linked when they
+    acted in the same event_type within the same minute), after
+    ``PAGERANK_ITERS`` fixed power iterations at damping 0.85 — the
+    influence/centrality score behind account-importance ranking and
+    coordinated-behavior detection.
+
+    Scale shape: the per-iteration step is ONE join of the rank vector
+    (node-keyed) with the edge list on src plus ONE aggregation on dst —
+    the standard distributed power iteration; rank and degree vectors
+    are node-cardinality (tiny next to edges), and a fixed iteration
+    count keeps the lineage short (no checkpointing needed; the
+    convergence-driven variant would localCheckpoint per round like
+    dedup_clusters). The graph is symmetric by construction so there
+    are no dangling nodes and the degree join is exact. Deterministic:
+    fixed iterations, fixed init 1/N, rounding only at output. The
+    oracle unrolls the same five iterations as chained SQL CTEs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        # degenerate corpus (no two users share a cell): empty ranking,
+        # same as the oracle's empty deg relation
+        return spark.createDataFrame(
+            [], "node bigint, rank double"
+        )
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("r"), "deg"
+    )
+    teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            ranks.join(edges, ranks.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                contribs, nodes.node == contribs.dst, "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(PAGERANK_DAMPING)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+                "deg",
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    head = f"""
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT src AS node, deg, CAST(1.0 AS DOUBLE) / n AS r
+        FROM deg, nn)"""
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""
+pr{i} AS (
+  SELECT d.src AS node, d.deg,
+         CAST({1.0 - PAGERANK_DAMPING} AS DOUBLE) / nn.n
+           + CAST({PAGERANK_DAMPING} AS DOUBLE)
+             * coalesce(inflow.s, CAST(0 AS DOUBLE)) AS r
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r / p.deg) AS s
+    FROM pr{i - 1} p JOIN edges e ON p.node = e.src
+    GROUP BY e.dst) inflow
+  ON d.src = inflow.dst)"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT node, round(r, 6) AS rank
+FROM pr{PAGERANK_ITERS}
+ORDER BY rank DESC, node"""
+    )
+
+
+PAGERANK_COACTIVITY_ORACLE = _pagerank_oracle_sql()
+
+ADVANCED_QUERIES["pagerank_coactivity"] = pagerank_coactivity
+ADVANCED_ORACLES["pagerank_coactivity"] = PAGERANK_COACTIVITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: top opening event sequences per session
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 3
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session-opening paths: the first ``PATH_LEN`` event
+    types of every 30-minute-gap session, concatenated 'a>b>c', with
+    session counts — the entry-flow report behind onboarding and
+    navigation analysis.
+
+    Scale shape: sessions are derived with the lag/gap/cumsum islands
+    pattern in ONE user-partitioned window pass (the same exchange
+    serves lag and the running session counter), then
+    ``array_sort(collect_list(struct))`` assembles each session's
+    ordered head row-locally — struct sort order (ts, event_id) makes
+    the assembly deterministic without a second sort exchange. The
+    final aggregate is path-cardinality (bounded by |event_type|^3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (
+            F.coalesce(
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)),
+                F.lit(0),
+            )
+            > SESSION_GAP_MS
+        ).cast("long").alias("new_session"),
+    )
+    sessions = gapped.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        1,
+                        PATH_LEN,
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+    )
+
+
+SESSION_PATHS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_session
+  FROM events),
+marked AS (
+  SELECT *, sum(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered),
+paths AS (
+  SELECT user_id, session_no,
+         array_to_string(
+           list_slice(array_agg(event_type ORDER BY ts, event_id),
+                      1, {PATH_LEN}), '>') AS path
+  FROM marked GROUP BY user_id, session_no)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+"""
+
+ADVANCED_QUERIES["session_paths"] = session_paths
+ADVANCED_ORACLES["session_paths"] = SESSION_PATHS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# RFM feature engineering (recency / frequency / monetary + quintiles)
+# ---------------------------------------------------------------------------
+
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM features — days since last event (vs the corpus
+    watermark), event count, total value — plus 1..5 quintile scores
+    per dimension: the classic segmentation feature block every
+    engagement model starts from.
+
+    Scale shape: one user-keyed aggregate builds the three metrics; the
+    corpus watermark is a broadcast one-row cross join (never a window
+    over the fact table); quintiles are ntile windows over the
+    USER-cardinality frame, which is already the small end of the
+    funnel. Deterministic: user_id tiebreaks every ntile ordering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_millis("ts")).alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    watermark = per_user.agg(
+        F.max("last_ms").alias("wm_ms")
+    )
+    feats = per_user.crossJoin(F.broadcast(watermark)).select(
+        "user_id",
+        F.floor(
+            (F.col("wm_ms") - F.col("last_ms")) / F.lit(86_400_000)
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    return (
+        feats.select(
+            "user_id", "recency_days", "frequency", "monetary",
+            F.ntile(5).over(
+                W.orderBy("recency_days", "user_id")
+            ).alias("r_score"),
+            F.ntile(5).over(
+                W.orderBy(F.col("frequency").desc(), "user_id")
+            ).alias("f_score"),
+            F.ntile(5).over(
+                W.orderBy(F.col("monetary").desc(), "user_id")
+            ).alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+RFM_FEATURES_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+         count(*) AS frequency, round(sum(value), 6) AS monetary
+  FROM events GROUP BY user_id),
+wm AS (SELECT max(last_ms) AS wm_ms FROM per_user),
+feats AS (
+  SELECT user_id,
+         CAST(floor((wm_ms - last_ms) / 86400000.0) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM per_user, wm)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+FROM feats ORDER BY user_id
+"""
+
+ADVANCED_QUERIES["rfm_features"] = rfm_features
+ADVANCED_ORACLES["rfm_features"] = RFM_FEATURES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled per-minute rate timeline (calendar spine left join)
+# ---------------------------------------------------------------------------
+
+def rate_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-minute event rate over a COMPLETE minute spine from the
+    corpus's first to last minute — silent minutes appear as explicit
+    zeros. The companion to ``rolling_anomaly`` (which documents that
+    absent minutes are out of its scope): outage detection needs the
+    zeros, not just the busy minutes.
+
+    Scale shape: the spine is generated from a ONE-ROW min/max
+    aggregate (sequence + explode — one row per minute of wall-clock
+    history, independent of data volume: a year is 526k rows), then a
+    single left join against the per-minute counts. Both sides are
+    minute-cardinality; the fact table is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.floor(F.unix_millis("ts") / F.lit(60_000)).alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        per_min.agg(
+            F.min("m").alias("m0"), F.max("m").alias("m1")
+        )
+        .select(
+            F.explode(F.sequence("m0", "m1")).alias("m")
+        )
+    )
+    return (
+        spine.join(per_min, "m", "left")
+        .select(
+            (F.col("m") * 60_000).alias("minute_ms"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("minute_ms")
+    )
+
+
+RATE_TIMELINE_ORACLE = """
+WITH per_min AS (
+  SELECT CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS m,
+         count(*) AS cnt
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(m) AS m0, max(m) AS m1 FROM per_min),
+spine AS (SELECT unnest(range(m0, m1 + 1)) AS m FROM bounds)
+SELECT spine.m * 60000 AS minute_ms, coalesce(per_min.cnt, 0) AS cnt
+FROM spine LEFT JOIN per_min ON spine.m = per_min.m
+ORDER BY minute_ms
+"""
+
+ADVANCED_QUERIES["rate_timeline"] = rate_timeline
+ADVANCED_ORACLES["rate_timeline"] = RATE_TIMELINE_ORACLE

@@ -106,3 +106,63 @@ def test_regression_stats_are_well_formed(spark):
     assert sum(r.n for r in rows) == ev_n
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_pagerank_is_a_distribution_over_the_graph(spark):
+    from tests.conftest import SF_CORRECT
+
+    from spark_streaming_testbed_spark.operators.advanced import (
+        pagerank_coactivity,
+    )
+
+    rows = pagerank_coactivity(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    total = sum(r.rank for r in rows)
+    # symmetric graph, no dangling mass: ranks stay a distribution
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_session_paths_cover_every_session(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        SESSION_GAP_MS,
+        session_paths,
+    )
+
+    rows = session_paths(spark, SF_SMOKE).collect()
+    assert all(1 <= len(r.path.split(">")) <= 3 for r in rows)
+    n_paths = sum(r.n_sessions for r in rows)
+    # cross-check the session count against the independent
+    # session_window-based operator (same 30-min gap semantics)
+    from spark_streaming_testbed_spark.operators.advanced import sessionize
+
+    n_sessions = sessionize(spark, SF_SMOKE).count()
+    assert n_paths == n_sessions
+
+
+def test_rfm_scores_are_quintiles_over_all_users(spark):
+    from spark_streaming_testbed_spark.operators.advanced import rfm_features
+
+    rows = rfm_features(spark, SF_SMOKE).collect()
+    n_users = load_table(spark, SF_SMOKE, "events").select(
+        "user_id"
+    ).distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 \
+            and 1 <= r.m_score <= 5
+        assert r.recency_days >= 0 and r.frequency > 0
+
+
+def test_rate_timeline_spine_is_complete(spark):
+    from spark_streaming_testbed_spark.operators.advanced import rate_timeline
+
+    rows = rate_timeline(spark, SF_SMOKE).collect()
+    minutes = [r.minute_ms for r in rows]
+    assert minutes == list(
+        range(minutes[0], minutes[-1] + 60_000, 60_000)
+    )
+    assert sum(r.cnt for r in rows) == load_table(
+        spark, SF_SMOKE, "events"
+    ).count()
+    assert any(r.cnt == 0 for r in rows)  # the zeros are the point
