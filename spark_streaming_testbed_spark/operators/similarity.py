@@ -733,3 +733,120 @@ SIMILARITY_ORACLES = {
     "ann_ivf_topk": ANN_IVF_TOPK_ORACLE,
     "semantic_dup_pairs": SEMANTIC_DUP_PAIRS_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# One-pass distributed covariance matrix over the embedding column
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding column (upper
+    triangle, 1-based dims) — the statistic whitening, PCA, and
+    Mahalanobis outlier scoring all start from.
+
+    Scale shape: each partition reduces its Arrow batches to ONE d×d
+    numpy Gram matrix (X.T @ X), a sum vector, and a count — the
+    map-side-combinable sufficient statistics of covariance — and emits
+    them as d(d+1)/2 flattened rows. The shuffle therefore carries
+    ~partitions × 2080 rows regardless of corpus size; the raw vectors
+    never shuffle and the quadratic d² work happens inside BLAS. (The
+    naive alternative — explode d²/2 element pairs per row — ships a
+    2080× blowup of the corpus through the shuffle.) Accumulation is
+    float64 so the oracle's double arithmetic matches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def _gram(batches):
+        g = np.zeros((EMB_DIM, EMB_DIM))
+        s = np.zeros(EMB_DIM)
+        n = 0
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                continue
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        iu, ju = np.triu_indices(EMB_DIM)
+        out = pd.DataFrame(
+            {
+                "i": iu + 1,
+                "j": ju + 1,
+                "sxy": g[iu, ju],
+                "n": n,
+            }
+        )
+        # the per-dim sums ride along on the diagonal rows (j == i)
+        out["sx"] = 0.0
+        out["sy"] = 0.0
+        diag = out["i"] == out["j"]
+        out.loc[diag, "sx"] = s[out.loc[diag, "i"] - 1]
+        yield out
+
+    partials = emb.mapInPandas(
+        _gram, schema="i int, j int, sxy double, n long, sx double, sy double"
+    )
+    sums = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("n").alias("n"),
+    )
+    dim_sums = (
+        partials.where(F.col("i") == F.col("j"))
+        .groupBy("i")
+        .agg(F.sum("sx").alias("s"))
+    )
+    mi = dim_sums.select(F.col("i").alias("_i"), F.col("s").alias("si"))
+    mj = dim_sums.select(F.col("i").alias("_j"), F.col("s").alias("sj"))
+    return (
+        sums.join(F.broadcast(mi), sums.i == mi._i)
+        .join(F.broadcast(mj), sums.j == mj._j)
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE -0.0 (Java renders it signed,
+            # DuckDB's depends on the rounding path)
+            (
+                F.round(
+                    F.col("sxy") / F.col("n")
+                    - (F.col("si") / F.col("n"))
+                    * (F.col("sj") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COVARIANCE_ORACLE = f"""
+WITH x AS (SELECT embedding AS e FROM embeddings),
+dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i),
+stats AS (
+  SELECT d1.i AS i, d2.i AS j,
+         sum(CAST(e[d1.i] AS DOUBLE) * CAST(e[d2.i] AS DOUBLE)) AS sxy,
+         count(*) AS n
+  FROM x, dims d1, dims d2
+  WHERE d1.i <= d2.i
+  GROUP BY 1, 2),
+means AS (
+  SELECT d.i, sum(CAST(e[d.i] AS DOUBLE)) AS s
+  FROM x, dims d GROUP BY d.i)
+SELECT st.i, st.j,
+       round(st.sxy / st.n - (mi.s / st.n) * (mj.s / st.n), 6) + 0.0 AS cov
+FROM stats st
+JOIN means mi ON st.i = mi.i
+JOIN means mj ON st.j = mj.i
+ORDER BY st.i, st.j
+"""
+
+SIMILARITY_QUERIES["embedding_covariance"] = embedding_covariance
+SIMILARITY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_ORACLE

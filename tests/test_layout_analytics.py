@@ -166,3 +166,19 @@ def test_rate_timeline_spine_is_complete(spark):
         spark, SF_SMOKE, "events"
     ).count()
     assert any(r.cnt == 0 for r in rows)  # the zeros are the point
+
+
+def test_embedding_covariance_is_a_valid_gram(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_covariance,
+    )
+
+    rows = embedding_covariance(spark, SF_SMOKE).collect()
+    assert len(rows) == EMB_DIM * (EMB_DIM + 1) // 2
+    var = {r.i: r.cov for r in rows if r.i == r.j}
+    assert len(var) == EMB_DIM and all(v >= 0 for v in var.values())
+    # Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) (+rounding slack)
+    for r in rows:
+        bound = (var[r.i] * var[r.j]) ** 0.5 + 1e-5
+        assert abs(r.cov) <= bound, (r.i, r.j, r.cov, bound)
