@@ -340,6 +340,18 @@ def _stateful_funnel_query(spark, sf_dir):
     return streaming_funnel(spark, sf_dir)
 
 
+def _streaming_hh_query(spark, sf_dir):
+    from .stateful import streaming_heavy_hitters
+
+    return streaming_heavy_hitters(spark, sf_dir)
+
+
+def _streaming_hh_oracle() -> str:
+    from ..operators.sketches import HEAVY_HITTERS_ORACLE
+
+    return HEAVY_HITTERS_ORACLE
+
+
 def _streaming_funnel_oracle() -> str:
     from ..operators.advanced import EVENT_FUNNEL_ORACLE
 
@@ -441,6 +453,7 @@ STREAMING_QUERIES = {
     "streaming_decontaminate": streaming_decontaminate,
     "streaming_funnel": _stateful_funnel_query,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_heavy_hitters": _streaming_hh_query,
 }
 
 STREAMING_ORACLES = {
@@ -453,4 +466,7 @@ STREAMING_ORACLES = {
     "streaming_decontaminate": _streaming_decontaminate_oracle(),
     # batch==stream equality: the stateful funnel shares the batch oracle
     "streaming_funnel": _streaming_funnel_oracle(),
+    # batch==stream equality: the MG sketch + exact confirm reproduces
+    # the batch heavy_hitters exactly, so they share one oracle
+    "streaming_heavy_hitters": _streaming_hh_oracle(),
 }

@@ -265,3 +265,162 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("users").desc(), "stage")
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries state across triggers + exact confirm
+# ---------------------------------------------------------------------------
+
+HH_BUCKETS = 8
+HH_OUTPUT_SCHEMA = "bucket int, payload string, n_b long, batch int"
+HH_STATE_SCHEMA = "payload string, n_b long, batch int"
+
+
+def _update_mg_sketch(key, pdfs, state):
+    """Per-bucket Misra-Gries summary maintained across micro-batches.
+
+    The counter table lives in streaming state as a JSON payload (token →
+    residual count) trimmed with the mergeable-summaries rule each
+    trigger; one summary row per (bucket, trigger) is emitted so the
+    reader can take each bucket's LAST emission. Tokens are hash-
+    partitioned into buckets, so each token's full stream hits exactly
+    one summary — the per-bucket guarantee (no token with count >
+    n_bucket/k lost) is therefore STRONGER than the batch operator's
+    per-partition bound."""
+    import json
+
+    from ..operators.sketches import MG_COUNTERS
+
+    payload, n_b, batch = state.get if state.exists else ("{}", 0, 0)
+    counters = json.loads(payload)
+    for pdf in pdfs:
+        vc = pdf["token"].value_counts()
+        n_b += int(vc.sum())
+        for tok, c in vc.items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > MG_COUNTERS:
+            cut = sorted(counters.values(), reverse=True)[MG_COUNTERS]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    batch += 1
+    payload = json.dumps(counters)
+    state.update((payload, n_b, batch))
+    yield pd.DataFrame(
+        {
+            "bucket": [int(key[0])],
+            "payload": [payload],
+            "n_b": [n_b],
+            "batch": [batch],
+        }
+    )
+
+
+def streaming_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming heavy hitters: documents replay as a
+    4-chunk file stream; per-hash-bucket Misra-Gries counter tables live
+    in ``applyInPandasWithState`` across triggers; after the stream
+    drains, the surviving candidates are exactly confirmed against the
+    static table — the same two-phase contract as the batch
+    ``heavy_hitters``, so both share one oracle (batch==stream).
+
+    This is the online shape of frequency monitoring: the sketch rides
+    the stream with O(k) state per bucket (bounded forever), and the
+    expensive exact pass runs only on the tiny candidate set when a
+    report is cut. Candidates are a provable superset of every token
+    with count > N/k (per-bucket MG bound), so the confirmed output is
+    exact regardless of replay order — chunk order carries no
+    correctness weight here, unlike the funnel's in-order replay."""
+    import json as _json
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import HH_K
+    from ..operators.text import with_tokens
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="shh_") as tmp:
+        path = f"{tmp}/docs_chunks"
+        os.makedirs(path, exist_ok=True)
+        N_CHUNKS = 4
+        t_base = time.time()
+        seen: set[str] = set()
+        for i in range(N_CHUNKS):
+            (
+                docs.where(F.col("doc_id") % N_CHUNKS == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+            for fname in os.listdir(path):
+                if fname.endswith(".parquet") and fname not in seen:
+                    os.utime(
+                        os.path.join(path, fname), (t_base + i, t_base + i)
+                    )
+                    seen.add(fname)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(HH_BUCKETS))
+        try:
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            tokens = with_tokens(stream).select(
+                F.explode("tokens").alias("token")
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("token"), F.lit(HH_BUCKETS)).cast("int"),
+            )
+            updates = tokens.groupBy("bucket").applyInPandasWithState(
+                _update_mg_sketch,
+                outputStructType=HH_OUTPUT_SCHEMA,
+                stateStructType=HH_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"shh_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            w = W.partitionBy("bucket").orderBy(F.col("batch").desc())
+            finals = (
+                spark.table(name)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("payload", "n_b")
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # driver-side scalars only: <= HH_BUCKETS tiny JSON summaries
+    n_total = sum(r.n_b for r in finals)
+    cand_tokens = sorted(
+        {t for r in finals for t in _json.loads(r.payload)}
+    )
+    if not cand_tokens:
+        return spark.createDataFrame(
+            [], "token string, cnt long, n_total long"
+        )
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand_tokens], "token string"
+    )
+    exact = (
+        with_tokens(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("tokens").alias("token"))
+        .join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.where(F.col("cnt") * HH_K > F.lit(n_total))
+        .select("token", "cnt", F.lit(n_total).alias("n_total"))
+        .orderBy(F.col("cnt").desc(), "token")
+    )

@@ -93,3 +93,21 @@ def test_heavy_hitters_matches_direct_exact(spark):
         .collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_streaming_heavy_hitters_equals_batch(spark):
+    """batch==stream: the stateful MG sketch + exact confirm must land
+    on exactly the batch two-pass answer."""
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    got = {
+        (r.token, r.cnt, r.n_total)
+        for r in streaming_heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r.token, r.cnt, r.n_total)
+        for r in heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
