@@ -117,6 +117,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_user_overlap": R.hll_user_overlap,
     "table_profile": R.table_profile,
     "snapshot_diff": R.snapshot_diff,
+    "dq_report": R.dq_report,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

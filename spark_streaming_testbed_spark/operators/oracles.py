@@ -708,3 +708,55 @@ SELECT change_type, count(*) AS n_keys,
        round(sum(drift_cents) / 100.0, 2) AS abs_price_drift
 FROM d GROUP BY change_type ORDER BY change_type
 """
+
+RELATIONAL_ORACLES["dq_report"] = """
+WITH checks AS (
+  SELECT 'orders' AS table_name, 'totalprice_positive' AS check_name,
+         CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderdate_in_range',
+         CAST(count(*) FILTER (o_orderdate NOT BETWEEN
+              TIMESTAMP '1992-01-01 00:00:00'
+              AND TIMESTAMP '1998-12-31 23:59:59') AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'priority_not_null',
+         CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'discount_in_range',
+         CAST(count(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.1)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'quantity_at_most_30',
+         CAST(count(*) FILTER (l_quantity > 30) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'shipdate_not_null',
+         CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_references_orders',
+         CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'customer', 'custkey_unique',
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events', 'value_non_negative',
+         CAST(count(*) FILTER (value < 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'user_id_not_null',
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT)
+  FROM events)
+SELECT table_name, check_name, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY table_name, check_name
+"""

@@ -1503,3 +1503,92 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test workload): a
+    suite of uniqueness, null, range, consistency, and referential-
+    integrity checks over four tables, each reported as (table, check,
+    n_violations, passed) — the gate every warehouse load runs before
+    publishing a partition.
+
+    Scale shape: every per-table check family is FUSED into one
+    conditional aggregate over a single scan (a count per check, all
+    map-side-combinable), then stack()ed row-locally — N checks cost one
+    pass, not N. The referential-integrity check is the only join: a
+    LEFT ANTI on the key, the canonical orphan scan (shuffle semi-join
+    at scale, broadcastable when the parent's key set is small). Nothing
+    touches the driver."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def fused(df, table, checks):
+        aggs = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, cond in checks.items()
+        ]
+        # uniqueness checks arrive pre-aggregated as expressions
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', {c}" for c in checks)
+        return wide.selectExpr(
+            f"stack({len(checks)}, {stack}) AS (check_name, n_violations)"
+        ).select(F.lit(table).alias("table_name"), "check_name",
+                 "n_violations")
+
+    o_checks = fused(orders, "orders", {
+        "totalprice_positive": F.col("o_totalprice") <= 0,
+        "orderdate_in_range": ~F.col("o_orderdate").between(
+            "1992-01-01", "1998-12-31 23:59:59"),
+        "priority_not_null": F.col("o_orderpriority").isNull(),
+    })
+    o_unique = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint").alias("n_violations")
+    ).select(
+        F.lit("orders").alias("table_name"),
+        F.lit("orderkey_unique").alias("check_name"),
+        "n_violations",
+    )
+    l_checks = fused(li, "lineitem", {
+        "discount_in_range": ~F.col("l_discount").between(0.0, 0.1),
+        "quantity_at_most_30": F.col("l_quantity") > 30,
+        "shipdate_not_null": F.col("l_shipdate").isNull(),
+    })
+    l_orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("orderkey_references_orders").alias("check_name"),
+            "n_violations",
+        )
+    )
+    c_unique = cust.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
+        .cast("bigint").alias("n_violations")
+    ).select(
+        F.lit("customer").alias("table_name"),
+        F.lit("custkey_unique").alias("check_name"),
+        "n_violations",
+    )
+    e_checks = fused(ev, "events", {
+        "value_non_negative": F.col("value") < 0,
+        "user_id_not_null": F.col("user_id").isNull(),
+    })
+    report = (
+        o_checks.unionByName(o_unique)
+        .unionByName(l_checks)
+        .unionByName(l_orphans)
+        .unionByName(c_unique)
+        .unionByName(e_checks)
+    )
+    return (
+        report.withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("table_name", "check_name")
+    )

@@ -182,3 +182,16 @@ def test_embedding_covariance_is_a_valid_gram(spark):
     for r in rows:
         bound = (var[r.i] * var[r.j]) ** 0.5 + 1e-5
         assert abs(r.cov) <= bound, (r.i, r.j, r.cov, bound)
+
+
+def test_dq_report_flags_are_consistent(spark):
+    from spark_streaming_testbed_spark.operators.relational import dq_report
+
+    rows = dq_report(spark, SF_SMOKE).collect()
+    assert len(rows) == 11
+    for r in rows:
+        assert r.passed == (r.n_violations == 0)
+        assert r.n_violations >= 0
+    # the suite must exercise BOTH outcomes on this corpus
+    assert any(not r.passed for r in rows)
+    assert any(r.passed for r in rows)
