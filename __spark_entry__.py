@@ -118,6 +118,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": R.table_profile,
     "snapshot_diff": R.snapshot_diff,
     "dq_report": R.dq_report,
+    "scd2_build": R.scd2_build,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

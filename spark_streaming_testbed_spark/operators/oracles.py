@@ -760,3 +760,26 @@ WITH checks AS (
 SELECT table_name, check_name, n_violations, n_violations = 0 AS passed
 FROM checks ORDER BY table_name, check_name
 """
+
+RELATIONAL_ORACLES["scd2_build"] = """
+WITH o AS (
+  SELECT o_custkey AS custkey, epoch_ms(o_orderdate) AS obs_ms,
+         o_orderpriority AS segment, o_orderkey
+  FROM orders),
+marked AS (
+  SELECT *, CASE WHEN lag(segment) OVER w IS NULL
+                   OR lag(segment) OVER w <> segment
+                 THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY custkey ORDER BY obs_ms, o_orderkey)),
+runs AS (SELECT * FROM marked WHERE chg = 1)
+SELECT custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version_no,
+       segment,
+       obs_ms AS valid_from_ms,
+       lead(obs_ms) OVER w AS valid_to_ms,
+       lead(obs_ms) OVER w IS NULL AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY custkey ORDER BY obs_ms, o_orderkey)
+ORDER BY custkey, version_no
+"""

@@ -1592,3 +1592,50 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         report.withColumn("passed", F.col("n_violations") == 0)
         .orderBy("table_name", "check_name")
     )
+
+
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each customer's order-priority
+    history collapsed into versioned validity ranges (valid_from /
+    valid_to, version_no, is_current) — the dimension-maintenance step
+    behind every point-in-time join in a warehouse (the as-of join
+    operator then probes exactly these ranges).
+
+    Scale shape: ONE customer-partitioned window pass does everything —
+    lag() marks change points, a running sum numbers the versions, and
+    lead() closes each range; the same exchange serves all three
+    (Catalyst plans one Window over one sort). Consecutive duplicates
+    collapse (true SCD2, not a snapshot-per-order), ties broken by
+    o_orderkey so rebuilds are deterministic."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        # o_orderdate reads as TIMESTAMP_NTZ; with the session TZ pinned
+        # UTC the cast to TIMESTAMP is value-identical
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "obs_ms"
+        ),
+        F.col("o_orderpriority").alias("segment"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("custkey").orderBy("obs_ms", "o_orderkey")
+    marked = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("segment").over(w).isNull()
+            | (F.lag("segment").over(w) != F.col("segment")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.where(F.col("chg") == 1)
+    wv = W.partitionBy("custkey").orderBy("obs_ms", "o_orderkey")
+    return (
+        runs.select(
+            "custkey",
+            F.row_number().over(wv).alias("version_no"),
+            "segment",
+            F.col("obs_ms").alias("valid_from_ms"),
+            F.lead("obs_ms").over(wv).alias("valid_to_ms"),
+        )
+        .withColumn("is_current", F.col("valid_to_ms").isNull())
+        .orderBy("custkey", "version_no")
+    )

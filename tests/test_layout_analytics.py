@@ -195,3 +195,24 @@ def test_dq_report_flags_are_consistent(spark):
     # the suite must exercise BOTH outcomes on this corpus
     assert any(not r.passed for r in rows)
     assert any(r.passed for r in rows)
+
+
+def test_scd2_ranges_are_contiguous_and_single_current(spark):
+    from collections import defaultdict
+
+    from spark_streaming_testbed_spark.operators.relational import scd2_build
+
+    rows = scd2_build(spark, SF_SMOKE).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.custkey].append(r)
+    for cust, versions in by_cust.items():
+        versions.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        assert sum(v.is_current for v in versions) == 1
+        assert versions[-1].is_current and versions[-1].valid_to_ms is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to_ms == b.valid_from_ms  # contiguous, no gaps
+            assert a.segment != b.segment  # true SCD2: runs collapsed
