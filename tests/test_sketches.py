@@ -111,3 +111,85 @@ def test_streaming_heavy_hitters_equals_batch(spark):
         for r in heavy_hitters(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the math the two-phase designs lean on
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=2000),
+    st.integers(1, 500),
+)
+def test_mg_property_no_false_negatives(ids, batch):
+    """For ANY stream and ANY batch split, every token above the N/k
+    threshold survives the Misra-Gries summary."""
+    tokens = [f"t{i}" for i in ids]
+    n = len(tokens)
+    summary = _mg_summary(tokens, batch=batch)
+    exact = pd.Series(tokens).value_counts()
+    for tok, cnt in exact.items():
+        if cnt * HH_K > n:
+            assert tok in summary
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sets(st.integers(-(2**62), 2**62), min_size=1, max_size=3000))
+def test_bloom_property_members_always_hit(members):
+    arr = np.array(sorted(members), dtype=np.int64)
+    bits, m = _bloom_build(arr)
+    assert _bloom_probe(bits, m, arr).all()
+
+
+def _qgram_bag(s: str, q: int = 3):
+    from collections import Counter
+
+    return Counter(s[i : i + q] for i in range(len(s) - q + 1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_qgram_count_filter_bound_property(data):
+    """Gravano et al. count filter: <= D edits on an L-char string can
+    destroy at most q*D of the q-gram bag overlap — the soundness bound
+    edit_distance_pairs' blocking relies on."""
+    import random as _random
+
+    L, Q, D = 80, 3, 8
+    rng = _random.Random(data.draw(st.integers(0, 2**31)))
+    alpha = "abcdefgh"
+    s = "".join(rng.choice(alpha) for _ in range(L))
+    t = list(s)
+    n_edits = data.draw(st.integers(0, D))
+    for _ in range(n_edits):
+        op = rng.choice(("sub", "ins", "del"))
+        if op == "sub" and t:
+            t[rng.randrange(len(t))] = rng.choice(alpha)
+        elif op == "ins":
+            t.insert(rng.randrange(len(t) + 1), rng.choice(alpha))
+        elif t:
+            del t[rng.randrange(len(t))]
+    t2 = ("".join(t))[:L].ljust(L, "x")  # refit to exactly L chars
+    # refit adds bounded extra edits; recompute the true distance bound
+    # via the actual bag overlap claim: overlap >= L - Q + 1 - Q * lev
+    import numpy as _np
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    d = lev(s, t2)
+    ba, bb = _qgram_bag(s), _qgram_bag(t2)
+    shared = sum(min(c, bb.get(g, 0)) for g, c in ba.items())
+    assert shared >= (L - Q + 1) - Q * d
