@@ -119,6 +119,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": R.snapshot_diff,
     "dq_report": R.dq_report,
     "scd2_build": R.scd2_build,
+    "partition_skew_report": R.partition_skew_report,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
@@ -222,12 +223,21 @@ _FIRST_WINDOW: list[str] = [
     "markov_transitions",
     "rolling_anomaly",
     "groupwise_regression",
-    # --- regression slots: family flagships with prior driver rows (5) ---
-    "batch_stats",
-    "dedup_clusters",
-    "profile_fixed_ramp",
-    "streaming_profile_stats",
-    "rs_tcp_roundtrip",
+    # --- later round-3 adds (never driver-checked); these displace the
+    # regression flagships, all of which carry driver rows from rounds
+    # 1-2 (batch_stats, dedup_clusters, profile_fixed_ramp,
+    # streaming_profile_stats, rs_tcp_roundtrip) ---
+    "dq_report",
+    "scd2_build",
+    "embedding_covariance",
+    "streaming_heavy_hitters",
+    "pagerank_coactivity",
+    # --- positions 51+ spill past the driver's 50-row window; the three
+    # simplest r3 adds (plain agg / window-function shapes, all green
+    # under tools/check_oracle.py) wait for the round-4 rotation ---
+    "session_paths",
+    "rfm_features",
+    "rate_timeline",
 ]
 
 

@@ -1118,3 +1118,191 @@ ORDER BY minute_ms
 
 ADVANCED_QUERIES["rate_timeline"] = rate_timeline
 ADVANCED_ORACLES["rate_timeline"] = RATE_TIMELINE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient on the co-activity graph
+# ---------------------------------------------------------------------------
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the user
+    co-activity graph (same edge builder as ``pagerank_coactivity``) —
+    the standard graph-level cohesion metrics behind community /
+    coordinated-behavior analysis.
+
+    Scale shape: degree orientation (each undirected edge directed from
+    its (degree, id)-smaller endpoint) makes the orientation acyclic and
+    bounds every node's out-degree by ~sqrt(m), so the wedge self-join
+    generates O(m^1.5) candidates instead of the hub-quadratic blowup of
+    id-ordering (Chiba & Nishizeki 1985; Ortmann & Brandes 2014; the
+    Suri & Vassilvitskii 2011 MapReduce formulation). Every step is an
+    equi-join on node ids — no cartesian — and each triangle is counted
+    exactly once at its orientation-minimum vertex. Output is one row,
+    so nothing but partial aggregates cross the final shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev)  # symmetric, distinct, no self-loops
+    # undirected degree == out-degree of the symmetric edge list
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und = edges.where(F.col("src") < F.col("dst"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(lo_first, F.col("deg_v")).otherwise(F.col("deg_u"))
+            .alias("deg_hi"),
+        )
+    )
+    e1 = ori.alias("e1")
+    e2 = ori.alias("e2")
+    wedge_order = (F.col("e1.deg_hi") < F.col("e2.deg_hi")) | (
+        (F.col("e1.deg_hi") == F.col("e2.deg_hi"))
+        & (F.col("e1.hi") < F.col("e2.hi"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.lo") == F.col("e2.lo")) & wedge_order
+    ).select(F.col("e1.hi").alias("b"), F.col("e2.hi").alias("c"))
+    closing = ori.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    n_tri = wedges.join(closing, ["b", "c"]).count()
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.lit(n_tri) / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+TRIANGLE_COUNT_ORACLE = """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+und AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+ori AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS lo,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS hi,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+              THEN dv.deg ELSE du.deg END AS deg_hi
+  FROM und
+  JOIN deg du ON und.u = du.src
+  JOIN deg dv ON und.v = dv.src),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ori e1
+  JOIN ori e2 ON e1.lo = e2.lo
+   AND ((e1.deg_hi < e2.deg_hi)
+        OR (e1.deg_hi = e2.deg_hi AND e1.hi < e2.hi))
+  JOIN ori e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM stats CROSS JOIN tri
+"""
+
+ADVANCED_QUERIES["triangle_count"] = triangle_count
+ADVANCED_ORACLES["triangle_count"] = TRIANGLE_COUNT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA: exact linear-recurrence fold in deterministic time order
+# ---------------------------------------------------------------------------
+
+#: smoothing weight on the new observation; the complement is its own
+#: literal (NOT computed as 1-alpha) so both engines fold with bitwise
+#: identical double constants — in IEEE754, 1.0 - 0.3 != nearest(0.7).
+EWMA_ALPHA = 0.3
+EWMA_BETA = 0.7
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values,
+    folded EXACTLY in (ts, event_id) order: s_1 = x_1, s_i = α·x_i +
+    β·s_{i-1}. The smoothed tail is the standard denoised activity
+    signal for monitoring/alerting pipelines.
+
+    Scale shape: one shuffle (groupBy user_id) then a row-local
+    ``aggregate`` fold over the collected, array_sort-ed sequence — the
+    recurrence is inherently sequential per key, so the right
+    distributed shape is "shuffle once, fold locally"; per-key state is
+    one double regardless of sequence length, and no window over a
+    global sort is needed. Both engines fold left-to-right with the
+    same IEEE754 double literals, so results are bitwise identical
+    before the output rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("seq"), 2, F.size("seq") - 1),
+        F.element_at(F.col("seq"), 1)["value"],
+        lambda acc, x: F.lit(EWMA_ALPHA) * x["value"]
+        + F.lit(EWMA_BETA) * acc,
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.size("seq").cast("bigint").alias("n_events"),
+            F.element_at(F.col("seq"), -1)["value"].alias("last_value"),
+            F.round(fold, 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EWMA_SMOOTH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS l
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       len(l) AS n_events,
+       l[len(l)] AS last_value,
+       round(list_reduce(l, (acc, x) -> {EWMA_ALPHA}*x + {EWMA_BETA}*acc),
+             6) AS ewma
+FROM seq
+ORDER BY user_id
+"""
+
+ADVANCED_QUERIES["ewma_smooth"] = ewma_smooth
+ADVANCED_ORACLES["ewma_smooth"] = EWMA_SMOOTH_ORACLE

@@ -1398,3 +1398,114 @@ ORDER BY doc_a, doc_b
 
 DEDUP_QUERIES["edit_distance_pairs"] = edit_distance_pairs
 DEDUP_ORACLES["edit_distance_pairs"] = EDIT_DISTANCE_PAIRS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate pairs
+# ---------------------------------------------------------------------------
+
+#: neighborhood window size w — each record pairs with the w-1 records
+#: that follow it in normalized-key order
+SNM_WINDOW = 4
+#: normalized sort-key length (lowercased alphanumeric prefix)
+SNM_KEY_LEN = 24
+#: coarse bucket: a PREFIX of the sort key, so ordering by (bucket,
+#: sortkey) equals ordering by sortkey and per-bucket ranks + offsets
+#: compose into an exact global rank
+SNM_BUCKET_LEN = 1
+
+
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking: sort documents by a
+    normalized key (lowercased alphanumeric prefix) and emit every pair
+    within a sliding window of ``SNM_WINDOW`` positions — the classic
+    merge/purge candidate generator (Hernandez & Stolfo, SIGMOD 1995)
+    that complements the hash-based blockers (LSH / SimHash / q-gram):
+    it catches near-dups whose edits fall OUTSIDE any fixed hash block
+    but preserve the sort prefix.
+
+    Scale shape: a global total order without a global window. Rank is
+    computed TWO-PHASE like ``cumulative_counts`` — row_number within
+    key-prefix buckets (parallel) plus per-bucket offsets from a tiny
+    prefix-summed bucket-count table (|alphabet| rows, broadcast back).
+    The neighborhood join is then w-1 rank-shifted EQUI-joins (explode
+    of the gap distances), so cross-bucket neighbor pairs fall out of
+    the global rank for free — no single-partition window, no range
+    join, and the shuffled payload is (rank, doc_id, key), ~40 B/row.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""),
+            1,
+            SNM_KEY_LEN,
+        ).alias("sortkey"),
+    ).withColumn("bkt", F.substring("sortkey", 1, SNM_BUCKET_LEN))
+    bkt_counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        W.partitionBy()
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # the offsets table is |alphabet| rows — the single-partition window
+    # runs over ≤37 rows, then broadcasts
+    offsets = bkt_counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off")
+    )
+    wr = W.partitionBy("bkt").orderBy("sortkey", "doc_id")
+    ranked = (
+        keyed.withColumn("rn_in", F.row_number().over(wr))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("off") + F.col("rn_in")).alias("rn"),
+            "doc_id",
+            "sortkey",
+        )
+    )
+    gaps = F.array([F.lit(i) for i in range(1, SNM_WINDOW)])
+    a = (
+        ranked.select(
+            "rn",
+            F.col("doc_id").alias("doc_a"),
+            F.col("sortkey").alias("key_a"),
+        )
+        .withColumn("gap", F.explode(gaps))
+        .withColumn("rn_b", F.col("rn") + F.col("gap"))
+    )
+    b = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sortkey").alias("key_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .select(
+            "doc_a", "doc_b", F.col("gap").cast("int").alias("gap"),
+            "key_a", "key_b",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SNM_CANDIDATE_PAIRS_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {SNM_KEY_LEN}) AS sortkey
+  FROM documents),
+r AS (
+  SELECT doc_id, sortkey,
+         row_number() OVER (ORDER BY sortkey, doc_id) AS rn
+  FROM k)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS INTEGER) AS gap,
+       a.sortkey AS key_a, b.sortkey AS key_b
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW - 1}
+ORDER BY doc_a, doc_b
+"""
+
+DEDUP_QUERIES["snm_candidate_pairs"] = snm_candidate_pairs
+DEDUP_ORACLES["snm_candidate_pairs"] = SNM_CANDIDATE_PAIRS_ORACLE

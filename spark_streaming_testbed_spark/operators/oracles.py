@@ -783,3 +783,26 @@ FROM runs
 WINDOW w AS (PARTITION BY custkey ORDER BY obs_ms, o_orderkey)
 ORDER BY custkey, version_no
 """
+
+RELATIONAL_ORACLES["partition_skew_report"] = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+agg AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_key_rows,
+         quantile_cont(cnt, 0.5) AS p50_key_rows,
+         quantile_cont(cnt, 0.99) AS p99_key_rows,
+         sum(cnt * ln(cnt)) AS clnc
+  FROM counts)
+SELECT n_keys, n_rows, max_key_rows,
+       round(p50_key_rows, 6) AS p50_key_rows,
+       round(p99_key_rows, 6) AS p99_key_rows,
+       round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_key_share,
+       round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6)
+         AS skew_ratio,
+       round(ln(n_rows) - clnc / n_rows, 6) AS key_entropy,
+       CAST(ceil(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows)
+            AS INTEGER) AS salt_factor
+FROM agg
+"""

@@ -1639,3 +1639,52 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to_ms").isNull())
         .orderBy("custkey", "version_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit: key-distribution diagnostics for shuffle planning
+# ---------------------------------------------------------------------------
+
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew audit of the events table's join/agg key
+    (``user_id``): key cardinality, per-key row-count distribution
+    (max / exact p50 / exact p99), the hottest key's share, skew ratio
+    (max over mean), Shannon entropy of the key distribution, and the
+    salt factor ``ceil(max/mean)`` a salted join/agg of this key would
+    need — the pre-flight diagnostic that decides between plain,
+    broadcast, and salted plans (the repo's ``skew_salted_join`` /
+    ``skew_salted_agg`` consume exactly this signal).
+
+    Scale shape: one map-side-combinable groupBy over the key, then a
+    single-row aggregate over the |keys|-sized count table — the audit
+    never shuffles the fact rows, only (key, count). Entropy comes from
+    the algebraic identity H = ln(N) - Σ c·ln(c) / N, so it fuses into
+    the same partial-aggregable pass as max/sum (only the exact
+    percentiles hold the tiny count table)."""
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_key_rows"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_key_rows"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("_clnc"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.round("p50_key_rows", 6).alias("p50_key_rows"),
+        F.round("p99_key_rows", 6).alias("p99_key_rows"),
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6)
+        .alias("top_key_share"),
+        F.round(
+            F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_ratio"),
+        F.round(
+            F.log(F.col("n_rows")) - F.col("_clnc") / F.col("n_rows"), 6
+        ).alias("key_entropy"),
+        F.ceil(F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"))
+        .cast("int")
+        .alias("salt_factor"),
+    )

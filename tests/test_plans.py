@@ -303,3 +303,64 @@ def test_rolling_anomaly_aggregates_before_window(spark):
         "top-down print: the window consumes the aggregate, so the "
         "aggregate node prints deeper"
     )
+
+
+def test_triangle_count_has_no_cartesian_or_nested_loop(spark):
+    """Every triangle-counting step must stay an equi-join on node ids
+    (the inequality orientation predicates are post-join filters on an
+    equi-join), never a cartesian/nested-loop wedge blowup."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        triangle_count,
+    )
+
+    plan = plan_of(triangle_count(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_fold_is_codegen_single_compute_shuffle(spark):
+    """The EWMA recurrence folds row-locally via the higher-order
+    aggregate expression — JVM codegen, no Python eval — after exactly
+    one compute shuffle (the groupBy); the only other exchange is the
+    output-sort range partitioning."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        ewma_smooth,
+    )
+
+    plan = plan_of(ewma_smooth(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # detail headers "(n) Exchange": agg hash + output range only
+    assert plan.count(") Exchange") <= 2
+    assert "rangepartitioning" in plan
+
+
+def test_snm_rank_is_bucketed_window_plus_broadcast_offsets(spark):
+    """The global rank must come from the two-phase shape: row_number
+    windows partitioned by the key-prefix bucket (parallel), bucket
+    offsets broadcast back; the neighborhood join is an equi-join on
+    the shifted rank — no cartesian, no global single-partition window
+    over the documents."""
+    from spark_streaming_testbed_spark.operators.dedup import (
+        snm_candidate_pairs,
+    )
+
+    plan = plan_of(snm_candidate_pairs(spark, SF_SMOKE))
+    assert "hashpartitioning(bkt" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_skew_report_shuffles_only_key_counts(spark):
+    """The audit's only wide exchange carries (user_id, count) partial
+    aggregates, never fact rows: a map-side-combined HashAggregate must
+    sit below the first exchange, and nothing leaves the JVM."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        partition_skew_report,
+    )
+
+    plan = plan_of(partition_skew_report(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    first_ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_ex:], (
+        "partial per-key counts must combine map-side below the shuffle"
+    )
