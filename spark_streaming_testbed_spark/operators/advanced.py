@@ -1175,8 +1175,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
-            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            F.coalesce(F.sum("deg") / 2, F.lit(0))
+            .cast("bigint")
+            .alias("n_edges"),
+            F.coalesce(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_wedges"),
         )
@@ -1228,8 +1232,8 @@ tri AS (
   JOIN ori e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
 stats AS (
   SELECT count(*) AS n_nodes,
-         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
-         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+         CAST(coalesce(sum(deg) / 2, 0) AS BIGINT) AS n_edges,
+         CAST(coalesce(sum(deg * (deg - 1) / 2), 0) AS BIGINT) AS n_wedges
   FROM deg)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
        round(CASE WHEN n_wedges > 0

@@ -1,0 +1,125 @@
+"""Property tests for the round-3 graph / time-series / blocking /
+skew-audit operators, beyond their DuckDB oracle parity:
+
+- triangle_count vs a driver-side brute-force enumeration of the same
+  (small) co-activity graph,
+- ewma_smooth bounds and single-event fixpoints,
+- snm_candidate_pairs neighborhood completeness/counts,
+- partition_skew_report internal consistency (the salt advisor must
+  agree with its own max/mean inputs).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_testbed_spark.operators.advanced import (
+    _coactivity_edges,
+    ewma_smooth,
+    triangle_count,
+)
+from spark_streaming_testbed_spark.operators.dedup import (
+    SNM_WINDOW,
+    snm_candidate_pairs,
+)
+from spark_streaming_testbed_spark.operators.relational import (
+    partition_skew_report,
+)
+from spark_streaming_testbed_spark.session import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """The degree-oriented wedge join must count exactly the triangles a
+    naive all-combinations enumeration finds on the same edge set.
+    Runs at sf0.01 — the sf0.001 co-activity graph is empty (no two
+    users ever share a cell), which only exercises the degenerate path.
+    """
+    ev = load_table(spark, SF_CORRECT, "events")
+    edges = {
+        (r.src, r.dst)
+        for r in _coactivity_edges(ev).collect()
+        if r.src < r.dst
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for u, v in edges
+        for w in adj[u]
+        if w > v and w in adj[v]
+    )
+    row = triangle_count(spark, SF_CORRECT).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    # wedges >= 3*triangles always (every triangle closes 3 wedges)
+    assert row.n_wedges >= 3 * row.n_triangles
+    if row.n_wedges:
+        assert 0.0 <= row.clustering_coeff <= 1.0
+
+
+def test_ewma_stays_inside_value_envelope(spark):
+    """A convex combination can never leave [min, max] of the folded
+    values, and a single-event user's EWMA is exactly that value."""
+    out = ewma_smooth(spark, SF_SMOKE)
+    env = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        out.join(env, "user_id")
+        .where((F.col("ewma") < F.col("lo")) | (F.col("ewma") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+    singles = out.where(
+        (F.col("n_events") == 1) & (F.col("ewma") != F.col("last_value"))
+    ).count()
+    assert singles == 0
+
+
+def test_snm_neighborhood_is_complete(spark):
+    """Every sorted-order pair within the window must appear exactly
+    once: with n docs and window w the candidate count is
+    (w-1)*n - (1+2+...+(w-1)), and per-gap multiplicity is n-gap."""
+    pairs = snm_candidate_pairs(spark, SF_SMOKE)
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    w = SNM_WINDOW
+    expected = (w - 1) * n - sum(range(1, w))
+    assert pairs.count() == expected
+    per_gap = {r.gap: r.cnt for r in
+               pairs.groupBy("gap").agg(F.count("*").alias("cnt")).collect()}
+    assert per_gap == {g: n - g for g in range(1, w)}
+    # no pair may appear twice and no self-pairs
+    assert pairs.select("doc_a", "doc_b").distinct().count() == expected
+    assert pairs.where(F.col("doc_a") == F.col("doc_b")).count() == 0
+
+
+def test_snm_sort_keys_are_adjacent(spark):
+    """gap=1 pairs must be true sort neighbors: key_a <= key_b in the
+    normalized collation (ties broken by doc_id)."""
+    pairs = snm_candidate_pairs(spark, SF_SMOKE).where(F.col("gap") == 1)
+    bad = pairs.where(
+        (F.col("key_a") > F.col("key_b"))
+        | ((F.col("key_a") == F.col("key_b")) & (F.col("doc_a") > F.col("doc_b")))
+    ).count()
+    assert bad == 0
+
+
+def test_skew_report_is_internally_consistent(spark):
+    import math
+
+    row = partition_skew_report(spark, SF_SMOKE).collect()[0]
+    assert row.n_keys > 0 and row.n_rows > 0
+    assert row.p50_key_rows <= row.p99_key_rows <= row.max_key_rows
+    mean = row.n_rows / row.n_keys
+    assert abs(row.skew_ratio - row.max_key_rows / mean) < 1e-4
+    assert row.salt_factor == math.ceil(row.max_key_rows / mean)
+    # entropy of a distribution over n_keys outcomes is <= ln(n_keys)
+    assert 0.0 <= row.key_entropy <= math.log(row.n_keys) + 1e-9
+    assert 0.0 < row.top_key_share <= 1.0
