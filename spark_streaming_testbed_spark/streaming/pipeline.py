@@ -352,6 +352,18 @@ def _streaming_hh_oracle() -> str:
     return HEAVY_HITTERS_ORACLE
 
 
+def _streaming_ewma_query(spark, sf_dir):
+    from .stateful import streaming_ewma
+
+    return streaming_ewma(spark, sf_dir)
+
+
+def _streaming_ewma_oracle() -> str:
+    from ..operators.advanced import EWMA_SMOOTH_ORACLE
+
+    return EWMA_SMOOTH_ORACLE
+
+
 def _streaming_funnel_oracle() -> str:
     from ..operators.advanced import EVENT_FUNNEL_ORACLE
 
@@ -454,6 +466,7 @@ STREAMING_QUERIES = {
     "streaming_funnel": _stateful_funnel_query,
     "streaming_stream_join": streaming_stream_join,
     "streaming_heavy_hitters": _streaming_hh_query,
+    "streaming_ewma": _streaming_ewma_query,
 }
 
 STREAMING_ORACLES = {
@@ -469,4 +482,7 @@ STREAMING_ORACLES = {
     # batch==stream equality: the MG sketch + exact confirm reproduces
     # the batch heavy_hitters exactly, so they share one oracle
     "streaming_heavy_hitters": _streaming_hh_oracle(),
+    # batch==stream equality: chunked state folding is bitwise identical
+    # to the one-shot batch fold, so the stream shares ewma_smooth's oracle
+    "streaming_ewma": _streaming_ewma_oracle(),
 }

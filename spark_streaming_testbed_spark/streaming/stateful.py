@@ -178,40 +178,10 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="sfunnel_") as tmp:
         path = f"{tmp}/events_by_ts"
-        # the file source replays files in MODIFICATION-TIME order, so the
-        # time chunks must land in event-time order. Chunk on an ABSOLUTE
-        # epoch-day expression (not dayofmonth, which folds month 2 day 1
-        # under month 1 day 1 and replays multi-month data out of order):
-        # bucket width is derived from the data's min/max span so any
-        # span yields ~N_CHUNKS triggers, and each chunk's files get
-        # explicit strictly-increasing mtimes — relying on write latency
-        # to separate timestamps makes replay order (and the in-order
-        # funnel) flaky on equal mtimes.
-        N_CHUNKS = 6
-        day = F.unix_date(F.to_date("ts"))
-        bounds = events.select(
-            F.min(day).alias("lo"), F.max(day).alias("hi")
-        ).first()
-        lo = 0 if bounds.lo is None else int(bounds.lo)
-        hi = lo if bounds.hi is None else int(bounds.hi)
-        width = max(1, -(-(hi - lo + 1) // N_CHUNKS))
-        chunk = F.floor((day - F.lit(lo)) / F.lit(width)).cast("long")
-        n_chunks = (hi - lo) // width + 1
-        os.makedirs(path, exist_ok=True)
-        t_base = time.time()
-        seen: set[str] = set()
-        for i in range(n_chunks):
-            (
-                events.where(chunk == F.lit(i))
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(path)
-            )
-            for fname in os.listdir(path):
-                if fname.endswith(".parquet") and fname not in seen:
-                    full = os.path.join(path, fname)
-                    os.utime(full, (t_base + i, t_base + i))
-                    seen.add(fname)
+        # time-ordered multi-trigger replay (absolute epoch-day chunks,
+        # explicit increasing mtimes) — shared helper, see
+        # write_time_ordered_chunks below
+        write_time_ordered_chunks(events, path)
         # per-trigger cost is dominated by the stateful shuffle's task
         # count, not data: run the micro-batches at a narrow partition
         # width (state is two longs per user; at scale this knob comes
@@ -424,3 +394,157 @@ def streaming_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         .select("token", "cnt", F.lit(n_total).alias("n_total"))
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the exact per-key recurrence carried across triggers
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, last_value double, ewma double"
+)
+EWMA_STATE_SCHEMA = "s double, n long, last double"
+
+
+def write_time_ordered_chunks(events: DataFrame, path: str,
+                              n_chunks: int = 6) -> int:
+    """Write ``events`` as ~n_chunks parquet chunk files whose
+    MODIFICATION times strictly increase in event-time order, so the
+    file-stream source replays them as in-order micro-batches. Chunks
+    cut on an absolute epoch-day bucket derived from the data's actual
+    min/max span (any span, any month boundary), and every file gets an
+    explicit utime — replay order never depends on write latency.
+    Returns the number of chunks written."""
+    from pyspark.sql import functions as F
+
+    day = F.unix_date(F.to_date("ts"))
+    bounds = events.select(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).first()
+    lo = 0 if bounds.lo is None else int(bounds.lo)
+    hi = lo if bounds.hi is None else int(bounds.hi)
+    width = max(1, -(-(hi - lo + 1) // n_chunks))
+    chunk = F.floor((day - F.lit(lo)) / F.lit(width)).cast("long")
+    n_out = (hi - lo) // width + 1
+    os.makedirs(path, exist_ok=True)
+    t_base = time.time()
+    seen: set[str] = set()
+    for i in range(n_out):
+        (
+            events.where(chunk == F.lit(i))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        for fname in os.listdir(path):
+            if fname.endswith(".parquet") and fname not in seen:
+                full = os.path.join(path, fname)
+                os.utime(full, (t_base + i, t_base + i))
+                seen.add(fname)
+    return n_out
+
+
+def _update_ewma(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Continue the s_i = α·x_i + β·s_{i-1} fold from the stored state.
+
+    Python floats ARE IEEE754 doubles and the fold multiplies with the
+    same α/β literals as the batch ``ewma_smooth`` codegen expression,
+    so chunked streaming folding is bitwise identical to the one-shot
+    batch fold — which is what lets the stream share the batch oracle."""
+    from ..operators.advanced import EWMA_ALPHA, EWMA_BETA
+
+    if state.exists:
+        s, n, last = state.get
+    else:
+        s, n, last = 0.0, 0, 0.0
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        v = float(v)
+        s = v if n == 0 else EWMA_ALPHA * v + EWMA_BETA * s
+        last = v
+        n += 1
+    state.update((float(s), int(n), float(last)))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [int(n)],
+            "last_value": [float(last)],
+            "ewma": [float(s)],
+        }
+    )
+
+
+def streaming_ewma(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming EWMA: events replay as a time-ordered
+    multi-trigger file stream; per-user (ewma, n, last) state folds the
+    recurrence across micro-batches in ``applyInPandasWithState``, and
+    the final per-user rows match the batch ``ewma_smooth`` bit for bit
+    — the streaming twin shares its DuckDB oracle. This is the
+    always-current smoothed activity signal computed WITHOUT ever
+    re-scanning history.
+
+    Scale shape: per-trigger work is one user-keyed shuffle into the
+    stateful operator; state is three scalars per user, forever."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory(prefix="sewma_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            updates = stream.groupBy("user_id").applyInPandasWithState(
+                _update_ewma,
+                outputStructType=EWMA_OUTPUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"sewma_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # n_events strictly increases per update, so the per-user final
+        # state is the struct-max on (n_events, ...) — no window needed
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("n_events", "last_value", "ewma")
+                ).alias("fin")
+            )
+        )
+        return (
+            final.select(
+                "user_id",
+                F.col("fin.n_events").alias("n_events"),
+                F.col("fin.last_value").alias("last_value"),
+                F.round(F.col("fin.ewma"), 6).alias("ewma"),
+            )
+            .orderBy("user_id")
+        )

@@ -123,3 +123,15 @@ def test_skew_report_is_internally_consistent(spark):
     # entropy of a distribution over n_keys outcomes is <= ln(n_keys)
     assert 0.0 <= row.key_entropy <= math.log(row.n_keys) + 1e-9
     assert 0.0 < row.top_key_share <= 1.0
+
+
+def test_streaming_ewma_equals_batch_ewma(spark):
+    """Chunked cross-trigger state folding must be bitwise identical to
+    the one-shot batch fold (same IEEE754 literals, same order)."""
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    batch = {tuple(r) for r in ewma_smooth(spark, SF_SMOKE).collect()}
+    stream = {tuple(r) for r in streaming_ewma(spark, SF_SMOKE).collect()}
+    assert batch == stream
