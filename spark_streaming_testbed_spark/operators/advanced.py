@@ -1310,3 +1310,140 @@ ORDER BY user_id
 
 ADVANCED_QUERIES["ewma_smooth"] = ewma_smooth
 ADVANCED_ORACLES["ewma_smooth"] = EWMA_SMOOTH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity: blocked pairwise Pearson over daily activity
+# ---------------------------------------------------------------------------
+
+TS_SIM_TOP_K = 50
+
+
+def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user pairs by Pearson correlation of their daily event-count
+    series — distributed time-series similarity search (the
+    REPOSE/EDBT-2019 family) re-expressed Spark-first.
+
+    Two scale tricks make this exact AND cheap:
+
+    1. **Exact-match blocking on the discretized series** (the SAX-word
+       idea): each user's series binarizes to an active-day bitmap, and
+       only users with IDENTICAL bitmaps form candidate pairs — an
+       equi-join on the signature, no all-pairs blowup. (Users whose
+       activity patterns differ in any day are pruned; that's the
+       approximation, and it is deterministic.)
+    2. **Integer sufficient statistics**: with day count D fixed by the
+       global span, Pearson needs only (sx, sxx) per user and sxy per
+       pair — all INTEGER sums of counts, exact in both engines, with
+       zero-days contributing nothing to sxy (inner day join suffices).
+       The final r expression is the only floating-point step and is
+       written identically in both engines, so ranking is stable.
+
+    Ranking uses the rounded r; ties break on (user_a, user_b)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_date(F.to_date("ts"))
+    cells = (
+        ev.select(F.col("user_id"), day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = cells.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).first()
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    n_days = hi - lo + 1
+    # bitmap bit index mod 60 keeps the signature in one BIGINT for any
+    # span; collisions only merge blocks (more candidates, never fewer)
+    # F.shiftleft takes a literal bit count; the per-row shift needs SQL
+    sig_bit = F.expr(f"shiftleft(1L, cast((day - {lo}) % 60 as int))")
+    stats = cells.groupBy("user_id").agg(
+        F.sum(sig_bit).alias("sig"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    )
+    a = stats.select(
+        F.col("user_id").alias("user_a"), F.col("sig"),
+        F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a"),
+    )
+    b = stats.select(
+        F.col("user_id").alias("user_b"), F.col("sig"),
+        F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b"),
+    )
+    pairs = a.join(b, "sig").where(F.col("user_a") < F.col("user_b"))
+    ca = cells.select(
+        F.col("user_id").alias("user_a"), "day", F.col("cnt").alias("ca")
+    )
+    cb = cells.select(
+        F.col("user_id").alias("user_b"), "day", F.col("cnt").alias("cb")
+    )
+    sxy = (
+        ca.join(cb, "day")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("sxy"))
+    )
+    d = F.lit(n_days)
+    r_expr = (
+        (d * F.col("sxy") - F.col("sx_a") * F.col("sx_b"))
+        / (
+            F.sqrt(d * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a"))
+            * F.sqrt(d * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b"))
+        )
+    )
+    var_a = d * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a")
+    var_b = d * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b")
+    # constant series have zero variance; r is undefined and both
+    # engines disagree on double/0 — drop those pairs explicitly
+    return (
+        pairs.join(sxy, ["user_a", "user_b"])
+        .where((var_a > 0) & (var_b > 0))
+        .select(
+            "user_a", "user_b",
+            F.lit(n_days).cast("int").alias("n_days"),
+            F.round(r_expr, 6).alias("pearson_r"),
+        )
+        .orderBy(F.col("pearson_r").desc(), "user_a", "user_b")
+        .limit(TS_SIM_TOP_K)
+    )
+
+
+TS_SIMILARITY_PAIRS_ORACLE = f"""
+WITH cells AS (
+  SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM cells),
+stats AS (
+  SELECT user_id,
+         CAST(sum(1::BIGINT << CAST((day - bounds.lo) % 60 AS INTEGER))
+              AS BIGINT) AS sig,
+         CAST(sum(cnt) AS BIGINT) AS sx,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+  FROM cells CROSS JOIN bounds GROUP BY user_id, bounds.lo),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         a.sx AS sx_a, a.sxx AS sxx_a, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM stats a JOIN stats b ON a.sig = b.sig AND a.user_id < b.user_id),
+sxy AS (
+  SELECT ca.user_id AS user_a, cb.user_id AS user_b,
+         CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS sxy
+  FROM cells ca JOIN cells cb
+    ON ca.day = cb.day AND ca.user_id < cb.user_id
+  GROUP BY 1, 2),
+d AS (SELECT CAST(hi - lo + 1 AS BIGINT) AS n_days FROM bounds)
+SELECT p.user_a, p.user_b, CAST(d.n_days AS INTEGER) AS n_days,
+       round((d.n_days * s.sxy - p.sx_a * p.sx_b)
+             / (sqrt(d.n_days * p.sxx_a - p.sx_a * p.sx_a)
+                * sqrt(d.n_days * p.sxx_b - p.sx_b * p.sx_b)), 6)
+         AS pearson_r
+FROM pairs p
+JOIN sxy s ON p.user_a = s.user_a AND p.user_b = s.user_b
+CROSS JOIN d
+WHERE d.n_days * p.sxx_a - p.sx_a * p.sx_a > 0
+  AND d.n_days * p.sxx_b - p.sx_b * p.sx_b > 0
+ORDER BY pearson_r DESC, p.user_a, p.user_b
+LIMIT {TS_SIM_TOP_K}
+"""
+
+ADVANCED_QUERIES["ts_similarity_pairs"] = ts_similarity_pairs
+ADVANCED_ORACLES["ts_similarity_pairs"] = TS_SIMILARITY_PAIRS_ORACLE

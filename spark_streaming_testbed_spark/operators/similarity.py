@@ -850,3 +850,93 @@ ORDER BY st.i, st.j
 
 SIMILARITY_QUERIES["embedding_covariance"] = embedding_covariance
 SIMILARITY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# kNN graph: every vector's top-k neighbors within its LSH bucket
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding
+    corpus: each vector's top-``KNN_K`` cosine neighbors among the
+    vectors sharing its hyperplane-LSH bucket — the all-pairs upgrade
+    of ``ann_lsh_topk`` (20 fixed queries → every vector a query) and
+    the input graph for SemDeDup-style cluster pruning, kNN
+    classification, and connectivity analytics.
+
+    Scale shape: a bucketed SELF-join on the signature — candidate
+    generation is an equi-join whose fan-out is bucket-local (expected
+    n²/2^planes pairs, not n²), then a per-vector top-k window over
+    candidates only. Neither side broadcasts (the corpus IS both
+    sides); the join key is the 8-bit signature computed row-locally
+    from plane literals folded into the plan (no UDF, no model state).
+    Ranking uses the ROUNDED cosine so the cross-engine order is
+    bitwise stable."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_signature_col()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("embedding").alias("v_emb"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("v_id") != F.col("nn_id"))
+        .select(
+            "v_id",
+            "nn_id",
+            F.round(_cosine("v_emb", "n_emb"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("v_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .select("v_id", "rk", "nn_id", "cosine")
+        .orderBy("v_id", "rk")
+    )
+
+
+def _knn_graph_oracle() -> str:
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, DIM)
+    bucket_terms = "\n       + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(c)) for c in planes[p])
+        + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         {bucket_terms} AS bucket
+       FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS v_id, c.vec_id AS nn_id,
+         round(
+           list_dot_product(a.emb, c.emb) /
+           (sqrt(list_dot_product(a.emb, a.emb)) *
+            sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM b a JOIN b c USING (bucket) WHERE a.vec_id <> c.vec_id),
+ranked AS (
+  SELECT v_id, nn_id, cosine,
+         row_number() OVER (PARTITION BY v_id
+                            ORDER BY cosine DESC, nn_id) AS rk
+  FROM scored)
+SELECT v_id, rk, nn_id, cosine FROM ranked
+WHERE rk <= {KNN_K} ORDER BY v_id, rk
+"""
+
+
+KNN_GRAPH_ORACLE = _knn_graph_oracle()
+
+SIMILARITY_QUERIES["knn_graph"] = knn_graph
+SIMILARITY_ORACLES["knn_graph"] = KNN_GRAPH_ORACLE

@@ -1647,3 +1647,113 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 TEXT_QUERIES["bigram_perplexity"] = bigram_perplexity
 TEXT_ORACLES["bigram_perplexity"] = BIGRAM_PERPLEXITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990): association-ranked word pairs
+# ---------------------------------------------------------------------------
+
+#: minimum pair frequency — PMI is notoriously noisy on rare pairs
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent word
+    pairs ranked by ln(p(x,y) / (p(x)p(y))) over the corpus (Church &
+    Hanks 1990) with a min-count floor — the association-strength
+    complement to ``top_ngrams`` (frequency) and ``tfidf_top_terms``
+    (doc specificity): it surfaces pairs that co-occur far more than
+    their token frequencies predict, however rare.
+
+    Scale shape: pair and unigram count tables are corpus-level
+    aggregates (vocabulary-sized, broadcast-able); the corpus totals are
+    a one-row broadcast. The PMI expression is written with the SAME
+    operation order in both engines, so the doubles are bitwise equal
+    and the top-k cut is stable. Top-k via orderBy+limit plans as
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    bg = with_grams(docs, 2, "bigrams").select(
+        F.explode("bigrams").alias("gram")
+    )
+    pair_all = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_pair"))
+    m_row = pair_all.agg(F.sum("n_pair").alias("m_bigrams"))
+    uni = (
+        docs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n_row = uni.agg(F.sum("n_tok").alias("n_tokens"))
+    pairs = (
+        pair_all.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .withColumn("tok_a", F.split("gram", " ")[0])
+        .withColumn("tok_b", F.split("gram", " ")[1])
+        .join(
+            uni.select(
+                F.col("token").alias("tok_a"), F.col("n_tok").alias("n_a")
+            ),
+            "tok_a",
+        )
+        .join(
+            uni.select(
+                F.col("token").alias("tok_b"), F.col("n_tok").alias("n_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(m_row))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "lift",
+            F.expr(
+                "CAST(n_pair * n_tokens * n_tokens AS DOUBLE) / "
+                "CAST(m_bigrams * n_a * n_b AS DOUBLE)"
+            ),
+        )
+    )
+    # the compared score is the LIFT p(x,y)/(p(x)p(y)) — PMI's
+    # exponential, same ranking — because it stays bitwise identical
+    # across engines: both products are exact BIGINTs (< 2^53, so the
+    # double conversion is exact) and the single division is correctly
+    # rounded IEEE; ln() differs by an ulp between libm and the JVM,
+    # and round() half-ups different representations, so neither may
+    # touch the compared value. floor(x*1e6)/1e6 quantizes
+    # deterministically.
+    return (
+        pairs.select(
+            "tok_a", "tok_b", "n_pair", "n_a", "n_b",
+            (F.floor(F.col("lift") * 1e6) / 1e6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_COLLOCATIONS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+bg AS (SELECT unnest({_grams_sql(2)}) AS gram FROM tok),
+pair_all AS (SELECT gram, count(*) AS n_pair FROM bg GROUP BY gram),
+m AS (SELECT CAST(sum(n_pair) AS BIGINT) AS m_bigrams FROM pair_all),
+uni AS (SELECT t AS token, count(*) AS n_tok
+        FROM (SELECT unnest(tokens) AS t FROM tok) GROUP BY t),
+n AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (
+  SELECT string_split(gram, ' ')[1] AS tok_a,
+         string_split(gram, ' ')[2] AS tok_b,
+         n_pair
+  FROM pair_all WHERE n_pair >= {PMI_MIN_COUNT})
+SELECT p.tok_a, p.tok_b, p.n_pair,
+       ua.n_tok AS n_a, ub.n_tok AS n_b,
+       floor(CAST(p.n_pair * n.n_tokens * n.n_tokens AS DOUBLE) /
+             CAST(m.m_bigrams * ua.n_tok * ub.n_tok AS DOUBLE) * 1e6)
+         / 1e6 AS lift
+FROM pairs p
+JOIN uni ua ON p.tok_a = ua.token
+JOIN uni ub ON p.tok_b = ub.token
+CROSS JOIN m CROSS JOIN n
+ORDER BY lift DESC, p.tok_a, p.tok_b
+LIMIT {PMI_TOP_K}
+"""
+
+TEXT_QUERIES["pmi_collocations"] = pmi_collocations
+TEXT_ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_ORACLE

@@ -135,3 +135,72 @@ def test_streaming_ewma_equals_batch_ewma(spark):
     batch = {tuple(r) for r in ewma_smooth(spark, SF_SMOKE).collect()}
     stream = {tuple(r) for r in streaming_ewma(spark, SF_SMOKE).collect()}
     assert batch == stream
+
+
+def test_pmi_pairs_respect_floor_and_ordering(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    rows = pmi_collocations(spark, SF_CORRECT).collect()
+    assert rows, "corpus should yield at least one collocation"
+    assert all(r.n_pair >= PMI_MIN_COUNT for r in rows)
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    # lift is a ratio of probabilities: positive, and bounded by
+    # min(1/p(x), 1/p(y)) <= n_tokens
+    assert all(0 < r.lift for r in rows)
+
+
+def test_knn_graph_restricted_to_queries_equals_ann_lsh(spark):
+    """knn_graph is the all-pairs generalization of ann_lsh_topk: on
+    the first N_QUERIES vectors (same buckets, same rounded-cosine
+    ranking, same k) the two must produce identical edges."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        N_QUERIES,
+        ann_lsh_topk,
+        knn_graph,
+    )
+
+    knn = {
+        (r.v_id, r.rk, r.nn_id, r.cosine)
+        for r in knn_graph(spark, SF_CORRECT).collect()
+        if r.v_id < N_QUERIES
+    }
+    ann = {
+        (r.q_id, r.rk, r.c_id, r.cosine)
+        for r in ann_lsh_topk(spark, SF_CORRECT).collect()
+    }
+    assert knn == ann
+
+
+def test_knn_graph_neighbors_share_bucket(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        _lsh_signature_col,
+        knn_graph,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", _lsh_signature_col().alias("bucket")
+    )
+    g = knn_graph(spark, SF_CORRECT)
+    joined = (
+        g.join(emb.withColumnRenamed("vec_id", "v_id"), "v_id")
+        .withColumnRenamed("bucket", "b_v")
+        .join(emb.withColumnRenamed("vec_id", "nn_id"), "nn_id")
+    )
+    assert joined.where(F.col("b_v") != F.col("bucket")).count() == 0
+
+
+def test_ts_similarity_pairs_are_valid_correlations(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        ts_similarity_pairs,
+    )
+
+    rows = ts_similarity_pairs(spark, SF_CORRECT).collect()
+    assert rows, "identical activity bitmaps should exist in the corpus"
+    assert all(-1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9 for r in rows)
+    assert all(r.user_a < r.user_b for r in rows)
+    rs = [r.pearson_r for r in rows]
+    assert rs == sorted(rs, reverse=True)

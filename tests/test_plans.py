@@ -364,3 +364,41 @@ def test_partition_skew_report_shuffles_only_key_counts(spark):
     assert "HashAggregate" in plan[first_ex:], (
         "partial per-key counts must combine map-side below the shuffle"
     )
+
+
+def test_pmi_top_k_plans_take_ordered(spark):
+    """The top-100 cut must plan as TakeOrderedAndProject, never a full
+    global sort of the pair table."""
+    from spark_streaming_testbed_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    plan = plan_of(pmi_collocations(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_joins_on_bucket_without_broadcast_corpus(spark):
+    """The corpus self-join must key on the LSH signature (equi-join);
+    the corpus is both sides, so neither may be a nested-loop build."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    plan = plan_of(knn_graph(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_ts_similarity_blocks_on_signature(spark):
+    """Candidate pairs come from the signature equi-join over the tiny
+    per-user stats table; the day-level sxy join is an equi-join on
+    day — no all-pairs nested loop anywhere."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        ts_similarity_pairs,
+    )
+
+    plan = plan_of(ts_similarity_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "sig" in plan
