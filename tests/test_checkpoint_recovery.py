@@ -127,3 +127,95 @@ def test_stream_stream_left_outer_join(spark):
     # emitted rows form a time-prefix: nothing newer than emitted_max
     # could have been skipped (watermark is monotone)
     assert len([t for t in all_lts if t <= emitted_max]) == len(all_lts)
+
+
+def test_stateful_ewma_state_survives_restart(spark):
+    """applyInPandasWithState state must persist through the checkpoint:
+    stop the streaming EWMA after the first committed batch, restart on
+    the same checkpoint, and every user updated after the restart must
+    land on EXACTLY the batch fold's (n_events, ewma) — impossible
+    unless the pre-restart fold state was recovered bit-for-bit."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_streaming_testbed_spark.operators.advanced import ewma_smooth
+    from spark_streaming_testbed_spark.session import load_table
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        _update_ewma,
+        write_time_ordered_chunks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory(prefix="ewma_ckpt_") as tmp:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        n_chunks = write_time_ordered_chunks(events, src, n_chunks=6)
+        assert n_chunks >= 3, "need multiple triggers for a mid-run stop"
+
+        out1 = f"{tmp}/out_phase1"
+        out2 = f"{tmp}/out_phase2"
+
+        def start(outdir):
+            # the memory sink does not support checkpoint recovery;
+            # foreachBatch-to-parquet is the recoverable sink shape
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            updates = stream.groupBy("user_id").applyInPandasWithState(
+                _update_ewma,
+                outputStructType=EWMA_OUTPUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            return (
+                updates.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda df, _id: df.write.mode("append").parquet(outdir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # phase 1: stop after the first batch commits
+        q1 = start(out1)
+        deadline = time.time() + 60
+        while not q1.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        done_before = spark.read.parquet(out1).count()
+        assert done_before > 0, "phase 1 must commit at least one batch"
+
+        # phase 2: same checkpoint, fresh sink — replays only the
+        # remaining chunks, folding on top of RECOVERED state
+        q2 = start(out2)
+        q2.awaitTermination()
+        phase2 = spark.read.parquet(out2)
+        assert phase2.count() > 0, "phase 2 must process remaining chunks"
+        finals = (
+            phase2.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "last_value", "ewma")).alias("f"))
+            .select(
+                "user_id",
+                F.col("f.n_events").alias("n_events"),
+                F.round(F.col("f.ewma"), 6).alias("ewma"),
+            )
+        )
+        batch = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in ewma_smooth(spark, sf).collect()
+        }
+        mismatched = [
+            (r.user_id, (r.n_events, r.ewma), batch.get(r.user_id))
+            for r in finals.collect()
+            if batch.get(r.user_id) != (r.n_events, r.ewma)
+        ]
+        assert not mismatched, mismatched[:5]
