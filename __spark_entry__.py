@@ -120,6 +120,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_report": R.dq_report,
     "scd2_build": R.scd2_build,
     "partition_skew_report": R.partition_skew_report,
+    "upsert_merge": R.upsert_merge,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1447,3 +1447,87 @@ LIMIT {TS_SIM_TOP_K}
 
 ADVANCED_QUERIES["ts_similarity_pairs"] = ts_similarity_pairs
 ADVANCED_ORACLES["ts_similarity_pairs"] = TS_SIMILARITY_PAIRS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern match: view -> click -> purchase with per-step time bounds
+# ---------------------------------------------------------------------------
+
+# per-user events in the testdata average hours apart, so a CEP bound
+# in minutes matches nothing; 6 h is tight enough that ~90% of the
+# unbounded funnel's converters are EXCLUDED (18 of 150 users match at
+# sf0.01) — the time constraint provably bites
+CEP_STEP_GAP_MS = 6 * 60 * 60 * 1000
+
+
+def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex event processing: per user, the
+    EARLIEST view → click → purchase chain where each step follows the
+    previous within 6 hours — the time-bounded sequence detector
+    (Flink CEP's bread and butter) that ``event_funnel``'s unbounded
+    min-ts chaining cannot express.
+
+    Scale shape: two user-keyed equi-joins with banded time predicates
+    (each is a join on user_id; the range condition only filters the
+    per-user match candidates, so fan-out is bounded by events within
+    one 6-hour window, not the user's history); the earliest chain
+    is an argmin via one struct-min aggregate — partial-aggregable, no
+    per-user sort window."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(et: str, out: str) -> DataFrame:
+        return ev.where(F.col("event_type") == et).select(
+            "user_id", F.unix_millis("ts").alias(out)
+        )
+
+    v, c, p = stage("view", "v_ms"), stage("click", "c_ms"), stage(
+        "purchase", "p_ms"
+    )
+    vc = v.join(c, "user_id").where(
+        (F.col("c_ms") > F.col("v_ms"))
+        & (F.col("c_ms") <= F.col("v_ms") + CEP_STEP_GAP_MS)
+    )
+    vcp = vc.join(p, "user_id").where(
+        (F.col("p_ms") > F.col("c_ms"))
+        & (F.col("p_ms") <= F.col("c_ms") + CEP_STEP_GAP_MS)
+    )
+    return (
+        vcp.groupBy("user_id")
+        .agg(F.min(F.struct("v_ms", "c_ms", "p_ms")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.v_ms").alias("v_ms"),
+            F.col("m.c_ms").alias("c_ms"),
+            F.col("m.p_ms").alias("p_ms"),
+            (F.col("m.p_ms") - F.col("m.v_ms")).alias("span_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CEP_PATTERN_MATCH_ORACLE = f"""
+WITH v AS (SELECT user_id, epoch_ms(ts) AS v_ms FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events
+      WHERE event_type = 'purchase'),
+chains AS (
+  SELECT v.user_id, v.v_ms, c.c_ms, p.p_ms
+  FROM v
+  JOIN c ON v.user_id = c.user_id
+        AND c.c_ms > v.v_ms AND c.c_ms <= v.v_ms + {CEP_STEP_GAP_MS}
+  JOIN p ON v.user_id = p.user_id
+        AND p.p_ms > c.c_ms AND p.p_ms <= c.c_ms + {CEP_STEP_GAP_MS}),
+ranked AS (
+  SELECT user_id, v_ms, c_ms, p_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY v_ms, c_ms, p_ms) AS rn
+  FROM chains)
+SELECT user_id, v_ms, c_ms, p_ms, p_ms - v_ms AS span_ms
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+ADVANCED_QUERIES["cep_pattern_match"] = cep_pattern_match
+ADVANCED_ORACLES["cep_pattern_match"] = CEP_PATTERN_MATCH_ORACLE

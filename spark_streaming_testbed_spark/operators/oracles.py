@@ -806,3 +806,24 @@ SELECT n_keys, n_rows, max_key_rows,
             AS INTEGER) AS salt_factor
 FROM agg
 """
+
+RELATIONAL_ORACLES["upsert_merge"] = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents_base
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+updates AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+         END AS cents_upd
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       coalesce(u.cents_upd, b.cents_base) AS cents,
+       CASE WHEN b.cents_base IS NULL THEN 'insert'
+            WHEN u.cents_upd IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+ORDER BY o_orderkey
+"""

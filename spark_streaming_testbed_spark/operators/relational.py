@@ -1688,3 +1688,52 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("salt_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) semantics: update-matched / insert-new / keep-rest
+# ---------------------------------------------------------------------------
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain parquet tables — the upsert every
+    warehouse ingest needs, without a table format: base = orders before
+    1998-01-01, updates = orders from 1997-01-01 (urgent repriced +10%
+    in exact integer cents, as ``snapshot_diff``). Matched keys take the
+    update row ('update'), unmatched update keys insert ('insert'),
+    untouched base keys persist ('keep'); output IS the merged table
+    plus the per-row action.
+
+    Scale shape: ONE full-outer equi-join on the key — both sides
+    shuffle once on o_orderkey (with a bucketed base table the exchange
+    disappears entirely, see ``bucketed_join_stats``); actions and the
+    merged value are row-local projections. All money math in integer
+    cents (`div`), bit-identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", cents.alias("cents_base"))
+    updates = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr("cast(cast(round(o_totalprice * 100) as bigint) "
+                   "* 11 div 10 as bigint)"),
+        ).otherwise(cents).alias("cents_upd"),
+    )
+    m = base.join(updates, "o_orderkey", "full")
+    action = (
+        F.when(F.col("cents_base").isNull(), "insert")
+        .when(F.col("cents_upd").isNull(), "keep")
+        .otherwise("update")
+    )
+    return (
+        m.select(
+            "o_orderkey",
+            F.coalesce("cents_upd", "cents_base").alias("cents"),
+            action.alias("action"),
+        )
+        .orderBy("o_orderkey")
+    )

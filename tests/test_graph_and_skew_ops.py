@@ -204,3 +204,46 @@ def test_ts_similarity_pairs_are_valid_correlations(spark):
     assert all(r.user_a < r.user_b for r in rows)
     rs = [r.pearson_r for r in rows]
     assert rs == sorted(rs, reverse=True)
+
+
+def test_upsert_merge_partitions_keys_exactly(spark):
+    """Merged keyset == base ∪ updates; actions partition it: inserts
+    are update-only keys, keeps are base-only keys, updates the rest."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        upsert_merge,
+    )
+
+    m = upsert_merge(spark, SF_CORRECT)
+    orders = load_table(spark, SF_CORRECT, "orders")
+    base_keys = {
+        r.o_orderkey
+        for r in orders.where("o_orderdate < timestamp '1998-01-01'")
+        .select("o_orderkey").collect()
+    }
+    upd_keys = {
+        r.o_orderkey
+        for r in orders.where("o_orderdate >= timestamp '1997-01-01'")
+        .select("o_orderkey").collect()
+    }
+    rows = m.collect()
+    assert {r.o_orderkey for r in rows} == base_keys | upd_keys
+    assert {r.o_orderkey for r in rows if r.action == "insert"} \
+        == upd_keys - base_keys
+    assert {r.o_orderkey for r in rows if r.action == "keep"} \
+        == base_keys - upd_keys
+    assert {r.o_orderkey for r in rows if r.action == "update"} \
+        == base_keys & upd_keys
+
+
+def test_cep_matches_are_ordered_chains_within_bounds(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        CEP_STEP_GAP_MS,
+        cep_pattern_match,
+    )
+
+    rows = cep_pattern_match(spark, SF_CORRECT).collect()
+    assert rows, "6-hour chains must exist at sf0.01"
+    for r in rows:
+        assert r.v_ms < r.c_ms <= r.v_ms + CEP_STEP_GAP_MS
+        assert r.c_ms < r.p_ms <= r.c_ms + CEP_STEP_GAP_MS
+        assert r.span_ms == r.p_ms - r.v_ms
