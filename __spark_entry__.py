@@ -121,6 +121,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_build": R.scd2_build,
     "partition_skew_report": R.partition_skew_report,
     "upsert_merge": R.upsert_merge,
+    "json_extract_stats": R.json_extract_stats,
+    "column_histograms": R.column_histograms,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

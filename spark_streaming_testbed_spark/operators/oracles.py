@@ -827,3 +827,36 @@ SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
 FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
 ORDER BY o_orderkey
 """
+
+RELATIONAL_ORACLES["json_extract_stats"] = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type,
+       count(*) AS n_rows,
+       count(k) AS n_parsed,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+RELATIONAL_ORACLES["column_histograms"] = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT least(19, CAST(floor((value - lo) / ((hi - lo) / 20)) AS INTEGER))
+           AS bin,
+         lo, hi
+  FROM events CROSS JOIN bounds)
+SELECT bin,
+       lo + bin * ((hi - lo) / 20) AS bin_lo,
+       lo + (bin + 1) * ((hi - lo) / 20) AS bin_hi,
+       count(*) AS cnt
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+"""

@@ -1737,3 +1737,87 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON analytics: typed extraction + per-group stats
+# ---------------------------------------------------------------------------
+
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction with schema-on-read: parse the ``props``
+    JSON column with an explicit schema (``from_json``, never
+    inference) and aggregate the extracted field per event_type — the
+    semi-structured path every event pipeline needs. Malformed
+    documents parse to NULL and are counted, not dropped silently.
+
+    Scale shape: ``from_json`` is a row-local JVM expression inside the
+    scan's codegen stage (no UDF, no Python); the rollup is one
+    map-side-combinable aggregate over ~5 groups."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(
+            F.col("props"), "k int", {"mode": "FAILFAST"}
+        )["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (ANALYZE-style optimizer statistics)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``events.value`` over ``HIST_BINS`` bins
+    between the column's min and max — the per-column distribution
+    statistic ANALYZE/optimizers keep for selectivity estimation, and
+    the complement of ``table_profile`` (which records only min/max/
+    ndv) and ``value_percentiles`` (equi-depth).
+
+    Scale shape: bounds come from one tiny aggregate broadcast back;
+    bin assignment is a row-local codegen expression; the final count
+    is one map-side-combinable aggregate on ≤ HIST_BINS+1 keys. Bin
+    edges are derived with the same double arithmetic in both engines
+    so boundary values land identically."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+            ).cast("int"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin")
+             * ((F.col("hi") - F.col("lo")) / HIST_BINS)).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin") + 1)
+             * ((F.col("hi") - F.col("lo")) / HIST_BINS)).alias("bin_hi"),
+            "cnt",
+        )
+        .orderBy("bin")
+    )

@@ -247,3 +247,29 @@ def test_cep_matches_are_ordered_chains_within_bounds(spark):
         assert r.v_ms < r.c_ms <= r.v_ms + CEP_STEP_GAP_MS
         assert r.c_ms < r.p_ms <= r.c_ms + CEP_STEP_GAP_MS
         assert r.span_ms == r.p_ms - r.v_ms
+
+
+def test_column_histogram_reconciles_and_covers_range(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        HIST_BINS,
+        column_histograms,
+    )
+
+    rows = column_histograms(spark, SF_CORRECT).collect()
+    n = load_table(spark, SF_CORRECT, "events").count()
+    assert sum(r.cnt for r in rows) == n
+    assert all(0 <= r.bin < HIST_BINS for r in rows)
+    for r in rows:
+        assert r.bin_lo < r.bin_hi
+
+
+def test_json_extract_parses_every_row(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        json_extract_stats,
+    )
+
+    rows = json_extract_stats(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.n_parsed == r.n_rows  # corpus props are all well-formed
+        assert r.min_k <= r.max_k
