@@ -306,3 +306,164 @@ def dump(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("sep", " ").option(
         "nullValue", "?"
     ).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# S10: gnuplot multiplot script generator (presentation sink)
+# ---------------------------------------------------------------------------
+
+def generate_gnuplot_script(
+    tables: dict[str, DataFrame], title: str
+) -> str:
+    """Rebuild of the reference's gnuplot multiplot generator
+    (log-processor Main.scala:36-158): one memory/PID panel, one panel
+    per stream (execution stacks + optional drop-ratio + optional
+    feedback bound), one panel per client (drops + optional requests +
+    tick fillsteps), driven by data extents.
+
+    This is the presentation sink (SURVEY §2.1 S10): the only
+    driver-side data are EXTENT SCALARS (global min/max time, max tick
+    count) and the tiny id/value vocabularies (streams, clients,
+    distinct item values) — each a one-row or few-row aggregate; the
+    plotted series themselves stay in the dumped files (``dump``) and
+    never pass through the driver. Layout arithmetic (333·streams+666
+    terminal height, streams+2 multiplot rows, ±5000 ms xrange pad,
+    1.2× tick headroom, $N column indexing) mirrors Main.scala
+    line-for-line as the format contract."""
+    ext = global_extent(tables).first()
+    min_ms = 0 if ext.min_ms is None else int(ext.min_ms)
+    max_ms = 0 if ext.max_ms is None else int(ext.max_ms)
+    streams = [
+        int(r.stream_id)
+        for r in tables["execution"]
+        .select("stream_id").distinct().orderBy("stream_id").collect()
+    ]
+    ratio_streams = {
+        int(r.stream_id)
+        for r in tables["ratio"].select("stream_id").distinct().collect()
+    }
+    feedback_streams = {
+        int(r.stream_id)
+        for r in tables["feedback"].select("stream_id").distinct().collect()
+    }
+    exec_values = {
+        s: [
+            int(r.value)
+            for r in tables["execution"]
+            .where(F.col("stream_id") == s)
+            .select("value").distinct().orderBy("value").collect()
+        ]
+        for s in streams
+    }
+    clients = [
+        int(r.client_id)
+        for r in tables["dropped"]
+        .select("client_id").distinct().orderBy("client_id").collect()
+    ]
+    requested_clients = {
+        int(r.client_id)
+        for r in tables["requested"].select("client_id").distinct().collect()
+    }
+    tick_values = [
+        int(r.value)
+        for r in tables["tick"]
+        .select("value").distinct().orderBy("value").collect()
+    ]
+    max_tick = tables["tick"].agg(F.max("count").alias("m")).first().m or 0
+
+    out = ["""
+set y2range [0:]
+set y2tics
+set yrange [0:]
+set lmargin 12
+set rmargin 10
+set datafile missing "?"
+set style fill transparent solid 0.25
+
+set style arrow 1 nohead ls 1
+set style arrow 2 nohead ls 1 lc 3
+set ytics nomirror
+"""]
+    out.append(
+        '\nset terminal pngcairo dashed enhanced font "arial,10" '
+        f"fontscale 1.0 size 1500,{len(streams) * 333 + 666}\n"
+    )
+    out.append('\nset output "graph.png"\n')
+    out.append(
+        f'\nset multiplot layout {len(streams) + 2}, 1 title "{title}"\n'
+    )
+    out.append(f"\nset xrange [ {min_ms - 5000} : {max_ms + 5000} ]")
+    out.append("""
+set xtics format " "
+set bmargin 1
+set ylabel "execution time (in milliseconds)"
+set y2label "memory (in MB)"
+
+plot "memory.log" using 1:(5000) with line lt 0 lc 3 title "batch interval", \\
+  "memory.log" using 1:($2/1024) axes x1y2 with lines title "Spark - free memory to store the blocks" lt 1 lc 2, \\
+  "pid.log" using ($1-$3-$4):(0):3:3 with vector title "processing time" arrowstyle 2, \\
+  "pid.log" using ($1-$4):3:4:4 with vector title "scheduling delay" arrowstyle 1
+
+""")
+    out.append("""
+set tmargin 0
+set ylabel "# of items"
+set y2label "drop ratio"
+set y2range [ 0 : 1.1 ]
+
+""")
+    for s in streams:
+        out.append("\nplot ")
+        if s in ratio_streams:
+            out.append(
+                f'"ratio_{s}.log" using 1:2 axes x1y2 with lines title '
+                '"Congestion strategie - drop ratio, for each block" '
+                'lt 1 lc rgb "#DDDDDD", \\\n'
+                f'  "ratio_{s}.log" u 1:2 axes x1y2 smooth bezier title '
+                '"smoothed drop ratio" lt 1 lc "black", \\\n'
+            )
+        exec_lines = [
+            f'"execution_{s}.log" using 2:(${i + 3}) with filledcurve x1 '
+            f'title "Spark - # of items {v} processed per batch" '
+            f"lt 1 lc {i + 3}"
+            for i, v in enumerate(exec_values[s])
+        ]
+        out.append(", \\\n".join(exec_lines))
+        if s in feedback_streams:
+            out.append(
+                f', \\\n  "feedback_{s}.log" using 1:($2 * 5) with lines '
+                'title "Spark - feedback bound, max # of item per batch" '
+                "lt 1 lc 2"
+            )
+        out.append("\n\n")
+    out.append('\nset xlabel "timeline (in milliseconds)"\n\n')
+    out.append("""
+set xtics format "%.0f"
+set bmargin 3
+set ylabel "# of items"
+unset y2label
+unset y2tics
+unset y2range
+
+""")
+    out.append(f"\nset yrange [ 0 : {int(max_tick * 1.2)} ]\n")
+    out.append("\nset boxwidth 1000\n\n")
+    for c in clients:
+        out.append(
+            f'plot "droppedValuesPerSecond_{c}.log" using 1:2 with boxes '
+            'title "testbed, # of item dropped per second" lt 1 lc 1, \\\n'
+        )
+        if c in requested_clients:
+            out.append(
+                f'     "requestedValuesPerSecond_{c}.log" using 1:2 with '
+                'lines title "testbed, # of item requested per second" '
+                "lt 1 lc 2, \\\n"
+            )
+        tick_lines = [
+            f'"tick.log" using 1:(${i + 2}) with fillsteps title '
+            f'"testbed, # of item {v} to send at each second" lt 1 lc {i + 3}'
+            for i, v in enumerate(tick_values)
+        ]
+        out.append(", \\\n".join(tick_lines))
+    out.append("\nunset multiplot\n")
+    return "".join(out)

@@ -89,3 +89,39 @@ def test_full_log_pipeline(spark):
         )
         body = "\n".join(r.value for r in spark.read.text(f"{tmp}/out").collect())
         assert "?" in body
+
+
+def test_gnuplot_script_generator_matches_reference_layout(spark):
+    """S10 presentation sink: the generated multiplot script must carry
+    the reference generator's structure (Main.scala:36-158) — layout
+    row count streams+2, 333·streams+666 terminal height, ±5000 ms
+    xrange pad, per-stream execution stacks with $N column indexing,
+    per-client panels, 1.2× tick headroom — driven purely by data
+    extents."""
+    with tempfile.TemporaryDirectory() as tmp:
+        base = _write_run_dir(tmp)
+        tables = loglake.load_loglake(spark, base)
+        script = loglake.generate_gnuplot_script(tables, "my run")
+
+        assert 'set multiplot layout 3, 1 title "my run"' in script  # 1 stream + 2
+        assert "size 1500,999" in script  # 333*1 + 666
+        # extent: execution times 1434457808277..1434457813280 padded 5000,
+        # but global extent unions ALL time_ms columns (memory/tick rows
+        # are earlier) — just assert the pad arithmetic appears
+        assert "set xrange [ " in script
+        lo = int(script.split("set xrange [ ")[1].split(" :")[0])
+        hi = int(script.split(" : ", 1)[1].split(" ]")[0])
+        assert hi - lo >= 10000  # both pads applied
+        # stream panel: two distinct execution values -> $3 and $4 stacks
+        assert 'using 2:($3) with filledcurve' in script
+        assert 'using 2:($4) with filledcurve' in script
+        # ratio + feedback panels present for stream 0
+        assert '"ratio_0.log" using 1:2 axes x1y2' in script
+        assert '"feedback_0.log" using 1:($2 * 5)' in script
+        # client panel with requests and the single tick value column $2
+        assert '"droppedValuesPerSecond_0.log" using 1:2 with boxes' in script
+        assert '"requestedValuesPerSecond_0.log"' in script
+        assert '"tick.log" using 1:($2) with fillsteps' in script
+        # tick max count is 30 -> yrange headroom 36
+        assert "set yrange [ 0 : 36 ]" in script
+        assert script.strip().endswith("unset multiplot")
