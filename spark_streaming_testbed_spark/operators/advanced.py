@@ -1141,7 +1141,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so nothing but partial aggregates cross the final shuffle.
     """
     ev = load_table(spark, sf_dir, "events")
-    edges = _coactivity_edges(ev)  # symmetric, distinct, no self-loops
+    # the slim (src, dst) edge list feeds FOUR downstream branches (deg,
+    # und, and both wedge sides via ori); without a checkpoint each
+    # branch would re-run the cells self-join — localCheckpoint cuts the
+    # lineage once, at 16 bytes/row
+    edges = _coactivity_edges(ev).localCheckpoint(eager=True)
     # undirected degree == out-degree of the symmetric edge list
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     und = edges.where(F.col("src") < F.col("dst"))
@@ -1161,6 +1165,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deg_hi"),
         )
     )
+    # ori is consumed three times (both wedge sides + the closing-edge
+    # probe); checkpoint the oriented list too (lo, hi, deg_hi)
+    ori = ori.localCheckpoint(eager=True)
     e1 = ori.alias("e1")
     e2 = ori.alias("e2")
     wedge_order = (F.col("e1.deg_hi") < F.col("e2.deg_hi")) | (
@@ -1376,9 +1383,14 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cells.select(
         F.col("user_id").alias("user_b"), "day", F.col("cnt").alias("cb")
     )
+    # route the inner product THROUGH the blocked candidates: joining
+    # ca⋈cb on day alone is the all-pairs blowup (users²·days rows) the
+    # blocking exists to avoid; candidates ⋈ series ⋈ series keeps the
+    # fan-out at |pairs|·active-days
     sxy = (
-        ca.join(cb, "day")
-        .where(F.col("user_a") < F.col("user_b"))
+        pairs.select("user_a", "user_b")
+        .join(ca, "user_a")
+        .join(cb, ["user_b", "day"])
         .groupBy("user_a", "user_b")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("sxy"))
     )
@@ -1425,10 +1437,11 @@ pairs AS (
          a.sx AS sx_a, a.sxx AS sxx_a, b.sx AS sx_b, b.sxx AS sxx_b
   FROM stats a JOIN stats b ON a.sig = b.sig AND a.user_id < b.user_id),
 sxy AS (
-  SELECT ca.user_id AS user_a, cb.user_id AS user_b,
+  SELECT p.user_a, p.user_b,
          CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS sxy
-  FROM cells ca JOIN cells cb
-    ON ca.day = cb.day AND ca.user_id < cb.user_id
+  FROM pairs p
+  JOIN cells ca ON ca.user_id = p.user_a
+  JOIN cells cb ON cb.user_id = p.user_b AND cb.day = ca.day
   GROUP BY 1, 2),
 d AS (SELECT CAST(hi - lo + 1 AS BIGINT) AS n_days FROM bounds)
 SELECT p.user_a, p.user_b, CAST(d.n_days AS INTEGER) AS n_days,
