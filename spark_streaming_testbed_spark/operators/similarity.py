@@ -940,3 +940,78 @@ KNN_GRAPH_ORACLE = _knn_graph_oracle()
 
 SIMILARITY_QUERIES["knn_graph"] = knn_graph
 SIMILARITY_ORACLES["knn_graph"] = KNN_GRAPH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest cross-label vectors per anchor
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 3
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor (vec_id < N_QUERIES), the ``HARD_NEG_K`` most-cosine-similar
+    vectors with a DIFFERENT label — the near-boundary negatives that
+    make triplet/InfoNCE training effective (as opposed to easy random
+    negatives).
+
+    Scale shape: identical to ``cosine_topk`` — anchors broadcast, the
+    corpus scanned once, label inequality fused into the join condition
+    so mismatched pairs never materialize; ranked on the rounded cosine
+    for cross-engine stability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(anchors), F.col("a_label") != F.col("n_label")
+        )
+        .select(
+            "a_id", "a_label", "n_id", "n_label",
+            F.round(_cosine("a_emb", "n_emb"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HARD_NEG_K)
+        .select("a_id", "a_label", "rk", "n_id", "n_label", "cosine")
+        .orderBy("a_id", "rk")
+    )
+
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS a_emb,
+                  label AS a_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_emb,
+             label AS n_label
+      FROM embeddings),
+scored AS (
+  SELECT a_id, a_label, n_id, n_label,
+         round(
+           list_dot_product(a_emb, n_emb) /
+           (sqrt(list_dot_product(a_emb, a_emb)) *
+            sqrt(list_dot_product(n_emb, n_emb))), 6) AS cosine
+  FROM a, c WHERE a_label <> n_label),
+ranked AS (
+  SELECT a_id, a_label, n_id, n_label, cosine,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY cosine DESC, n_id) AS rk
+  FROM scored)
+SELECT a_id, a_label, rk, n_id, n_label, cosine
+FROM ranked WHERE rk <= {HARD_NEG_K}
+ORDER BY a_id, rk
+"""
+
+SIMILARITY_QUERIES["hard_negatives"] = hard_negatives
+SIMILARITY_ORACLES["hard_negatives"] = HARD_NEGATIVES_ORACLE

@@ -1757,3 +1757,126 @@ LIMIT {PMI_TOP_K}
 
 TEXT_QUERIES["pmi_collocations"] = pmi_collocations
 TEXT_ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson-Sparck Jones / Okapi)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed query vocabulary — scoring is per fixed term so the final score
+#: is a FIXED-ORDER sum of three doubles, identical in both engines
+BM25_QUERY_TERMS = ("spark", "query", "data")
+BM25_TOP_K = 20
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document scoring for a fixed query — the classic
+    retrieval ranking (and the lexical side of every RAG/hybrid-search
+    pipeline): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) summed
+    over query terms.
+
+    Scale shape: tf comes from one doc-keyed aggregate over the
+    (corpus-sized but aggregated) token explode; df and avgdl are
+    vocabulary-/one-row-sized broadcasts. Determinism: per-term scores
+    pivot into FIXED columns so the final sum adds doubles in a fixed
+    order; the compared score is floor-quantized because idf's ln()
+    differs by an ulp between engines (same convention as
+    ``pmi_collocations``). Top-k plans as TakeOrderedAndProject."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode("tokens").alias("token"),
+        F.size("tokens").alias("dl"),
+    )
+    tf = (
+        toks.where(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = (
+        toks.where(F.col("token").isin(*BM25_QUERY_TERMS))
+        .select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).alias("total_dl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score",
+            F.expr(
+                f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+                f" * (tf * ({BM25_K1} + 1.0))"
+                f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+                f" + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))"
+            ),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("token") == t, F.col("score"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ])
+    total = (
+        F.coalesce(F.col("s0"), F.lit(0.0))
+        + F.coalesce(F.col("s1"), F.lit(0.0))
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+    )
+    return (
+        per_term.select(
+            "doc_id",
+            (F.floor(total * 1e6) / 1e6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    cols = []
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        cols.append(
+            f"max(CASE WHEN token = '{t}' THEN score END) AS s{i}"
+        )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+ex AS (
+  SELECT doc_id, unnest(tokens) AS token, len(tokens) AS dl FROM tok),
+tf AS (
+  SELECT doc_id, token, dl, count(*) AS tf
+  FROM ex WHERE token IN ({terms})
+  GROUP BY doc_id, token, dl),
+dft AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM ex WHERE token IN ({terms}) GROUP BY token),
+corpus AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(tokens)) AS BIGINT) AS total_dl
+  FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+           AS score
+  FROM tf JOIN dft USING (token) CROSS JOIN corpus),
+per_term AS (
+  SELECT doc_id, {', '.join(cols)}
+  FROM scored GROUP BY doc_id)
+SELECT doc_id,
+       floor((coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0))
+             * 1e6) / 1e6 AS bm25
+FROM per_term
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_RETRIEVAL_ORACLE = _bm25_oracle()
+
+TEXT_QUERIES["bm25_retrieval"] = bm25_retrieval
+TEXT_ORACLES["bm25_retrieval"] = BM25_RETRIEVAL_ORACLE

@@ -273,3 +273,36 @@ def test_json_extract_parses_every_row(spark):
     for r in rows:
         assert r.n_parsed == r.n_rows  # corpus props are all well-formed
         assert r.min_k <= r.max_k
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        BM25_TOP_K,
+        bm25_retrieval,
+    )
+
+    rows = bm25_retrieval(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_rank(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        HARD_NEG_K,
+        N_QUERIES,
+        hard_negatives,
+    )
+
+    rows = hard_negatives(spark, SF_CORRECT).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r.a_label != r.n_label
+        assert 1 <= r.rk <= HARD_NEG_K
+        assert r.a_id < N_QUERIES
+        by_anchor.setdefault(r.a_id, []).append((r.rk, r.cosine))
+    for sims in by_anchor.values():
+        ordered = [c for _, c in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)
