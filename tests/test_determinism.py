@@ -22,6 +22,12 @@ SAMPLE = [
     "semantic_dup_pairs",  # cluster-local pairs off the same fit
     "skew_salted_join",    # salt is hash-derived, not random
     "bucketed_join_stats", # bucketed table rewrite must be idempotent
+    "knn_graph",           # LSH self-join off seeded plane literals
+    "snm_candidate_pairs", # two-phase rank must be fully keyed
+    "pmi_collocations",    # top-k cut on quantized lift
+    "bm25_retrieval",      # top-k cut on quantized score
+    "ts_similarity_pairs", # signature blocking + integer stats
+    "triangle_count",      # checkpointed lineage must not drift
 ]
 
 
