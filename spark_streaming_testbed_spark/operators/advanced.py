@@ -1544,3 +1544,88 @@ ORDER BY user_id
 
 ADVANCED_QUERIES["cep_pattern_match"] = cep_pattern_match
 ADVANCED_ORACLES["cep_pattern_match"] = CEP_PATTERN_MATCH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, fixed rounds, deterministic)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-activity graph by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) with a deterministic tie-break:
+    each round every node adopts its neighbors' most frequent label,
+    ties to the SMALLEST label; ``LPA_ITERS`` fixed rounds (async LPA's
+    update-order dependence is exactly what an oracle-checked engine
+    cannot have). Completes the graph family: PageRank (influence),
+    connected components (reachability), triangles (cohesion), LPA
+    (mesoscale structure).
+
+    Scale shape: one edges⋈labels join plus one (node, label) count
+    aggregate per round — the Pregel shape; the label vector is
+    node-cardinality and localCheckpoint cuts lineage each round. The
+    argmax is a partial-aggregable struct-max (count, then -label), no
+    per-node sort window. The oracle unrolls the same rounds as CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                 .alias("m"))
+            .select(
+                F.col("dst").alias("node"),
+                (-F.col("m.nl")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
+
+
+def _lpa_oracle() -> str:
+    head = """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    steps = []
+    for i in range(1, LPA_ITERS + 1):
+        steps.append(f"""
+v{i} AS (
+  SELECT e.dst, l.label, count(*) AS cnt
+  FROM edges e JOIN l{i - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label),
+l{i} AS (
+  SELECT dst AS node, label
+  FROM (SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM v{i})
+  WHERE rn = 1)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nSELECT node, label FROM l{LPA_ITERS} ORDER BY node"
+    )
+
+
+LPA_COMMUNITIES_ORACLE = _lpa_oracle()
+
+ADVANCED_QUERIES["lpa_communities"] = lpa_communities
+ADVANCED_ORACLES["lpa_communities"] = LPA_COMMUNITIES_ORACLE

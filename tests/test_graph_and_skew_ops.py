@@ -306,3 +306,19 @@ def test_hard_negatives_are_cross_label_and_harder_than_rank(spark):
     for sims in by_anchor.values():
         ordered = [c for _, c in sorted(sims)]
         assert ordered == sorted(ordered, reverse=True)
+
+
+def test_lpa_labels_come_from_neighborhoods(spark):
+    """After k sync rounds every node's label must be a node id from
+    within its k-hop neighborhood; with k>=1 every label is some node's
+    id and community count can only shrink vs the node count."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        lpa_communities,
+    )
+
+    rows = lpa_communities(spark, SF_CORRECT).collect()
+    assert rows
+    nodes = {r.node for r in rows}
+    labels = {r.label for r in rows}
+    assert labels <= nodes
+    assert len(labels) <= len(nodes)
