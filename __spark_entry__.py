@@ -242,6 +242,13 @@ _FIRST_WINDOW: list[str] = [
     "rfm_features",
     "rate_timeline",
 ]
+# Round-4 rotation queue (never driver-checked; all green under the
+# local gate): the three spill entries above plus the late-r3 adds —
+# triangle_count, ewma_smooth, snm_candidate_pairs,
+# partition_skew_report, streaming_ewma, pmi_collocations, knn_graph,
+# ts_similarity_pairs, upsert_merge, cep_pattern_match,
+# json_extract_stats, column_histograms, bm25_retrieval,
+# hard_negatives, lpa_communities.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
