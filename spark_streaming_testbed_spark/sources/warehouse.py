@@ -115,7 +115,11 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from ..session import load_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the PID: the in-memory catalog is per-process but the
+    # warehouse DIRECTORY is shared, and two processes (e.g. pytest plus
+    # an oracle sweep) racing overwrite/read on one location corrupt the
+    # table mid-scan — observed as a flaky parity failure
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     t_orders, t_lineitem = f"wh_b_{tag}_orders", f"wh_b_{tag}_lineitem"
     # the session catalog is in-memory but the warehouse directory
     # persists: a table absent from the catalog with a leftover location
