@@ -352,6 +352,18 @@ def _streaming_hh_oracle() -> str:
     return HEAVY_HITTERS_ORACLE
 
 
+def _streaming_late_query(spark, sf_dir):
+    from .stateful import streaming_late_data
+
+    return streaming_late_data(spark, sf_dir)
+
+
+def _streaming_late_oracle() -> str:
+    from .stateful import STREAMING_LATE_DATA_ORACLE
+
+    return STREAMING_LATE_DATA_ORACLE
+
+
 def _streaming_ewma_query(spark, sf_dir):
     from .stateful import streaming_ewma
 
@@ -467,6 +479,7 @@ STREAMING_QUERIES = {
     "streaming_stream_join": streaming_stream_join,
     "streaming_heavy_hitters": _streaming_hh_query,
     "streaming_ewma": _streaming_ewma_query,
+    "streaming_late_data": _streaming_late_query,
 }
 
 STREAMING_ORACLES = {
@@ -485,4 +498,7 @@ STREAMING_ORACLES = {
     # batch==stream equality: chunked state folding is bitwise identical
     # to the one-shot batch fold, so the stream shares ewma_smooth's oracle
     "streaming_ewma": _streaming_ewma_oracle(),
+    # T5 late data: the oracle simulates the watermark's admission and
+    # append-mode emission rules batch by batch (deterministic replay)
+    "streaming_late_data": _streaming_late_oracle(),
 }
