@@ -123,6 +123,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_merge": R.upsert_merge,
     "json_extract_stats": R.json_extract_stats,
     "column_histograms": R.column_histograms,
+    "exact_median_twopass": R.exact_median_twopass,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -860,3 +860,18 @@ FROM binned
 GROUP BY bin, lo, hi
 ORDER BY bin
 """
+
+# the oracle states WHAT the two-pass median must equal — the rank
+# ceil(n/2) element in (value, event_id) order — not how it's found
+RELATIONAL_ORACLES["exact_median_twopass"] = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, n AS n_rows, value AS median
+FROM ranked
+WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY event_type
+"""

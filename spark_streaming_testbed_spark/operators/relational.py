@@ -1821,3 +1821,83 @@ def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact median: histogram-narrowing, never materializes a group
+# ---------------------------------------------------------------------------
+
+MEDIAN_COARSE_BINS = 1024
+
+
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-key lower median of ``events.value`` computed the way
+    it must be at 100 TB: Spark's ``percentile()`` (used by
+    ``value_percentiles``) buffers every group value in one aggregator
+    — fine for small groups, a memory wall for billion-row keys. This
+    operator instead does histogram narrowing:
+
+    pass 1 — per (key, coarse-bin) counts (map-side combinable; the
+    histogram table is |keys|·1024 rows however big the data);
+    locate — a prefix sum over that tiny table finds each key's bin
+    containing the target rank and the rank offset below it (driver
+    never sees data, only the broadcast bin bounds);
+    pass 2 — re-scan ONLY rows in each key's located bin (a broadcast
+    semi-join; expected 1/1024 of the data) and pick the in-bin rank
+    with one bounded window.
+
+    Total order (value, event_id) breaks duplicate-value ties
+    identically in both engines. Lower median = rank ceil(n/2)."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    nb = MEDIAN_COARSE_BINS
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type", "event_id", "value",
+        F.when(F.col("hi") > F.col("lo"), F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / nb)
+            ).cast("int"),
+        )).otherwise(F.lit(0)).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    located = (
+        hist.withColumn("below", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+        .withColumn(
+            "n", F.sum("c").over(W.partitionBy("event_type"))
+        )
+        .withColumn("target", F.ceil(F.col("n") / 2).cast("bigint"))
+        .where(
+            (F.col("below") < F.col("target"))
+            & (F.col("below") + F.col("c") >= F.col("target"))
+        )
+        .select(
+            "event_type", "bin",
+            (F.col("target") - F.col("below")).alias("rank_in_bin"),
+            "n",
+        )
+    )
+    in_bin = binned.join(
+        F.broadcast(located), ["event_type", "bin"]
+    )
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        in_bin.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == F.col("rank_in_bin"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_rows"),
+            F.col("value").alias("median"),
+        )
+        .orderBy("event_type")
+    )

@@ -322,3 +322,22 @@ def test_lpa_labels_come_from_neighborhoods(spark):
     labels = {r.label for r in rows}
     assert labels <= nodes
     assert len(labels) <= len(nodes)
+
+
+def test_two_pass_median_equals_buffered_percentile(spark):
+    """The histogram-narrowed exact median must equal the classic
+    buffered computation and sit at rank ceil(n/2) of each group."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        exact_median_twopass,
+    )
+
+    rows = {r.event_type: r for r in
+            exact_median_twopass(spark, SF_CORRECT).collect()}
+    ev = load_table(spark, SF_CORRECT, "events")
+    for et, r in rows.items():
+        vals = sorted(
+            v.value for v in ev.where(F.col("event_type") == et)
+            .select("value").collect()
+        )
+        assert r.n_rows == len(vals)
+        assert r.median == vals[(len(vals) + 1) // 2 - 1]
