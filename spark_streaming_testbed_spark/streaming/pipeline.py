@@ -364,6 +364,18 @@ def _streaming_late_oracle() -> str:
     return STREAMING_LATE_DATA_ORACLE
 
 
+def _streaming_upsert_query(spark, sf_dir):
+    from .stateful import streaming_upsert
+
+    return streaming_upsert(spark, sf_dir)
+
+
+def _streaming_upsert_oracle() -> str:
+    from ..operators.oracles import RELATIONAL_ORACLES
+
+    return RELATIONAL_ORACLES["upsert_merge"]
+
+
 def _streaming_ewma_query(spark, sf_dir):
     from .stateful import streaming_ewma
 
@@ -480,6 +492,7 @@ STREAMING_QUERIES = {
     "streaming_heavy_hitters": _streaming_hh_query,
     "streaming_ewma": _streaming_ewma_query,
     "streaming_late_data": _streaming_late_query,
+    "streaming_upsert": _streaming_upsert_query,
 }
 
 STREAMING_ORACLES = {
@@ -501,4 +514,7 @@ STREAMING_ORACLES = {
     # T5 late data: the oracle simulates the watermark's admission and
     # append-mode emission rules batch by batch (deterministic replay)
     "streaming_late_data": _streaming_late_oracle(),
+    # incremental foreachBatch MERGE converges to the one-shot batch
+    # merge, so the stream shares upsert_merge's oracle
+    "streaming_upsert": _streaming_upsert_oracle(),
 }

@@ -679,3 +679,100 @@ WHERE wend_us <= fwm
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental upsert: foreachBatch MERGE with A/B table flip
+# ---------------------------------------------------------------------------
+
+def streaming_upsert(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED incremental materialized upsert: the update feed
+    of ``upsert_merge`` (orders from 1997-01-01, urgent repriced)
+    replays as micro-batches; every trigger MERGEs its batch into the
+    running base table via foreachBatch — the plain-parquet version of
+    the Delta/Iceberg MERGE INTO loop every warehouse ingest runs. The
+    final table is byte-identical to the one-shot batch merge, so the
+    stream shares ``upsert_merge``'s DuckDB oracle.
+
+    Scale shape: each trigger is one full-outer equi-join of the
+    (small) batch against the base table, written to the ALTERNATE
+    path — Spark cannot safely overwrite a path it is reading, so the
+    merge ping-pongs between two locations (the poor man's snapshot
+    isolation; a table format would give this via versioned commits).
+    Action labels persist so 'update' survives later keep-only batches.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey", cents.alias("cents"), F.lit("keep").alias("action")
+    )
+    updates = orders.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr("cast(cast(round(o_totalprice * 100) as bigint) "
+                   "* 11 div 10 as bigint)"),
+        ).otherwise(cents).alias("cents"),
+        F.lit("upd").alias("src"),
+    )
+    with tempfile.TemporaryDirectory(prefix="supsert_") as tmp:
+        feed = f"{tmp}/feed"
+        write_interleaved_chunks(
+            updates.withColumnRenamed("o_orderkey", "event_id"), feed
+        )
+        state = [f"{tmp}/state_a", f"{tmp}/state_b"]
+        base.write.mode("overwrite").parquet(state[0])
+        cur = [0]
+
+        def merge_batch(batch, _id):
+            b = (
+                batch.withColumnRenamed("event_id", "o_orderkey")
+                .select(
+                    "o_orderkey",
+                    F.col("cents").alias("cents_u"),
+                )
+            )
+            cur_tbl = spark.read.parquet(state[cur[0]])
+            merged = (
+                cur_tbl.join(b, "o_orderkey", "full")
+                .select(
+                    "o_orderkey",
+                    F.coalesce("cents_u", "cents").alias("cents"),
+                    F.when(
+                        F.col("cents").isNull(), "insert"
+                    ).when(
+                        F.col("cents_u").isNotNull(), "update"
+                    ).otherwise(F.col("action")).alias("action"),
+                )
+            )
+            merged.write.mode("overwrite").parquet(state[1 - cur[0]])
+            cur[0] = 1 - cur[0]
+
+        stream = (
+            spark.readStream.schema("event_id long, cents long, src string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state[cur[0]])
+        # materialize before the TemporaryDirectory vanishes
+        rows = final.orderBy("o_orderkey").collect()
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, cents bigint, action string"
+        )
