@@ -402,3 +402,26 @@ def test_ts_similarity_blocks_on_signature(spark):
     plan = plan_of(ts_similarity_pairs(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "sig" in plan
+
+
+def test_lpa_rounds_have_no_cartesian(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        lpa_communities,
+    )
+
+    plan = plan_of(lpa_communities(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_median_second_pass_is_broadcast_pruned(spark):
+    """Pass 2 must reach the data through a BROADCAST join against the
+    tiny located-bin table (the 1/1024 prune), and nothing leaves the
+    JVM."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        exact_median_twopass,
+    )
+
+    plan = plan_of(exact_median_twopass(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
