@@ -364,6 +364,44 @@ def _streaming_late_oracle() -> str:
     return STREAMING_LATE_DATA_ORACLE
 
 
+def _streaming_sessionize_query(spark, sf_dir):
+    from .stateful import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)
+
+
+def _streaming_sessionize_oracle() -> str:
+    from ..operators.advanced import SESSION_GAP_MS
+
+    return f"""
+WITH ordered AS (
+  SELECT user_id, epoch_ms(ts) AS t, value,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_t
+  FROM events),
+marked AS (
+  SELECT user_id, t, value,
+         CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS ns
+  FROM ordered),
+islands AS (
+  SELECT user_id, t, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sn
+  FROM marked),
+sess AS (
+  SELECT user_id, min(t) AS session_start_ms,
+         max(t) + {SESSION_GAP_MS} AS session_end_ms,
+         count(*) AS n_events, round(sum(value), 6) AS sum_v
+  FROM islands GROUP BY user_id, sn),
+fwm AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+SELECT user_id, session_start_ms, session_end_ms, n_events, sum_v
+FROM sess CROSS JOIN fwm
+WHERE session_end_ms <= m
+ORDER BY user_id, session_start_ms
+"""
+
+
 def _streaming_upsert_query(spark, sf_dir):
     from .stateful import streaming_upsert
 
@@ -493,6 +531,7 @@ STREAMING_QUERIES = {
     "streaming_ewma": _streaming_ewma_query,
     "streaming_late_data": _streaming_late_query,
     "streaming_upsert": _streaming_upsert_query,
+    "streaming_sessionize": _streaming_sessionize_query,
 }
 
 STREAMING_ORACLES = {
@@ -517,4 +556,7 @@ STREAMING_ORACLES = {
     # incremental foreachBatch MERGE converges to the one-shot batch
     # merge, so the stream shares upsert_merge's oracle
     "streaming_upsert": _streaming_upsert_oracle(),
+    # append-mode session_window emits exactly the batch gap-islands
+    # sessions whose end precedes the final watermark
+    "streaming_sessionize": _streaming_sessionize_oracle(),
 }

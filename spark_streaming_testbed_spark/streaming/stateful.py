@@ -776,3 +776,76 @@ def streaming_upsert(spark, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "o_orderkey bigint, cents bigint, action string"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization: native session_window across triggers
+# ---------------------------------------------------------------------------
+
+def streaming_sessionize(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming sessionization: events replay as
+    time-ordered micro-batches through Spark's native ``session_window``
+    in APPEND mode — sessions merge in state across triggers and emit
+    once the watermark passes their end. With an in-order replay and a
+    zero-second delay the emitted set is exactly the batch gap-islands
+    sessions whose end precedes the final watermark (= global max event
+    time) — the still-open tail sessions correctly stay in state. The
+    oracle is the batch islands SQL with that end-time filter.
+
+    Scale shape: per-trigger work is one user-keyed shuffle into the
+    session-state operator; state holds only open sessions."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.advanced import SESSION_GAP
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory(prefix="ssess_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            agg = (
+                stream.withWatermark("ts", "0 seconds")
+                .groupBy(
+                    F.session_window("ts", SESSION_GAP).alias("sw"),
+                    "user_id",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 6).alias("sum_v"),
+                )
+            )
+            name = f"ssess_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+                "n_events",
+                "sum_v",
+            )
+            .orderBy("user_id", "session_start_ms")
+        )
