@@ -364,6 +364,18 @@ def _streaming_late_oracle() -> str:
     return STREAMING_LATE_DATA_ORACLE
 
 
+def _streaming_sliding_query(spark, sf_dir):
+    from .stateful import streaming_sliding_stats
+
+    return streaming_sliding_stats(spark, sf_dir)
+
+
+def _streaming_sliding_oracle() -> str:
+    from .stateful import STREAMING_SLIDING_STATS_ORACLE
+
+    return STREAMING_SLIDING_STATS_ORACLE
+
+
 def _streaming_sessionize_query(spark, sf_dir):
     from .stateful import streaming_sessionize
 
@@ -532,6 +544,7 @@ STREAMING_QUERIES = {
     "streaming_late_data": _streaming_late_query,
     "streaming_upsert": _streaming_upsert_query,
     "streaming_sessionize": _streaming_sessionize_query,
+    "streaming_sliding_stats": _streaming_sliding_query,
 }
 
 STREAMING_ORACLES = {
@@ -559,4 +572,5 @@ STREAMING_ORACLES = {
     # append-mode session_window emits exactly the batch gap-islands
     # sessions whose end precedes the final watermark
     "streaming_sessionize": _streaming_sessionize_oracle(),
+    "streaming_sliding_stats": _streaming_sliding_oracle(),
 }

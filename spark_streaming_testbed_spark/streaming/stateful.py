@@ -849,3 +849,96 @@ def streaming_sessionize(spark, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id", "session_start_ms")
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding (hopping) windows: append-mode emission, oracle-checked
+# ---------------------------------------------------------------------------
+
+def streaming_sliding_stats(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming sliding windows: 10-minute windows every
+    5 minutes over a time-ordered replay (each event expands into two
+    window states), APPEND mode with a zero-second watermark — windows
+    emit when the watermark passes their end, so the emitted set is the
+    batch ``sliding_window_stats`` restricted to windows ending at or
+    before the final watermark (= global max event time). The oracle
+    materializes the same two buckets per row with unnest and applies
+    that end filter.
+
+    Scale shape: per-trigger work is the map-side window expansion plus
+    one keyed shuffle into window state; state holds only the ≤2
+    still-open hops."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    with tempfile.TemporaryDirectory(prefix="sslide_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            agg = (
+                stream.withWatermark("ts", "0 seconds")
+                .groupBy(
+                    F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                    "event_type",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.round(F.sum("value"), 6).alias("sum_v"),
+                )
+            )
+            name = f"sslide_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.table(name)
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "cnt",
+                "sum_v",
+            )
+            .orderBy("window_start", "event_type")
+        )
+
+
+STREAMING_SLIDING_STATS_ORACLE = """
+WITH expanded AS (
+  SELECT event_type, value, epoch_ms(ts) AS tms,
+         CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - off * 300
+           AS window_start
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS off)
+  WHERE epoch_ms(ts) >= (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                         - off * 300) * 1000
+    AND epoch_ms(ts) < (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                        - off * 300 + 600) * 1000),
+fwm AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+SELECT window_start, event_type,
+       count(*) AS cnt, round(sum(value), 6) AS sum_v
+FROM expanded CROSS JOIN fwm
+WHERE (window_start + 600) * 1000 <= m
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
