@@ -249,7 +249,9 @@ _FIRST_WINDOW: list[str] = [
 # partition_skew_report, streaming_ewma, pmi_collocations, knn_graph,
 # ts_similarity_pairs, upsert_merge, cep_pattern_match,
 # json_extract_stats, column_histograms, bm25_retrieval,
-# hard_negatives, lpa_communities.
+# hard_negatives, lpa_communities, exact_median_twopass,
+# streaming_late_data, streaming_upsert, streaming_sessionize,
+# streaming_sliding_stats.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
