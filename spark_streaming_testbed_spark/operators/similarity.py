@@ -1015,3 +1015,155 @@ ORDER BY a_id, rk
 
 SIMILARITY_QUERIES["hard_negatives"] = hard_negatives
 SIMILARITY_ORACLES["hard_negatives"] = HARD_NEGATIVES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace deterministic k-means codes
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_K = 8                 # centroids per subspace (3-bit codes)
+PQ_ITERS = 3             # fixed Lloyd iterations per subspace
+PQ_FIT_SAMPLE = IVF_FIT_SAMPLE
+
+
+def _pq_fit_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic PQ codebook fit (Jegou et al. 2011): the SAME
+    md5-ordered bounded sample as the IVF coarse quantizer, split into
+    ``PQ_M`` contiguous subspaces; per subspace an independent Lloyd
+    fit (fixed iterations, 6 dp centroid rounding, first-index argmin,
+    empty-cluster carry) exactly as :func:`_ivf_fit_centroids`. Returns
+    ``PQ_M`` codebooks of ``PQ_K`` sub-centroids each."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(PQ_FIT_SAMPLE)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                 dtype=np.float64)
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = (
+                (S * S).sum(axis=1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            for j in range(PQ_K):
+                members = S[a == j]
+                if len(members):
+                    C[j] = np.round(members.mean(axis=0), 6)
+        books.append([[float(v) for v in c] for c in C])
+    return books
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every vector: each 64-dim
+    embedding compresses to ``PQ_M`` sub-centroid ids (the asymmetric-
+    distance index representation behind faiss-style billion-scale
+    ANN; Jegou, Douze & Schmid 2011). Output is purely DISCRETE
+    (argmin code per subspace, ties to the smallest id) so the oracle
+    never compares accumulated floats — the same robustness argument
+    as ``ann_ivf_topk``.
+
+    Scale shape: codebooks fit centrally on the bounded md5-ordered
+    sample (the standard train() pattern, the only collect); corpus
+    encoding is row-local codegen against sub-centroid literals — one
+    scan, zero shuffles before the output sort."""
+    books = _pq_fit_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id", "embedding")
+    for m, book in enumerate(books):
+        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+        sub = f"slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})"
+        out = (
+            out.withColumn(f"_c{m}", cents)
+            .withColumn(
+                f"_d{m}",
+                F.expr(
+                    f"transform(_c{m}, c -> aggregate("
+                    f"zip_with({sub}, c, (x, y) -> "
+                    "(cast(x as double) - y) * (cast(x as double) - y)), "
+                    "cast(0 as double), (acc, v) -> acc + v))"
+                ),
+            )
+            .withColumn(
+                f"code_{m}",
+                (F.expr(f"array_position(_d{m}, array_min(_d{m}))") - 1)
+                .cast("int"),
+            )
+        )
+    return (
+        out.select(
+            "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pq_codes_oracle() -> str:
+    dist = ("list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c}) "
+            "+ list_dot_product({c}, {c})")
+    parts = [
+        f"""s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {PQ_FIT_SAMPLE})"""
+    ]
+    finals = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(f"""s{m} AS (
+  SELECT vec_id, emb[{lo}:{hi}] AS sub FROM s)""")
+        parts.append(f"""b{m}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code,
+         (embedding::DOUBLE[])[{lo}:{hi}] AS centroid
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {PQ_K})""")
+        for t in range(1, PQ_ITERS + 1):
+            d = dist.format(e="s.sub", c="c.centroid")
+            parts.append(f"""a{m}_{t} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {d}, c.code) AS rk
+    FROM s{m} s CROSS JOIN b{m}_{t - 1} c) WHERE rk = 1)""")
+            parts.append(f"""m{m}_{t} AS (
+  SELECT code, list(mv ORDER BY dim) AS centroid FROM (
+    SELECT a.code, t.dim, round(avg(a.sub[t.dim]), 6) AS mv
+    FROM a{m}_{t} a CROSS JOIN range(1, {PQ_SUB + 1}) t(dim)
+    GROUP BY a.code, t.dim)
+  GROUP BY code)""")
+            parts.append(f"""b{m}_{t} AS (
+  SELECT p.code, coalesce(mm.centroid, p.centroid) AS centroid
+  FROM b{m}_{t - 1} p LEFT JOIN m{m}_{t} mm USING (code))""")
+        de = dist.format(e="e.sub", c="c.centroid")
+        parts.append(f"""enc{m} AS (
+  SELECT vec_id, code AS code_{m} FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {de}, c.code) AS rk
+    FROM (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS sub
+          FROM embeddings) e
+    CROSS JOIN b{m}_{PQ_ITERS} c) WHERE rk = 1)""")
+        finals.append(f"enc{m}")
+    joins = finals[0]
+    for f_ in finals[1:]:
+        joins += f" JOIN {f_} USING (vec_id)"
+    cols = ", ".join(f"CAST(code_{m} AS INTEGER) AS code_{m}"
+                     for m in range(PQ_M))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, {cols} FROM {joins} ORDER BY vec_id"
+    )
+
+
+PQ_CODES_ORACLE = _pq_codes_oracle()
+
+SIMILARITY_QUERIES["pq_codes"] = pq_codes
+SIMILARITY_ORACLES["pq_codes"] = PQ_CODES_ORACLE

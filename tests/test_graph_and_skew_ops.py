@@ -341,3 +341,22 @@ def test_two_pass_median_equals_buffered_percentile(spark):
         )
         assert r.n_rows == len(vals)
         assert r.median == vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_pq_codes_cover_and_compress(spark):
+    """Every vector gets a full code word; codes use the [0, PQ_K)
+    alphabet and at least two distinct codes appear per subspace (the
+    fit must not collapse)."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codes,
+    )
+
+    rows = pq_codes(spark, SF_CORRECT).collect()
+    n = load_table(spark, SF_CORRECT, "embeddings").count()
+    assert len(rows) == n
+    for m in range(PQ_M):
+        vals = {getattr(r, f"code_{m}") for r in rows}
+        assert vals <= set(range(PQ_K))
+        assert len(vals) >= 2
