@@ -383,3 +383,45 @@ def test_pq_adc_recall_against_exact_topk(spark):
         1 for q, cands in adc.items() if exact.get(q, set()) & set(cands)
     )
     assert hits >= len(adc) * 0.3, f"{hits}/{len(adc)} queries overlap"
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the math the streaming fold leans on
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_testbed_spark.operators.advanced import (
+    EWMA_ALPHA,
+    EWMA_BETA,
+)
+
+
+def _fold(seq, s=None, n=0):
+    for v in seq:
+        s = v if n == 0 else EWMA_ALPHA * v + EWMA_BETA * s
+        n += 1
+    return s, n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=6),
+)
+def test_chunked_ewma_fold_is_bitwise_exact(values, n_chunks):
+    """streaming_ewma's correctness rests on this: folding a sequence
+    in ANY chunking, carrying (s, n) across chunks, is bitwise equal to
+    the one-shot fold — IEEE754 ops are deterministic and the fold
+    never re-associates."""
+    one_s, one_n = _fold(values)
+    # deterministic chunk boundaries derived from the example
+    size = max(1, len(values) // n_chunks)
+    s, n = None, 0
+    for i in range(0, len(values), size):
+        s, n = _fold(values[i:i + size], s, n)
+    assert n == one_n
+    assert s == one_s  # bitwise, no tolerance
