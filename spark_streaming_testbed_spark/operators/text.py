@@ -1471,24 +1471,38 @@ def entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "* ln(c / cast(size(tokens) as double)))"
     )
     letters = "abcdefghijklmnopqrstuvwxyz"
+    # count via length-of-replace (plain byte scan, no regex engine),
+    # and MATERIALIZE the counts array + total as real columns before
+    # the entropy fold: a lambda that references the raw expressions
+    # re-evaluates them per array element (the r3 audit measured the
+    # inlined form at 676 text scans per row — 38 s at sf0.1; this
+    # shape is 26 scans and runs in ~2 s)
     counts = F.array(*[
-        F.expr(f"regexp_count(text, '{ch}')") for ch in letters
+        F.expr(f"length(text) - length(replace(text, '{ch}', ''))")
+        for ch in letters
     ])
-    total = F.aggregate(counts, F.lit(0), lambda a, c: a + c)
+    staged = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(tok_ent, ROUND).alias("token_entropy"),
+        counts.alias("_lc"),
+    ).withColumn(
+        "_lt", F.aggregate(F.col("_lc"), F.lit(0), lambda a, c: a + c)
+    )
     let_ent = F.aggregate(
-        counts,
+        F.col("_lc"),
         F.lit(0.0).cast("double"),
         lambda acc, c: acc - F.when(
             c > 0,
-            (c / total.cast("double"))
-            * F.log(c / total.cast("double")),
+            (c / F.col("_lt").cast("double"))
+            * F.log(c / F.col("_lt").cast("double")),
         ).otherwise(F.lit(0.0)),
     )
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            n.alias("n_tokens"),
-            F.round(tok_ent, ROUND).alias("token_entropy"),
+            "n_tokens",
+            "token_entropy",
             F.round(let_ent, ROUND).alias("letter_entropy"),
         )
         .orderBy("doc_id")

@@ -219,18 +219,22 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "Generate" in plan  # the dim-side explode
 
 
-def test_edit_distance_pairs_broadcasts_df_and_avoids_cartesian(spark):
-    """The PPJoin shape: the gram-frequency table joins broadcast, and
-    the candidate self-join is an equi-join on (gram, k) — never a
-    cartesian product."""
+def test_edit_distance_pairs_is_segment_equijoin(spark):
+    """The PassJoin shape: the 9-row segment table and 17-row shift
+    table broadcast onto the docs (tiny-side nested-loop broadcasts are
+    the correct plan for literal spines), and candidacy is an EQUI-join
+    on (segment#, piece) — never a cartesian product between doc
+    sides."""
     from spark_streaming_testbed_spark.operators.dedup import (
         edit_distance_pairs,
     )
 
     plan = plan_of(edit_distance_pairs(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate join on (seg, piece) is a hash/sort-merge equi-join
+    assert "piece" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
 
 
 def test_heavy_hitters_confirm_join_is_broadcast(spark):
