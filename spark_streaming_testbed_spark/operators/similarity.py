@@ -447,8 +447,13 @@ def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local codegen (:func:`ivf_assign`). The exact global twin
     ``dedup_embedding_pairs`` is the recall ground truth: every pair
     here appears there (cluster-locality only removes candidates)."""
-    assigned = ivf_assign(spark, sf_dir).select(
-        "vec_id", "embedding", "list_id"
+    # both join sides derive from the same assignment; localCheckpoint
+    # evaluates the quantizer fit + corpus scan once instead of once
+    # per branch (the r3 audit measured the recompute at ~2x)
+    assigned = (
+        ivf_assign(spark, sf_dir)
+        .select("vec_id", "embedding", "list_id")
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         "list_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
