@@ -398,9 +398,10 @@ def main() -> None:
             "kernel cost. cumulative_counts was "
             "rewritten as a two-phase (key, day)-bucketed cumsum — "
             "parallelism |keys|*|days| instead of the 5 event_type "
-            "partitions — which adds one extra tiny-sf scan (warm runs "
-            "are at parity with r2; the shape is the one that survives "
-            "100 TB)"
+            "partitions. The extra partial-aggregate pass costs "
+            "~1.2-1.5x at sf0.1 where fixed overhead dominates; the "
+            "two-phase shape is the one that survives 100 TB, where "
+            "a 5-partition window serializes"
         ),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
