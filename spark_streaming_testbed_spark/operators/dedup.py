@@ -1507,3 +1507,77 @@ ORDER BY doc_a, doc_b
 
 DEDUP_QUERIES["snm_candidate_pairs"] = snm_candidate_pairs
 DEDUP_ORACLES["snm_candidate_pairs"] = SNM_CANDIDATE_PAIRS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade: exact → MinHash-LSH near-dup, with per-stage accounting
+# ---------------------------------------------------------------------------
+
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline accounting — the per-stage drop report
+    every production cleaning run publishes: stage 1 collapses exact
+    duplicates (normalized-md5 keep-first), stage 2 drops stage-1
+    survivors that have a verified MinHash-LSH near-duplicate with a
+    smaller SURVIVING doc_id (the repo's keep-first convention). One row
+    per stage with docs_in / docs_out / dropped.
+
+    Scale shape: pure composition of the already-scale-shaped stages
+    (hash agg; slim banded LSH join) plus two semi-join accountings —
+    no new shuffle patterns; the report itself is three one-row
+    aggregates unioned."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_total = docs.count()
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    n_keep1 = keepers.count()
+    pairs = lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ka = keepers.select(F.col("doc_id").alias("doc_a"))
+    kb = keepers.select(F.col("doc_id").alias("doc_b"))
+    dropped2 = (
+        pairs.join(ka, "doc_a").join(kb, "doc_b")
+        .select("doc_b").distinct()
+    )
+    n_drop2 = dropped2.count()
+    rows = [
+        ("01_input", n_total, n_total, 0),
+        ("02_exact_dedup", n_total, n_keep1, n_total - n_keep1),
+        ("03_near_dedup", n_keep1, n_keep1 - n_drop2, n_drop2),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, docs_in bigint, docs_out bigint, dropped bigint"
+    ).orderBy("stage")
+
+
+def _dedup_cascade_oracle() -> str:
+    lsh = LSH_NEAR_DUP_PAIRS_ORACLE
+    return rf"""
+WITH total AS (SELECT count(*) AS n FROM documents),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+k1 AS (SELECT count(*) AS n FROM keepers),
+p AS (SELECT doc_a, doc_b FROM ({lsh})),
+drop2 AS (
+  SELECT count(DISTINCT p.doc_b) AS n
+  FROM p
+  JOIN keepers ka ON p.doc_a = ka.doc_id
+  JOIN keepers kb ON p.doc_b = kb.doc_id)
+SELECT * FROM (
+  SELECT '01_input' AS stage, total.n AS docs_in, total.n AS docs_out,
+         CAST(0 AS BIGINT) AS dropped FROM total
+  UNION ALL
+  SELECT '02_exact_dedup', total.n, k1.n, total.n - k1.n
+  FROM total CROSS JOIN k1
+  UNION ALL
+  SELECT '03_near_dedup', k1.n, k1.n - drop2.n, drop2.n
+  FROM k1 CROSS JOIN drop2)
+ORDER BY stage
+"""
+
+
+DEDUP_CASCADE_REPORT_ORACLE = _dedup_cascade_oracle()
+
+DEDUP_QUERIES["dedup_cascade_report"] = dedup_cascade_report
+DEDUP_ORACLES["dedup_cascade_report"] = DEDUP_CASCADE_REPORT_ORACLE
