@@ -124,6 +124,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_stats": R.json_extract_stats,
     "column_histograms": R.column_histograms,
     "exact_median_twopass": R.exact_median_twopass,
+    "scd2_pointintime_join": R.scd2_pointintime_join,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -875,3 +875,43 @@ FROM ranked
 WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
 ORDER BY event_type
 """
+
+
+RELATIONAL_ORACLES["scd2_pointintime_join"] = """
+WITH dim AS (
+  SELECT * FROM (
+WITH o AS (
+  SELECT o_custkey AS custkey, epoch_ms(o_orderdate) AS obs_ms,
+         o_orderpriority AS segment, o_orderkey
+  FROM orders),
+marked AS (
+  SELECT *, CASE WHEN lag(segment) OVER w IS NULL
+                   OR lag(segment) OVER w <> segment
+                 THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY custkey ORDER BY obs_ms, o_orderkey)),
+runs AS (SELECT * FROM marked WHERE chg = 1)
+SELECT custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version_no,
+       segment,
+       obs_ms AS valid_from_ms,
+       lead(obs_ms) OVER w AS valid_to_ms,
+       lead(obs_ms) OVER w IS NULL AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY custkey ORDER BY obs_ms, o_orderkey)
+ORDER BY custkey, version_no
+  )),
+facts AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS t,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT d.segment,
+       count(*) AS n_orders,
+       CAST(sum(f.cents) AS BIGINT) AS revenue_cents
+FROM facts f
+JOIN dim d ON f.o_custkey = d.custkey
+WHERE f.t >= d.valid_from_ms
+  AND (d.valid_to_ms IS NULL OR f.t < d.valid_to_ms)
+GROUP BY d.segment
+ORDER BY d.segment
+"""

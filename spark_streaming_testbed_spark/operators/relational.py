@@ -1901,3 +1901,49 @@ def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension probe: facts joined to their SCD2 version
+# ---------------------------------------------------------------------------
+
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: every order joins the customer-segment
+    VERSION that was valid at its order date (``scd2_build``'s validity
+    ranges) — the probe side of slowly-changing-dimension modeling, and
+    the query that silently goes wrong when a pipeline joins facts to
+    the CURRENT dimension instead of the contemporaneous one. Output:
+    revenue and order count per contemporaneous segment, in exact
+    integer cents.
+
+    Scale shape: an equi-join on custkey with the interval predicate as
+    a post-join filter — per-key version counts are tiny (a handful of
+    segments per customer), so the fan-out is bounded; both sides hash
+    on custkey (co-partitioned under AQE; a small dimension would
+    broadcast). No range-explosion join, no window over the fact."""
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dim = scd2_build(spark, sf_dir).select(
+        F.col("custkey").alias("o_custkey"),
+        "segment", "valid_from_ms", "valid_to_ms",
+    )
+    return (
+        facts.join(dim, "o_custkey")
+        .where(
+            (F.col("t") >= F.col("valid_from_ms"))
+            & (
+                F.col("valid_to_ms").isNull()
+                | (F.col("t") < F.col("valid_to_ms"))
+            )
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )

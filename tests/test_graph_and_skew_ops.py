@@ -425,3 +425,16 @@ def test_chunked_ewma_fold_is_bitwise_exact(values, n_chunks):
         s, n = _fold(values[i:i + size], s, n)
     assert n == one_n
     assert s == one_s  # bitwise, no tolerance
+
+
+def test_scd2_probe_covers_every_order_exactly_once(spark):
+    """Every order must land in exactly one dimension version (the
+    validity ranges partition each customer's timeline from their first
+    order onward)."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        scd2_pointintime_join,
+    )
+
+    out = scd2_pointintime_join(spark, SF_CORRECT)
+    n_orders = load_table(spark, SF_CORRECT, "orders").count()
+    assert out.agg(F.sum("n_orders")).first()[0] == n_orders
