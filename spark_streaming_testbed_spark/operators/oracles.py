@@ -915,3 +915,27 @@ WHERE f.t >= d.valid_from_ms
 GROUP BY d.segment
 ORDER BY d.segment
 """
+
+
+RELATIONAL_ORACLES["bootstrap_ci"] = """
+WITH rep AS (
+  SELECT b,
+         CAST(sum(w * CAST(value AS DECIMAL(28,9))) AS DOUBLE)
+           / sum(w) AS m
+  FROM (
+    SELECT event_id, value, b, CASE WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.36787944117144233 THEN 0 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.7357588823428847 THEN 1 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9196986029286058 THEN 2 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9810118431238462 THEN 3 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9963401531726563 THEN 4 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9994058151824183 THEN 5 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9999167588507119 THEN 6 WHEN (('0x' || substr(md5(event_id || '_' || b), 1, 15))::BIGINT / CAST(1152921504606846976 AS DOUBLE)) < 0.9999897508033253 THEN 7 ELSE 8 END AS w
+    FROM events CROSS JOIN range(1, 65) t(b))
+  GROUP BY b),
+point AS (
+  SELECT round(CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*), 6) AS point_mean,
+         count(*) AS n_rows
+  FROM events),
+ci AS (
+  SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi,
+         count(*) AS n_replicates
+  FROM rep)
+SELECT n_rows, point_mean, n_replicates, ci_lo, ci_hi
+FROM point CROSS JOIN ci
+"""

@@ -1947,3 +1947,80 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: distribution-free CI for the mean
+# ---------------------------------------------------------------------------
+
+BOOT_B = 64
+#: Poisson(1) CDF steps: weight k is chosen when u < threshold[k]
+_POIS_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def _pois_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for mean(value) via the
+    Poisson bootstrap (the streaming/sharded form of the bootstrap —
+    each replicate draws every row with an independent Poisson(1)
+    multiplicity, so resampling never needs the dataset's size or a
+    global shuffle; cf. Kleiner et al. 2012's bag-of-little-bootstraps
+    lineage). ``BOOT_B`` replicates, weights derived DETERMINISTICALLY
+    from a 60-bit md5 of (event_id, replicate) inverted through literal
+    Poisson CDF thresholds — identical in both engines.
+
+    Exactness: replicate sums accumulate in DECIMAL (order-independent,
+    so the two engines' different aggregation orders cannot drift), one
+    double cast per replicate mean, exact percentiles over the tiny
+    B-row replicate table. Scale shape: the explode is map-side (B
+    rows per input row feeding a partial aggregate keyed on B values);
+    nothing but B partial sums crosses the shuffle."""
+    events = _t(spark, sf_dir, "events")
+    u = (
+        f"cast(conv(substring(md5(concat(event_id, '_', b)), 1, 15), "
+        "16, 10) as bigint) / cast(1152921504606846976 as double)"
+    )
+    w = _pois_weight_sql(u)
+    rep = (
+        events.select(
+            F.col("event_id"),
+            F.col("value").cast("decimal(28,9)").alias("v"),
+            F.explode(F.expr(f"sequence(1, {BOOT_B})")).alias("b"),
+        )
+        .select("b", "v", F.expr(w).alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("ws"),
+            F.sum("w").alias("n"),
+        )
+        .select(
+            "b",
+            (F.col("ws").cast("double") / F.col("n")).alias("m"),
+        )
+    )
+    point = events.agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ci = rep.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "point_mean", "n_replicates", "ci_lo", "ci_hi"
+    )

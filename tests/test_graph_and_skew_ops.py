@@ -438,3 +438,16 @@ def test_scd2_probe_covers_every_order_exactly_once(spark):
     out = scd2_pointintime_join(spark, SF_CORRECT)
     n_orders = load_table(spark, SF_CORRECT, "orders").count()
     assert out.agg(F.sum("n_orders")).first()[0] == n_orders
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        BOOT_B,
+        bootstrap_ci,
+    )
+
+    r = bootstrap_ci(spark, SF_CORRECT).collect()[0]
+    assert r.n_replicates == BOOT_B
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    # CI width for n=10k iid values should be modest but nonzero
+    assert 0 < r.ci_hi - r.ci_lo < r.point_mean
