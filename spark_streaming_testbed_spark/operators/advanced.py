@@ -1629,3 +1629,124 @@ LPA_COMMUNITIES_ORACLE = _lpa_oracle()
 
 ADVANCED_QUERIES["lpa_communities"] = lpa_communities
 ADVANCED_ORACLES["lpa_communities"] = LPA_COMMUNITIES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: hash-split arms, two-proportion z-test
+# ---------------------------------------------------------------------------
+
+AB_SALT = "exp_001"
+
+
+def conversion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split 50/50 into
+    arms (same md5 bucketing as ``hash_split`` — assignment is stable
+    across runs and engines), per-arm visitor and converter counts
+    (a purchase with value > 95), conversion rates, and the pooled two-proportion
+    z-statistic with a |z| >= 1.96 significance flag — the experiment
+    analysis every event pipeline serves.
+
+    Scale shape: one user-keyed aggregate builds the per-user
+    (arm, converted) row, one 2-row aggregate builds the readout; the
+    z arithmetic is a fixed expression over 4 integers so both engines
+    compute identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            # conversion = a HIGH-VALUE purchase: plain "any purchase"
+            # saturates at p = 1 on this corpus (every user purchases),
+            # which degenerates the z-test; the value floor keeps the
+            # pooled rate strictly inside (0, 1)
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 95)
+                ).cast("int")
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.expr(
+                    f"cast(conv(substring(md5(concat(user_id, "
+                    f"'_{AB_SALT}')), 1, 15), 16, 10) as bigint) % 2"
+                ) == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    # degenerate experiments (pooled p of exactly 0 or 1, or an empty
+    # arm) have no sampling variance: define z = 0 explicitly — ANSI
+    # Spark errors on /0 while DuckDB yields inf, so the guard is also
+    # the cross-engine contract
+    z = F.expr(
+        "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 "
+        "OR ca + cb = na + nb THEN 0.0 ELSE "
+        "(ca / cast(na as double) - cb / cast(nb as double)) / "
+        "sqrt(((ca + cb) / cast(na + nb as double)) "
+        "* (1.0 - (ca + cb) / cast(na + nb as double)) "
+        "* (1.0 / na + 1.0 / nb)) END"
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.col("na").alias("users_a"),
+            F.col("ca").alias("conv_a"),
+            F.round(F.col("ca") / F.col("na").cast("double"), 6)
+            .alias("rate_a"),
+            F.col("nb").alias("users_b"),
+            F.col("cb").alias("conv_b"),
+            F.round(F.col("cb") / F.col("nb").cast("double"), 6)
+            .alias("rate_b"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) >= 1.96).alias("significant_95"),
+        )
+    )
+
+
+CONVERSION_AB_TEST_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 95
+                  THEN 1 ELSE 0 END) AS converted,
+         CASE WHEN ('0x' || substr(md5(user_id || '_{AB_SALT}'), 1, 15))
+                     ::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+  FROM users GROUP BY arm),
+j AS (
+  SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+  FROM (SELECT * FROM arms WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b)
+SELECT na AS users_a, ca AS conv_a,
+       round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+       nb AS users_b, cb AS conv_b,
+       round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+       round(z, 6) AS z_score,
+       abs(z) >= 1.96 AS significant_95
+FROM (
+  SELECT *,
+         CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
+                   OR ca + cb = na + nb THEN 0.0 ELSE
+         (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE)) /
+         sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+              * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
+              * (1.0 / na + 1.0 / nb)) END AS z
+  FROM j)
+"""
+
+ADVANCED_QUERIES["conversion_ab_test"] = conversion_ab_test
+ADVANCED_ORACLES["conversion_ab_test"] = CONVERSION_AB_TEST_ORACLE

@@ -451,3 +451,18 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert r.ci_lo <= r.point_mean <= r.ci_hi
     # CI width for n=10k iid values should be modest but nonzero
     assert 0 < r.ci_hi - r.ci_lo < r.point_mean
+
+
+def test_ab_test_arms_partition_users(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        conversion_ab_test,
+    )
+
+    r = conversion_ab_test(spark, SF_CORRECT).collect()[0]
+    n_users = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id").distinct().count()
+    )
+    assert r.users_a + r.users_b == n_users
+    assert 0 < r.rate_a < 1 and 0 < r.rate_b < 1
+    assert r.significant_95 == (abs(r.z_score) >= 1.96)
