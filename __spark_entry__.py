@@ -126,6 +126,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_median_twopass": R.exact_median_twopass,
     "scd2_pointintime_join": R.scd2_pointintime_join,
     "bootstrap_ci": R.bootstrap_ci,
+    "daily_percentile_bands": R.daily_percentile_bands,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -939,3 +939,13 @@ ci AS (
 SELECT n_rows, point_mean, n_replicates, ci_lo, ci_hi
 FROM point CROSS JOIN ci
 """
+
+RELATIONAL_ORACLES["daily_percentile_bands"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n,
+       round(quantile_cont(value, 0.1), 6) AS p10,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY 1 ORDER BY 1
+"""

@@ -2024,3 +2024,27 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.crossJoin(F.broadcast(ci)).select(
         "n_rows", "point_mean", "n_replicates", "ci_lo", "ci_hi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands: exact p10/p50/p90 envelope per day
+# ---------------------------------------------------------------------------
+
+def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact p10/p50/p90 bands of ``events.value`` — the
+    envelope time series dashboards draw and threshold-based anomaly
+    rules consume. Exact interpolated percentiles (both engines use the
+    same linear-interpolation definition); per-day groups are bounded
+    so the buffering percentile aggregator is safe here — the two-pass
+    ``exact_median_twopass`` is the shape for unbounded keys."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.1)"), 6).alias("p10"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("day")
+    )
