@@ -1291,3 +1291,75 @@ PQ_ADC_TOPK_ORACLE = _pq_adc_oracle()
 
 SIMILARITY_QUERIES["pq_adc_topk"] = pq_adc_topk
 SIMILARITY_ORACLES["pq_adc_topk"] = PQ_ADC_TOPK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Evaluation harness: ANN recall@k against the exact top-k, as a query
+# ---------------------------------------------------------------------------
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality-evaluation-as-a-query: recall@k of the hyperplane-
+    LSH index against the exact cosine top-k, per query and averaged —
+    the metric that decides whether an ANN index's speed is worth its
+    misses, computed relationally (one equi-join of the two result
+    sets, one aggregate) so the evaluation itself scales with the
+    corpus. All counts are integers; the final ratios are exact
+    divisions, identical in both engines."""
+    exact = cosine_topk(spark, sf_dir).select(
+        "q_id", F.col("c_id").alias("e_id")
+    )
+    ann = ann_lsh_topk(spark, sf_dir).select(
+        "q_id", F.col("c_id").alias("a_id")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (exact.q_id == ann.q_id) & (exact.e_id == ann.a_id),
+        )
+        .groupBy(exact.q_id)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        exact.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.round(
+            F.sum("n_hit") / (F.count(F.lit(1)) * TOP_K), 6
+        ).alias("recall_at_k"),
+        F.sum((F.col("n_hit") == TOP_K).cast("long")).alias(
+            "n_perfect_queries"
+        ),
+    )
+
+
+ANN_RECALL_EVAL_ORACLE = f"""
+WITH exact AS (
+  SELECT q_id, c_id AS e_id FROM ({COSINE_TOPK_ORACLE})),
+ann AS (
+  SELECT q_id, c_id AS a_id FROM ({ANN_LSH_TOPK_ORACLE})),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM exact e JOIN ann a ON e.q_id = a.q_id AND e.e_id = a.a_id
+  GROUP BY e.q_id),
+per_q AS (
+  SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit
+  FROM (SELECT DISTINCT q_id FROM exact) q
+  LEFT JOIN hits h USING (q_id))
+SELECT count(*) AS n_queries,
+       CAST({TOP_K} AS INTEGER) AS k,
+       round(CAST(sum(n_hit) AS DOUBLE) / (count(*) * {TOP_K}), 6)
+         AS recall_at_k,
+       CAST(count(*) FILTER (n_hit = {TOP_K}) AS BIGINT)
+         AS n_perfect_queries
+FROM per_q
+"""
+
+SIMILARITY_QUERIES["ann_recall_eval"] = ann_recall_eval
+SIMILARITY_ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_ORACLE

@@ -1894,3 +1894,75 @@ BM25_RETRIEVAL_ORACLE = _bm25_oracle()
 
 TEXT_QUERIES["bm25_retrieval"] = bm25_retrieval
 TEXT_ORACLES["bm25_retrieval"] = BM25_RETRIEVAL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Evaluation harness: classifier confusion matrix as a query
+# ---------------------------------------------------------------------------
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation-as-a-query: the confusion matrix of ``lang_id``
+    against the corpus's ground-truth ``lang`` label, plus per-true-
+    language support and recall — the audit every classifier in a data
+    pipeline needs, expressed relationally so it runs at corpus scale
+    (a confusion matrix is just a two-key aggregate).
+
+    Scale shape: reuses the row-local scorer, then one (true, pred)
+    aggregate with a broadcast per-true support join."""
+    preds = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        docs.join(preds, "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("lang_pred").alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    support = cells.groupBy("true_lang").agg(
+        F.sum("n").alias("support")
+    )
+    return (
+        cells.join(F.broadcast(support), "true_lang")
+        .select(
+            "true_lang", "pred_lang", "n", "support",
+            F.round(
+                F.when(
+                    F.col("true_lang") == F.col("pred_lang"),
+                    F.col("n") / F.col("support").cast("double"),
+                ).otherwise(
+                    -(F.col("n") / F.col("support").cast("double"))
+                ),
+                6,
+            ).alias("recall_signed"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _lang_id_confusion_oracle() -> str:
+    lang_sql = LANG_ID_ORACLE
+    return f"""
+WITH preds AS (
+  SELECT doc_id, lang_pred FROM ({lang_sql})),
+cells AS (
+  SELECT d.lang AS true_lang, p.lang_pred AS pred_lang, count(*) AS n
+  FROM documents d JOIN preds p USING (doc_id)
+  GROUP BY 1, 2),
+support AS (
+  SELECT true_lang, CAST(sum(n) AS BIGINT) AS support
+  FROM cells GROUP BY true_lang)
+SELECT c.true_lang, c.pred_lang, c.n, s.support,
+       round(CASE WHEN c.true_lang = c.pred_lang
+                  THEN c.n / CAST(s.support AS DOUBLE)
+                  ELSE -(c.n / CAST(s.support AS DOUBLE)) END, 6)
+         AS recall_signed
+FROM cells c JOIN support s USING (true_lang)
+ORDER BY true_lang, pred_lang
+"""
+
+
+LANG_ID_CONFUSION_ORACLE = _lang_id_confusion_oracle()
+
+TEXT_QUERIES["lang_id_confusion"] = lang_id_confusion
+TEXT_ORACLES["lang_id_confusion"] = LANG_ID_CONFUSION_ORACLE
