@@ -127,6 +127,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_pointintime_join": R.scd2_pointintime_join,
     "bootstrap_ci": R.bootstrap_ci,
     "daily_percentile_bands": R.daily_percentile_bands,
+    "join_cardinality_estimate": R.join_cardinality_estimate,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -949,3 +949,25 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
 FROM events
 GROUP BY 1 ORDER BY 1
 """
+
+RELATIONAL_ORACLES["join_cardinality_estimate"] = """
+WITH ca AS (
+  SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1),
+cb AS (
+  SELECT o_custkey % 1000 AS k, count(*) AS cb FROM orders GROUP BY 1),
+j AS (
+  SELECT ca.k, CAST(ca.ca * cb.cb AS BIGINT) AS prod
+  FROM ca JOIN cb USING (k)),
+agg AS (
+  SELECT CAST(sum(prod) AS BIGINT) AS exact_rows,
+         CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+                            ::BIGINT % 8 = 0
+                       THEN prod ELSE 0 END) * 8 AS BIGINT)
+           AS estimated_rows,
+         count(*) AS n_join_keys
+  FROM j)
+SELECT exact_rows, estimated_rows, n_join_keys,
+       round(abs(estimated_rows - exact_rows)
+             / CAST(exact_rows AS DOUBLE), 6) AS rel_error
+FROM agg
+"""

@@ -2048,3 +2048,62 @@ def daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation: deterministic hash sample vs exact
+# ---------------------------------------------------------------------------
+
+JCE_SAMPLE_MOD = 8  # keep keys with md5(key) % 8 == 0 (a 1/8 key sample)
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics-as-a-query: estimate |events ⋈ orders| on
+    the customer key from a DETERMINISTIC 1/8 key sample (keep keys
+    whose md5 lands in one residue class — "hash sampling" keeps BOTH
+    sides' rows for the same sampled keys, which is what makes join
+    cardinality estimable at all; uniform row sampling famously breaks
+    joins), next to the exact answer and the relative error — the
+    pre-flight estimate a cost-based planner wants before choosing a
+    join strategy at 100 TB.
+
+    Exactness of the COMPARISON: the sample is hash-deterministic, so
+    estimate, exact count, and error are all reproducible integers /
+    exact ratios in both engines. Scale shape: per-key counts aggregate
+    map-side; only (key, count) rows join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1000).alias("k")
+    )
+    ca = ev.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = orders.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    joined = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("prod")
+    )
+    in_sample = (
+        F.expr(
+            "cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) "
+            "as bigint)"
+        )
+        % JCE_SAMPLE_MOD
+        == 0
+    )
+    return joined.agg(
+        F.sum("prod").alias("exact_rows"),
+        (
+            F.sum(F.when(in_sample, F.col("prod")).otherwise(F.lit(0)))
+            * JCE_SAMPLE_MOD
+        ).alias("estimated_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    ).select(
+        "exact_rows",
+        "estimated_rows",
+        "n_join_keys",
+        F.round(
+            F.abs(F.col("estimated_rows") - F.col("exact_rows"))
+            / F.col("exact_rows").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
