@@ -1750,3 +1750,111 @@ FROM (
 
 ADVANCED_QUERIES["conversion_ab_test"] = conversion_ab_test
 ADVANCED_ORACLES["conversion_ab_test"] = CONVERSION_AB_TEST_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: last-touch vs first-touch revenue per channel
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_MS = 7 * 24 * 3600 * 1000
+
+
+def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution: every purchase credits the user's LAST
+    qualifying touch (view/click within the 7-day lookback) under
+    last-touch rules and the FIRST under first-touch rules; the report
+    compares both models per channel — the analysis marketing teams run
+    daily, and a classic disagreement surface between attribution
+    models.
+
+    Scale shape: one user-keyed equi-join bounds candidates to the
+    lookback window; argmin/argmax per purchase are partial-aggregable
+    struct extremes (no per-user sort window); revenue in exact integer
+    cents. Ties on touch timestamp break by event_id in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = ev.where(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = purchases.join(touches, "user_id").where(
+        (F.col("t_ms") <= F.col("p_ms"))
+        & (F.col("p_ms") - F.col("t_ms") <= ATTR_WINDOW_MS)
+    )
+    picked = cand.groupBy("p_id", "cents").agg(
+        F.max(F.struct("t_ms", "t_id", "channel")).alias("last_t"),
+        F.min(F.struct("t_ms", "t_id", "channel")).alias("first_t"),
+    )
+    last = picked.groupBy(
+        F.col("last_t.channel").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conv_last"),
+        F.sum("cents").alias("revenue_last_cents"),
+    )
+    first = picked.groupBy(
+        F.col("first_t.channel").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conv_first"),
+        F.sum("cents").alias("revenue_first_cents"),
+    )
+    return (
+        last.join(first, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_conv_last", F.lit(0)).alias("n_conv_last"),
+            F.coalesce("revenue_last_cents", F.lit(0))
+            .alias("revenue_last_cents"),
+            F.coalesce("n_conv_first", F.lit(0)).alias("n_conv_first"),
+            F.coalesce("revenue_first_cents", F.lit(0))
+            .alias("revenue_first_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_REPORT_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, event_id AS t_id, epoch_ms(ts) AS t_ms,
+         event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')),
+cand AS (
+  SELECT p.p_id, p.cents, t.t_ms, t.t_id, t.channel
+  FROM purchases p JOIN touches t USING (user_id)
+  WHERE t.t_ms <= p.p_ms AND p.p_ms - t.t_ms <= {ATTR_WINDOW_MS}),
+picked AS (
+  SELECT p_id, cents,
+         first(channel ORDER BY t_ms DESC, t_id DESC) AS last_channel,
+         first(channel ORDER BY t_ms ASC, t_id ASC) AS first_channel
+  FROM cand GROUP BY p_id, cents),
+l AS (
+  SELECT last_channel AS channel, count(*) AS n_conv_last,
+         CAST(sum(cents) AS BIGINT) AS revenue_last_cents
+  FROM picked GROUP BY 1),
+f AS (
+  SELECT first_channel AS channel, count(*) AS n_conv_first,
+         CAST(sum(cents) AS BIGINT) AS revenue_first_cents
+  FROM picked GROUP BY 1)
+SELECT coalesce(l.channel, f.channel) AS channel,
+       coalesce(n_conv_last, 0) AS n_conv_last,
+       coalesce(revenue_last_cents, 0) AS revenue_last_cents,
+       coalesce(n_conv_first, 0) AS n_conv_first,
+       coalesce(revenue_first_cents, 0) AS revenue_first_cents
+FROM l FULL OUTER JOIN f ON l.channel = f.channel
+ORDER BY channel
+"""
+
+ADVANCED_QUERIES["attribution_report"] = attribution_report
+ADVANCED_ORACLES["attribution_report"] = ATTRIBUTION_REPORT_ORACLE

@@ -466,3 +466,21 @@ def test_ab_test_arms_partition_users(spark):
     assert r.users_a + r.users_b == n_users
     assert 0 < r.rate_a < 1 and 0 < r.rate_b < 1
     assert r.significant_95 == (abs(r.z_score) >= 1.96)
+
+
+def test_attribution_models_conserve_conversions(spark):
+    """Both models attribute the SAME purchases (those with >=1 touch
+    in the lookback), so totals across channels must agree between
+    last-touch and first-touch."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        attribution_report,
+    )
+
+    rows = attribution_report(spark, SF_CORRECT).collect()
+    assert rows
+    assert sum(r.n_conv_last for r in rows) == sum(
+        r.n_conv_first for r in rows
+    )
+    assert sum(r.revenue_last_cents for r in rows) == sum(
+        r.revenue_first_cents for r in rows
+    )
