@@ -1527,11 +1527,20 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates unioned."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n_total = docs.count()
-    keepers = dedup_exact(spark, sf_dir).select(
-        F.col("keeper_doc_id").alias("doc_id")
+    # keepers feeds one count and two semi-join sides; pairs feeds a
+    # count-bearing join — checkpoint both slim tables so the md5 scan
+    # and the LSH banding run once each (14 s -> ~8 s at sf0.1)
+    keepers = (
+        dedup_exact(spark, sf_dir)
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
     n_keep1 = keepers.count()
-    pairs = lsh_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        lsh_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     ka = keepers.select(F.col("doc_id").alias("doc_a"))
     kb = keepers.select(F.col("doc_id").alias("doc_b"))
     dropped2 = (
