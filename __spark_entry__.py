@@ -128,6 +128,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci": R.bootstrap_ci,
     "daily_percentile_bands": R.daily_percentile_bands,
     "join_cardinality_estimate": R.join_cardinality_estimate,
+    "latest_state_pivot": R.latest_state_pivot,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

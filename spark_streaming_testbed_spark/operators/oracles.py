@@ -971,3 +971,27 @@ SELECT exact_rows, estimated_rows, n_join_keys,
              / CAST(exact_rows AS DOUBLE), 6) AS rel_error
 FROM agg
 """
+
+RELATIONAL_ORACLES["latest_state_pivot"] = """
+WITH latest AS (
+  SELECT user_id, event_type,
+         max(epoch_ms(ts)) AS ms,
+         first(value ORDER BY ts DESC, event_id DESC) AS v
+  FROM events
+  GROUP BY user_id, event_type)
+SELECT user_id,
+       max(ms) AS last_seen_ms,
+       round(max(CASE WHEN event_type = 'click' THEN v END), 6)
+         AS last_click,
+       round(max(CASE WHEN event_type = 'error' THEN v END), 6)
+         AS last_error,
+       round(max(CASE WHEN event_type = 'purchase' THEN v END), 6)
+         AS last_purchase,
+       round(max(CASE WHEN event_type = 'signup' THEN v END), 6)
+         AS last_signup,
+       round(max(CASE WHEN event_type = 'view' THEN v END), 6)
+         AS last_view
+FROM latest
+GROUP BY user_id
+ORDER BY user_id
+"""

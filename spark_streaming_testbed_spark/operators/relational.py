@@ -2107,3 +2107,50 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-state pivot: each user's most recent value per event type
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def latest_state_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record read: each user's MOST RECENT value per event type,
+    pivoted wide — the "current state" view a CDC consumer materializes
+    from an append-only event log (the read-side complement of
+    ``upsert_merge``; ``scd2_build`` keeps the history, this keeps the
+    now).
+
+    Scale shape: one (user, type) struct-max aggregate picks the latest
+    event per cell — partial-aggregable, no per-user sort window — and
+    the pivot is a fixed-column conditional projection (never the
+    dynamic two-pass pivot). Ties on timestamp break by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    latest = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_millis("ts").alias("ms"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            ).alias("m")
+        )
+    )
+    cols = [
+        F.round(
+            F.max(
+                F.when(F.col("event_type") == t, F.col("m.v"))
+            ),
+            6,
+        ).alias(f"last_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        latest.groupBy("user_id")
+        .agg(F.max(F.col("m.ms")).alias("last_seen_ms"), *cols)
+        .orderBy("user_id")
+    )
