@@ -364,6 +364,18 @@ def _streaming_late_oracle() -> str:
     return STREAMING_LATE_DATA_ORACLE
 
 
+def _streaming_latest_state_query(spark, sf_dir):
+    from .stateful import streaming_latest_state
+
+    return streaming_latest_state(spark, sf_dir)
+
+
+def _streaming_latest_state_oracle() -> str:
+    from ..operators.oracles import RELATIONAL_ORACLES
+
+    return RELATIONAL_ORACLES["latest_state_pivot"]
+
+
 def _streaming_sliding_query(spark, sf_dir):
     from .stateful import streaming_sliding_stats
 
@@ -545,6 +557,7 @@ STREAMING_QUERIES = {
     "streaming_upsert": _streaming_upsert_query,
     "streaming_sessionize": _streaming_sessionize_query,
     "streaming_sliding_stats": _streaming_sliding_query,
+    "streaming_latest_state": _streaming_latest_state_query,
 }
 
 STREAMING_ORACLES = {
@@ -573,4 +586,7 @@ STREAMING_ORACLES = {
     # sessions whose end precedes the final watermark
     "streaming_sessionize": _streaming_sessionize_oracle(),
     "streaming_sliding_stats": _streaming_sliding_oracle(),
+    # batch==stream: the stateful golden record converges to the batch
+    # latest-state pivot, so they share one oracle
+    "streaming_latest_state": _streaming_latest_state_oracle(),
 }

@@ -942,3 +942,129 @@ WHERE (window_start + 600) * 1000 <= m
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming latest-state: the golden record maintained across triggers
+# ---------------------------------------------------------------------------
+
+LS_TYPES = ["click", "error", "purchase", "signup", "view"]
+LS_OUTPUT_SCHEMA = (
+    "user_id long, upd long, last_seen_ms long, "
+    + ", ".join(f"last_{t} double" for t in LS_TYPES)
+)
+LS_STATE_SCHEMA = (
+    "upd long, "
+    + ", ".join(f"ms_{t} long, eid_{t} long, v_{t} double"
+                for t in LS_TYPES)
+)
+
+
+def _update_latest_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Keep, per event type, the (ms, event_id)-max event's value."""
+    if state.exists:
+        vals = list(state.get)
+    else:
+        vals = [0] + [None] * (3 * len(LS_TYPES))
+    upd = int(vals[0]) + 1
+    cells = {
+        t: (vals[1 + 3 * i], vals[2 + 3 * i], vals[3 + 3 * i])
+        for i, t in enumerate(LS_TYPES)
+    }
+    rows = pd.concat(list(pdfs))
+    # unit-safe epoch millis regardless of pandas datetime resolution
+    ms = rows["ts"].astype("datetime64[ms]").astype("int64")
+    for m, eid, et, v in zip(
+        ms, rows["event_id"], rows["event_type"], rows["value"]
+    ):
+        cur = cells.get(et)
+        if cur is None:
+            continue
+        if cur[0] is None or (int(m), int(eid)) > (int(cur[0]), int(cur[1])):
+            cells[et] = (int(m), int(eid), float(v))
+    flat = [upd]
+    for t in LS_TYPES:
+        flat.extend(cells[t])
+    state.update(tuple(flat))
+    out = {
+        "user_id": [int(key[0])],
+        "upd": [upd],
+        "last_seen_ms": [
+            max(c[0] for c in cells.values() if c[0] is not None)
+        ],
+    }
+    for t in LS_TYPES:
+        out[f"last_{t}"] = [
+            None if cells[t][2] is None else round(cells[t][2], 6)
+        ]
+    yield pd.DataFrame(out)
+
+
+def streaming_latest_state(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming golden record: per-user latest value per
+    event type maintained in ``applyInPandasWithState`` across a
+    time-ordered replay — the continuously-current materialized state
+    the batch ``latest_state_pivot`` computes in one pass, shared
+    oracle proves batch == stream. State is 5 small cells per user."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory(prefix="sls_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            updates = stream.groupBy("user_id").applyInPandasWithState(
+                _update_latest_state,
+                outputStructType=LS_OUTPUT_SCHEMA,
+                stateStructType=LS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"sls_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        w_cols = [f"last_{t}" for t in LS_TYPES]
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("upd", "last_seen_ms", *w_cols)
+                ).alias("f")
+            )
+        )
+        return (
+            final.select(
+                "user_id",
+                F.col("f.last_seen_ms").alias("last_seen_ms"),
+                *[F.col(f"f.last_{t}").alias(f"last_{t}")
+                  for t in LS_TYPES],
+            )
+            .orderBy("user_id")
+        )
