@@ -129,6 +129,8 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_percentile_bands": R.daily_percentile_bands,
     "join_cardinality_estimate": R.join_cardinality_estimate,
     "latest_state_pivot": R.latest_state_pivot,
+    "winsorized_stats": R.winsorized_stats,
+    "seasonal_adjust": R.seasonal_adjust,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -995,3 +995,59 @@ FROM latest
 GROUP BY user_id
 ORDER BY user_id
 """
+
+RELATIONAL_ORACLES["winsorized_stats"] = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type),
+clipped AS (
+  SELECT e.event_type,
+         CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(28,9))
+           AS wv,
+         b.lo, b.hi,
+         CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+           AS clamped
+  FROM events e JOIN bounds b USING (event_type))
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(clamped) AS BIGINT) AS n_clamped,
+       round(min(lo), 6) AS p5,
+       round(min(hi), 6) AS p95,
+       round(CAST(sum(wv) AS DOUBLE) / count(*), 6) AS wins_mean,
+       round(sqrt(CAST(sum(wv * wv) AS DOUBLE) / count(*)
+                  - (CAST(sum(wv) AS DOUBLE) / count(*))
+                  * (CAST(sum(wv) AS DOUBLE) / count(*))), 6)
+         AS wins_stddev
+FROM clipped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+RELATIONAL_ORACLES["seasonal_adjust"] = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT hod, round(avg(cnt), 6) AS baseline, count(*) AS n_days
+  FROM hourly GROUP BY hod),
+j AS (
+  SELECT h.cnt, b.baseline FROM hourly h JOIN base b USING (hod)),
+g AS (
+  SELECT round(CAST(sum(CAST(cnt * cnt AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*)
+               - (CAST(sum(CAST(cnt AS DECIMAL(28,9))) AS DOUBLE)
+                  / count(*))
+               * (CAST(sum(CAST(cnt AS DECIMAL(28,9))) AS DOUBLE)
+                  / count(*)), 6) AS raw_variance,
+         round(CAST(sum(CAST((cnt - baseline) * (cnt - baseline)
+                             AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*), 6) AS residual_variance
+  FROM j)
+SELECT b.hod, b.n_days, b.baseline, g.raw_variance, g.residual_variance
+FROM base b CROSS JOIN g
+ORDER BY b.hod
+"""

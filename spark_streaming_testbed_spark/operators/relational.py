@@ -2154,3 +2154,120 @@ def latest_state_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("m.ms")).alias("last_seen_ms"), *cols)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clip at exact p5/p95, then aggregate
+# ---------------------------------------------------------------------------
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: mean and population stddev of
+    ``value`` AFTER winsorizing at the type's exact p5/p95 (values
+    outside the band clamp to it) — the outlier-resistant summary
+    metric pipelines report when raw means are hostage to heavy tails.
+
+    Scale shape: exact clip bounds come from one bounded-group
+    percentile aggregate broadcast back onto the fact rows; the
+    winsorized aggregate is a second single pass. Stddev of clamped
+    values is computed from Σx/Σx² sufficient sums in DECIMAL (exact,
+    order-independent) so both engines agree bitwise before rounding."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clipped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        w.cast("decimal(28,9)").alias("wv"),
+        F.col("lo"), F.col("hi"),
+        ((F.col("value") < F.col("lo"))
+         | (F.col("value") > F.col("hi"))).cast("long").alias("clamped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clamped").alias("n_clamped"),
+            F.round(F.min("lo"), 6).alias("p5"),
+            F.round(F.min("hi"), 6).alias("p95"),
+            F.sum("wv").alias("_s"),
+            F.sum(F.col("wv") * F.col("wv")).alias("_ss"),
+        )
+        .select(
+            "event_type", "n", "n_clamped", "p5", "p95",
+            F.round(
+                (F.col("_s").cast("double") / F.col("n")), 6
+            ).alias("wins_mean"),
+            F.round(
+                F.sqrt(
+                    F.col("_ss").cast("double") / F.col("n")
+                    - (F.col("_s").cast("double") / F.col("n"))
+                    * (F.col("_s").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("wins_stddev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal adjustment: hour-of-day baseline removal, variance accounting
+# ---------------------------------------------------------------------------
+
+def seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality diagnosis: hourly event-rate series decomposed
+    against the hour-of-day baseline — per hour-of-day: the mean
+    count, plus one summary comparison of raw vs seasonally-adjusted
+    variance (how much of the rate's variance the daily cycle
+    explains). The step before any rate-anomaly rule: alert on the
+    RESIDUAL, not the cycle.
+
+    Scale shape: the hourly series is a (day, hour) aggregate; the
+    baseline is a 24-row aggregate broadcast back; sums of squared
+    residuals accumulate in DECIMAL so both engines agree exactly."""
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = hourly.groupBy("hod").agg(
+        F.round(F.avg("cnt"), 6).alias("baseline"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    # residual variance vs raw variance from decimal sufficient sums
+    joined = hourly.join(F.broadcast(base.select("hod", "baseline")), "hod")
+    g = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt").cast("decimal(28,9)")).alias("s"),
+        F.sum(
+            (F.col("cnt") * F.col("cnt")).cast("decimal(28,9)")
+        ).alias("ss"),
+        F.sum(
+            (
+                (F.col("cnt") - F.col("baseline"))
+                * (F.col("cnt") - F.col("baseline"))
+            ).cast("decimal(28,9)")
+        ).alias("ssr"),
+    ).select(
+        F.round(
+            F.col("ss").cast("double") / F.col("n")
+            - (F.col("s").cast("double") / F.col("n"))
+            * (F.col("s").cast("double") / F.col("n")),
+            6,
+        ).alias("raw_variance"),
+        F.round(F.col("ssr").cast("double") / F.col("n"), 6).alias(
+            "residual_variance"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(g))
+        .select(
+            "hod", "n_days", "baseline", "raw_variance",
+            "residual_variance",
+        )
+        .orderBy("hod")
+    )

@@ -499,3 +499,35 @@ def test_cdc_chunks_reassemble_documents(spark):
         r = rep[d.doc_id]
         assert r.n_dup_chunks <= r.n_chunks
         assert 0 <= r.dup_chars <= len(d.text)
+
+
+def test_winsorized_stats_shrink_spread(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        winsorized_stats,
+    )
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    raw = {
+        r.event_type: r.sd
+        for r in ev.groupBy("event_type")
+        .agg(F.stddev_pop("value").alias("sd")).collect()
+    }
+    for r in winsorized_stats(spark, SF_CORRECT).collect():
+        assert r.p5 <= r.wins_mean <= r.p95
+        assert r.wins_stddev <= raw[r.event_type] + 1e-9
+        assert 0 <= r.n_clamped <= r.n
+
+
+def test_seasonal_adjustment_cannot_increase_variance(spark):
+    """ANOVA decomposition: subtracting the group (hour-of-day) mean
+    can only remove between-group variance (up to the baseline's 6 dp
+    rounding)."""
+    from spark_streaming_testbed_spark.operators.relational import (
+        seasonal_adjust,
+    )
+
+    rows = seasonal_adjust(spark, SF_CORRECT).collect()
+    assert len(rows) == 24
+    r = rows[0]
+    assert r.residual_variance <= r.raw_variance + 1e-6
+    assert all(x.n_days >= 1 and x.baseline > 0 for x in rows)
