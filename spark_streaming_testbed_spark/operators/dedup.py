@@ -1717,3 +1717,82 @@ ORDER BY c.doc_id
 
 DEDUP_QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
 DEDUP_ORACLES["cdc_chunk_dedup"] = CDC_CHUNK_DEDUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Blocking-recall evaluation: every candidate generator vs the exact truth
+# ---------------------------------------------------------------------------
+
+def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker-evaluation-as-a-query: each candidate generator (MinHash-
+    LSH banding, sorted-neighborhood, PassJoin edit-distance) measured
+    against the EXACT n-gram-Jaccard near-dup pairs — per blocker: how
+    many candidates it pays for and how many true pairs it recovers.
+    The standard entity-resolution blocking scorecard (pairs
+    completeness vs reduction), computed relationally so evaluating a
+    blocker costs one equi-join of result sets.
+
+    Scale shape: each branch is an existing scale-shaped query; the
+    comparison joins slim (doc_a, doc_b) id pairs only."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+    blockers = [
+        ("lsh_bands", lsh_near_dup_pairs(spark, sf_dir)
+         .select("doc_a", "doc_b")),
+        ("sorted_neighborhood", snm_candidate_pairs(spark, sf_dir)
+         .select("doc_a", "doc_b")),
+        ("passjoin_edit", edit_distance_pairs(spark, sf_dir)
+         .select("doc_a", "doc_b")),
+    ]
+    rows = []
+    for name, cand in blockers:
+        cand = cand.localCheckpoint(eager=True)
+        n_cand = cand.count()
+        n_hit = cand.join(truth, ["doc_a", "doc_b"]).count()
+        rows.append((name, n_cand, n_truth, n_hit,
+                     round(n_hit / n_truth, 6) if n_truth else 0.0))
+    return spark.createDataFrame(
+        rows,
+        "blocker string, n_candidates bigint, n_truth bigint, "
+        "n_hits bigint, recall double",
+    ).orderBy("blocker")
+
+
+def _blocking_recall_oracle() -> str:
+    def pairs(sql: str) -> str:
+        return f"SELECT doc_a, doc_b FROM ({sql})"
+
+    return f"""
+WITH truth AS ({pairs(NGRAM_JACCARD_ORACLE)}),
+nt AS (SELECT count(*) AS n FROM truth),
+b_lsh AS ({pairs(LSH_NEAR_DUP_PAIRS_ORACLE)}),
+b_snm AS ({pairs(SNM_CANDIDATE_PAIRS_ORACLE)}),
+b_edit AS ({pairs(EDIT_DISTANCE_PAIRS_ORACLE)}),
+stats AS (
+  SELECT 'lsh_bands' AS blocker,
+         (SELECT count(*) FROM b_lsh) AS n_candidates,
+         (SELECT count(*) FROM b_lsh JOIN truth USING (doc_a, doc_b))
+           AS n_hits
+  UNION ALL
+  SELECT 'sorted_neighborhood',
+         (SELECT count(*) FROM b_snm),
+         (SELECT count(*) FROM b_snm JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'passjoin_edit',
+         (SELECT count(*) FROM b_edit),
+         (SELECT count(*) FROM b_edit JOIN truth USING (doc_a, doc_b)))
+SELECT blocker, n_candidates, nt.n AS n_truth, n_hits,
+       round(CASE WHEN nt.n > 0
+                  THEN n_hits / CAST(nt.n AS DOUBLE) ELSE 0.0 END, 6)
+         AS recall
+FROM stats CROSS JOIN nt
+ORDER BY blocker
+"""
+
+
+BLOCKING_RECALL_EVAL_ORACLE = _blocking_recall_oracle()
+
+DEDUP_QUERIES["blocking_recall_eval"] = blocking_recall_eval
+DEDUP_ORACLES["blocking_recall_eval"] = BLOCKING_RECALL_EVAL_ORACLE
