@@ -258,7 +258,12 @@ _FIRST_WINDOW: list[str] = [
 # json_extract_stats, column_histograms, bm25_retrieval,
 # hard_negatives, lpa_communities, exact_median_twopass,
 # streaming_late_data, streaming_upsert, streaming_sessionize,
-# streaming_sliding_stats.
+# streaming_sliding_stats, pq_codes, pq_adc_topk, dedup_cascade_report,
+# scd2_pointintime_join, bootstrap_ci, daily_percentile_bands,
+# conversion_ab_test, lang_id_confusion, ann_recall_eval,
+# join_cardinality_estimate, attribution_report, cdc_chunk_dedup,
+# latest_state_pivot, streaming_latest_state, winsorized_stats,
+# seasonal_adjust, blocking_recall_eval.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
