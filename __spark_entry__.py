@@ -131,6 +131,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_state_pivot": R.latest_state_pivot,
     "winsorized_stats": R.winsorized_stats,
     "seasonal_adjust": R.seasonal_adjust,
+    "revenue_trend": R.revenue_trend,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1051,3 +1051,23 @@ SELECT b.hod, b.n_days, b.baseline, g.raw_variance, g.residual_variance
 FROM base b CROSS JOIN g
 ORDER BY b.hod
 """
+
+RELATIONAL_ORACLES["revenue_trend"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT strftime(m, '%Y-%m') AS month,
+       n_orders,
+       revenue_cents,
+       CASE WHEN lag(revenue_cents) OVER (ORDER BY m) IS NULL
+                 OR lag(revenue_cents) OVER (ORDER BY m) = 0
+            THEN NULL
+            ELSE (revenue_cents - lag(revenue_cents) OVER (ORDER BY m))
+                 * 10000 // lag(revenue_cents) OVER (ORDER BY m) END
+         AS growth_bp
+FROM monthly
+ORDER BY month
+"""

