@@ -132,6 +132,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_stats": R.winsorized_stats,
     "seasonal_adjust": R.seasonal_adjust,
     "revenue_trend": R.revenue_trend,
+    "revenue_concentration": R.revenue_concentration,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

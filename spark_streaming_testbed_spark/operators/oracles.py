@@ -1071,3 +1071,28 @@ SELECT strftime(m, '%Y-%m') AS month,
 FROM monthly
 ORDER BY month
 """
+
+RELATIONAL_ORACLES["revenue_concentration"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, l_partkey) AS i,
+         count(*) OVER () AS n
+  FROM per_part),
+agg AS (
+  SELECT max(n) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(i * cents) AS BIGINT) AS iw,
+         CAST(sum(CASE WHEN i * 5 > n * 4 THEN cents ELSE 0 END)
+              AS BIGINT) AS top_cents
+  FROM ranked)
+SELECT n_parts, total_cents,
+       round(2.0 * iw / CAST(n_parts * total_cents AS DOUBLE)
+             - (n_parts + 1) / CAST(n_parts AS DOUBLE), 6) AS gini,
+       round(top_cents / CAST(total_cents AS DOUBLE), 6) AS top20_share
+FROM agg
+"""

@@ -2317,3 +2317,56 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient and Pareto share over parts
+# ---------------------------------------------------------------------------
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration diagnostics over per-part revenue: the Gini
+    coefficient (sorted-rank identity G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n)
+    and the top-20%-of-parts revenue share — the 80/20 check behind
+    assortment and concentration-risk analysis.
+
+    Scale shape: revenue aggregates per part first (map-side
+    combinable); the rank window runs over the PART DIMENSION (bounded;
+    for an unbounded key the two-phase rank of ``snm_candidate_pairs``
+    is the drop-in). Sums are exact integer cents; the two ratios at
+    the end are the only doubles, formed identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    w = W.orderBy("cents", "l_partkey")
+    ranked = (
+        per_part.withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n_parts"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("iw"),
+        # top 20% by revenue rank: the i > 4n/5 highest-ranked parts
+        F.sum(
+            F.when(F.col("i") * 5 > F.col("n") * 4, F.col("cents"))
+            .otherwise(0)
+        ).alias("top_cents"),
+    )
+    return agg.select(
+        "n_parts",
+        "total_cents",
+        F.round(
+            F.lit(2.0) * F.col("iw")
+            / (F.col("n_parts") * F.col("total_cents")).cast("double")
+            - (F.col("n_parts") + 1) / F.col("n_parts").cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_cents") / F.col("total_cents").cast("double"), 6
+        ).alias("top20_share"),
+    )

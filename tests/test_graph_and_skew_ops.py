@@ -531,3 +531,14 @@ def test_seasonal_adjustment_cannot_increase_variance(spark):
     r = rows[0]
     assert r.residual_variance <= r.raw_variance + 1e-6
     assert all(x.n_days >= 1 and x.baseline > 0 for x in rows)
+
+
+def test_revenue_concentration_bounds(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        revenue_concentration,
+    )
+
+    r = revenue_concentration(spark, SF_CORRECT).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    # the top 20% of parts must hold at least 20% of revenue
+    assert 0.2 <= r.top20_share <= 1.0
