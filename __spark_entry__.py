@@ -133,6 +133,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_adjust": R.seasonal_adjust,
     "revenue_trend": R.revenue_trend,
     "revenue_concentration": R.revenue_concentration,
+    "supplier_return_rate": R.supplier_return_rate,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1096,3 +1096,22 @@ SELECT n_parts, total_cents,
        round(top_cents / CAST(total_cents AS DOUBLE), 6) AS top20_share
 FROM agg
 """
+
+RELATIONAL_ORACLES["supplier_return_rate"] = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(round(l_extendedprice
+                                       * (1 - l_discount) * 100)
+                                 AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS returned_cents
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, n_lines, n_returned, returned_cents,
+       n_returned * 10000 // n_lines AS return_bp
+FROM per_supp
+ORDER BY return_bp DESC, l_suppkey
+LIMIT 25
+"""

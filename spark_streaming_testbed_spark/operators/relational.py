@@ -2370,3 +2370,41 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents") / F.col("total_cents").cast("double"), 6
         ).alias("top20_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier return-rate scorecard (worst offenders, exact basis points)
+# ---------------------------------------------------------------------------
+
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier quality scorecard: per supplier the shipped line count,
+    returned-line count (l_returnflag = 'R'), return rate in integer
+    BASIS POINTS, and returned revenue in exact cents — worst 25
+    suppliers first. The vendor-quality ranking behind chargebacks and
+    delisting decisions.
+
+    Scale shape: one supplier-keyed aggregate with fused conditional
+    sums (map-side combinable); the top-25 cut plans as
+    TakeOrderedAndProject. Rate arithmetic is integer `div` (verified
+    truncation-identical across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+            "n_returned"
+        ),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", cents).otherwise(0)
+        ).alias("returned_cents"),
+    )
+    return (
+        per_supp.select(
+            "l_suppkey", "n_lines", "n_returned", "returned_cents",
+            F.expr("n_returned * 10000 div n_lines").alias("return_bp"),
+        )
+        .orderBy(F.col("return_bp").desc(), "l_suppkey")
+        .limit(25)
+    )
