@@ -134,6 +134,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_trend": R.revenue_trend,
     "revenue_concentration": R.revenue_concentration,
     "supplier_return_rate": R.supplier_return_rate,
+    "order_backlog_timeline": R.order_backlog_timeline,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1115,3 +1115,22 @@ FROM per_supp
 ORDER BY return_bp DESC, l_suppkey
 LIMIT 25
 """
+
+RELATIONAL_ORACLES["order_backlog_timeline"] = """
+WITH opened AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         count(*) AS n_opened,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS opened_cents
+  FROM orders
+  WHERE o_orderstatus IN ('O', 'P')
+  GROUP BY 1)
+SELECT strftime(m, '%Y-%m') AS month,
+       n_opened,
+       opened_cents,
+       CAST(sum(n_opened) OVER w AS BIGINT) AS backlog_orders,
+       CAST(sum(opened_cents) OVER w AS BIGINT) AS backlog_cents
+FROM opened
+WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY month
+"""

@@ -2408,3 +2408,45 @@ def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("return_bp").desc(), "l_suppkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog timeline: open orders outstanding at each month end
+# ---------------------------------------------------------------------------
+
+def order_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog accounting: per order month, how many orders REMAIN open
+    ('O' or 'P' status) and their outstanding value — cumulative over
+    the month spine, so each row reads "open orders booked up to and
+    including this month". The running-liability view finance asks of
+    an order book.
+
+    Scale shape: one month-keyed aggregate of open orders (map-side
+    combinable), then a running sum over the TINY month spine —
+    cumulative logic never touches fact rows (the two-phase cumsum
+    handles the unbounded case; here the spine is dozens of rows).
+    Values in exact integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    opened = (
+        o.where(F.col("o_orderstatus").isin("O", "P"))
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_opened"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("opened_cents"),
+        )
+    )
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        opened.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_opened",
+            "opened_cents",
+            F.sum("n_opened").over(w).alias("backlog_orders"),
+            F.sum("opened_cents").over(w).alias("backlog_cents"),
+        )
+        .orderBy("month")
+    )
