@@ -135,6 +135,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_concentration": R.revenue_concentration,
     "supplier_return_rate": R.supplier_return_rate,
     "order_backlog_timeline": R.order_backlog_timeline,
+    "mix_shift_test": R.mix_shift_test,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1134,3 +1134,43 @@ FROM opened
 WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY month
 """
+
+RELATIONAL_ORACLES["mix_shift_test"] = """
+WITH base AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'a'
+              WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 'b' END AS p,
+         o_orderpriority
+  FROM orders),
+cells AS (
+  SELECT p, o_orderpriority, count(*) AS obs
+  FROM base WHERE p IS NOT NULL
+  GROUP BY 1, 2),
+tots AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n,
+         count(DISTINCT o_orderpriority) AS k
+  FROM cells),
+row_t AS (SELECT p, CAST(sum(obs) AS BIGINT) AS row_n
+          FROM cells GROUP BY p),
+col_t AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS col_n
+          FROM cells GROUP BY o_orderpriority),
+contrib AS (
+  SELECT c.p, c.o_orderpriority,
+         (c.obs - CAST(r.row_n AS DOUBLE) * ct.col_n / t.n)
+           * (c.obs - CAST(r.row_n AS DOUBLE) * ct.col_n / t.n)
+           / (CAST(r.row_n AS DOUBLE) * ct.col_n / t.n) AS c,
+         t.n, t.k
+  FROM cells c
+  JOIN row_t r USING (p)
+  JOIN col_t ct USING (o_orderpriority)
+  CROSS JOIN tots t),
+folded AS (
+  SELECT max(n) AS n_orders, max(k) AS k_categories,
+         floor(list_reduce(
+                 list(c ORDER BY p, o_orderpriority),
+                 (a, b) -> a + b) * 1e6) AS chi2_e6
+  FROM contrib)
+SELECT n_orders, k_categories,
+       CAST(k_categories - 1 AS INTEGER) AS df,
+       chi2_e6 / 1e6 AS chi2
+FROM folded
+"""

@@ -2450,3 +2450,82 @@ def order_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square mix-shift test: did the category distribution change?
+# ---------------------------------------------------------------------------
+
+def mix_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detection: Pearson's chi-square test of
+    independence between order period (1996 vs 1998) and order
+    priority — the categorical drift check batch monitors run between
+    snapshots (the counterpart of the numeric drift the bootstrap CI
+    and z-test cover).
+
+    Exactness: all observed and marginal counts are integers; expected
+    counts and the chi-square sum are formed with the SAME operation
+    order in both engines and the statistic is floor-quantized. One
+    tiny contingency-table aggregate — the fact table shuffles only
+    (period, priority) partial counts."""
+    o = _t(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "a"
+    ).when(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), "b"
+    )
+    cells = (
+        o.select(period.alias("p"), "o_orderpriority")
+        .where(F.col("p").isNotNull())
+        .groupBy("p", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tots = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("o_orderpriority").alias("k"),
+    )
+    row_t = cells.groupBy("p").agg(F.sum("obs").alias("row_n"))
+    col_t = cells.groupBy("o_orderpriority").agg(
+        F.sum("obs").alias("col_n")
+    )
+    contrib = (
+        cells.join(F.broadcast(row_t), "p")
+        .join(F.broadcast(col_t), "o_orderpriority")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "p", "o_orderpriority", "obs", "row_n", "col_n", "n", "k",
+            # explicit (d*d), not pow(d,2): pow goes through libm/JVM
+            # transcendental paths that can differ by an ulp
+            F.expr(
+                "(obs - cast(row_n as double) * col_n / n) "
+                "* (obs - cast(row_n as double) * col_n / n) "
+                "/ (cast(row_n as double) * col_n / n)"
+            ).alias("c"),
+        )
+    )
+    # fixed summation order: collect contributions into a sorted array
+    # and fold left-to-right so both engines add in (p, priority) order
+    return (
+        contrib.agg(
+            F.max("n").alias("n_orders"),
+            F.max("k").alias("k_categories"),
+            F.floor(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("p", "o_orderpriority", "c")
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                )
+                * 1e6
+            ).alias("chi2_e6"),
+        )
+        .select(
+            "n_orders",
+            "k_categories",
+            ((F.col("k_categories") - 1) * 1).cast("int").alias("df"),
+            (F.col("chi2_e6") / 1e6).alias("chi2"),
+        )
+    )
