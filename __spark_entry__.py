@@ -136,6 +136,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_return_rate": R.supplier_return_rate,
     "order_backlog_timeline": R.order_backlog_timeline,
     "mix_shift_test": R.mix_shift_test,
+    "pipeline_health_report": R.pipeline_health_report,
     "profile_fixed_ramp": profile_fixed_ramp,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,

@@ -1174,3 +1174,128 @@ SELECT n_orders, k_categories,
        chi2_e6 / 1e6 AS chi2
 FROM folded
 """
+
+
+RELATIONAL_ORACLES["pipeline_health_report"] = """
+WITH dq AS (SELECT * FROM (WITH checks AS (
+  SELECT 'orders' AS table_name, 'totalprice_positive' AS check_name,
+         CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderdate_in_range',
+         CAST(count(*) FILTER (o_orderdate NOT BETWEEN
+              TIMESTAMP '1992-01-01 00:00:00'
+              AND TIMESTAMP '1998-12-31 23:59:59') AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'priority_not_null',
+         CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'discount_in_range',
+         CAST(count(*) FILTER (l_discount NOT BETWEEN 0.0 AND 0.1)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'quantity_at_most_30',
+         CAST(count(*) FILTER (l_quantity > 30) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'shipdate_not_null',
+         CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_references_orders',
+         CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'customer', 'custkey_unique',
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events', 'value_non_negative',
+         CAST(count(*) FILTER (value < 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'user_id_not_null',
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT)
+  FROM events)
+SELECT table_name, check_name, n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY table_name, check_name)),
+skew AS (SELECT * FROM (WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+agg AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_key_rows,
+         quantile_cont(cnt, 0.5) AS p50_key_rows,
+         quantile_cont(cnt, 0.99) AS p99_key_rows,
+         sum(cnt * ln(cnt)) AS clnc
+  FROM counts)
+SELECT n_keys, n_rows, max_key_rows,
+       round(p50_key_rows, 6) AS p50_key_rows,
+       round(p99_key_rows, 6) AS p99_key_rows,
+       round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_key_share,
+       round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6)
+         AS skew_ratio,
+       round(ln(n_rows) - clnc / n_rows, 6) AS key_entropy,
+       CAST(ceil(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows)
+            AS INTEGER) AS salt_factor
+FROM agg)),
+drift AS (SELECT * FROM (WITH base AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'a'
+              WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 'b' END AS p,
+         o_orderpriority
+  FROM orders),
+cells AS (
+  SELECT p, o_orderpriority, count(*) AS obs
+  FROM base WHERE p IS NOT NULL
+  GROUP BY 1, 2),
+tots AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n,
+         count(DISTINCT o_orderpriority) AS k
+  FROM cells),
+row_t AS (SELECT p, CAST(sum(obs) AS BIGINT) AS row_n
+          FROM cells GROUP BY p),
+col_t AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS col_n
+          FROM cells GROUP BY o_orderpriority),
+contrib AS (
+  SELECT c.p, c.o_orderpriority,
+         (c.obs - CAST(r.row_n AS DOUBLE) * ct.col_n / t.n)
+           * (c.obs - CAST(r.row_n AS DOUBLE) * ct.col_n / t.n)
+           / (CAST(r.row_n AS DOUBLE) * ct.col_n / t.n) AS c,
+         t.n, t.k
+  FROM cells c
+  JOIN row_t r USING (p)
+  JOIN col_t ct USING (o_orderpriority)
+  CROSS JOIN tots t),
+folded AS (
+  SELECT max(n) AS n_orders, max(k) AS k_categories,
+         floor(list_reduce(
+                 list(c ORDER BY p, o_orderpriority),
+                 (a, b) -> a + b) * 1e6) AS chi2_e6
+  FROM contrib)
+SELECT n_orders, k_categories,
+       CAST(k_categories - 1 AS INTEGER) AS df,
+       chi2_e6 / 1e6 AS chi2
+FROM folded)),
+rows_ AS (
+  SELECT 'dq_total_violations' AS metric,
+         CAST(sum(n_violations) AS DOUBLE) AS value,
+         CASE WHEN sum(n_violations) = 0 THEN 'ok' ELSE 'alert' END
+           AS status
+  FROM dq
+  UNION ALL
+  SELECT 'join_key_skew_ratio', skew_ratio,
+         CASE WHEN skew_ratio < 4.0 THEN 'ok' ELSE 'alert' END
+  FROM skew
+  UNION ALL
+  SELECT 'priority_mix_chi2', chi2,
+         CASE WHEN chi2 < 13.28 THEN 'ok' ELSE 'alert' END
+  FROM drift)
+SELECT metric, value, status FROM rows_ ORDER BY metric
+"""

@@ -2529,3 +2529,40 @@ def mix_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chi2_e6") / 1e6).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline health report: the audit operators on one pane of glass
+# ---------------------------------------------------------------------------
+
+def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pane pipeline health: the repo's audit operators reduced to
+    one row each — data-quality violations (``dq_report``), join-key
+    skew (``partition_skew_report``), and categorical drift
+    (``mix_shift_test``) — with a deterministic status per metric. The
+    morning dashboard every pipeline owner reads, expressed as one
+    query over the audits it composes.
+
+    Scale shape: pure composition of already-shaped one-row audits;
+    the report itself is a three-row union of scalars."""
+    dq = dq_report(spark, sf_dir).agg(
+        F.sum(F.col("n_violations")).cast("double").alias("v"),
+    ).select(
+        F.lit("dq_total_violations").alias("metric"),
+        F.col("v").alias("value"),
+        F.when(F.col("v") == 0, "ok").otherwise("alert").alias("status"),
+    )
+    skew = partition_skew_report(spark, sf_dir).select(
+        F.lit("join_key_skew_ratio").alias("metric"),
+        F.col("skew_ratio").alias("value"),
+        F.when(F.col("skew_ratio") < 4.0, "ok")
+        .otherwise("alert").alias("status"),
+    )
+    drift = mix_shift_test(spark, sf_dir).select(
+        F.lit("priority_mix_chi2").alias("metric"),
+        F.col("chi2").alias("value"),
+        # chi-square 99th percentile at df=4 is ~13.28
+        F.when(F.col("chi2") < 13.28, "ok")
+        .otherwise("alert").alias("status"),
+    )
+    return dq.unionByName(skew).unionByName(drift).orderBy("metric")
