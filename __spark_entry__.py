@@ -168,108 +168,66 @@ _EXTRA_ORACLES: dict[str, str] = {
 
 
 # The driver's correctness gate covers only the FIRST 50 registry keys,
-# so the window rotates per round. Round 3: the 33 queries that never had
-# a driver row in rounds 1-2 (they were green only under the local
-# tools/check_oracle.py replica) come first, then 17 regression slots for
-# the family flagships that anchored rounds 1-2. Union of all rounds'
-# CORRECTNESS files then covers every one of the 131 pre-r3 registry
-# entries. The four operators ADDED in r3 (bucketed_join_stats,
-# streaming_stream_join, semantic_dup_pairs, skew_salted_join) take
-# four of the regression slots so they land under the hard signal
-# immediately — the flagships they displace (tpch_q1, token_stats,
-# multimodal_meta, streaming_stateful_totals) already carry
-# prior-round driver rows.
+# so the window rotates per round. Round 4: the 46 registry entries that
+# have never had a driver row in rounds 1-3 (all green under the local
+# tools/check_oracle.py replica) take the window; operators ADDED in
+# round 4 fill the remaining slots as they land so they hit the hard
+# signal immediately. Every operator displaced this round carries a
+# driver-green row from rounds 1-3, so the union of all rounds'
+# CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- never-driver-checked until round 3 (33) ---
-    # relational tail
-    "hll_user_overlap",
-    "table_profile",
-    "snapshot_diff",
-    # text analysis tail
-    "epoch_mix_plan",
-    "unigram_logprob",
-    "mix_sample",
-    "hash_split",
-    "lang_id",
-    "pack_sequences",
-    "top_ngrams",
-    "weighted_sample",
-    "vocab_growth",
-    "entropy_signals",
-    "quality_calibration",
-    "bigram_perplexity",
-    # dedup tail
-    "dedup_clusters_star",
-    "dedup_minhash_survivors",
-    "duplicate_spans",
-    "lsh_incremental_pairs",
-    "cluster_report",
-    "span_leakage",
-    # similarity tail (ann_ivf_topk upgraded to oracle-checked this round)
-    "project_embeddings",
-    "ann_ivf_topk",
-    # multimodal tail (multimodal_features upgraded past the stub)
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # loglake tail
-    "loglake_execution_dedup",
-    # streaming tail
-    "streaming_multi_source_union",
-    "streaming_decontaminate",
-    "streaming_funnel",
-    # advanced tail
-    "event_funnel",
-    "retention_cohorts",
-    "interarrival_stats",
-    "conversion_lag",
-    # --- operators ADDED in round 3 (12): never had a driver row, so
-    # they take the window slots immediately; the flagships they
-    # displace (minhash_signatures, lsh_near_dup_pairs, cosine_topk,
-    # ann_lsh_topk, loglake_execution_roundtrip, tpch_q12,
-    # congestion_drop_accounting, hanoi_load_stats) all carry
-    # driver-green rows from rounds 1-2 ---
-    "bucketed_join_stats",
-    "streaming_stream_join",
-    "semantic_dup_pairs",
-    "skew_salted_join",
-    "heavy_hitters",
-    "bloom_decontaminate",
-    "edit_distance_pairs",
-    "zorder_layout",
-    "compaction_plan",
-    "markov_transitions",
-    "rolling_anomaly",
-    "groupwise_regression",
-    # --- later round-3 adds (never driver-checked); these displace the
-    # regression flagships, all of which carry driver rows from rounds
-    # 1-2 (batch_stats, dedup_clusters, profile_fixed_ramp,
-    # streaming_profile_stats, rs_tcp_roundtrip) ---
-    "dq_report",
-    "scd2_build",
-    "embedding_covariance",
-    "streaming_heavy_hitters",
-    "pagerank_coactivity",
-    # --- positions 51+ spill past the driver's 50-row window; the three
-    # simplest r3 adds (plain agg / window-function shapes, all green
-    # under tools/check_oracle.py) wait for the round-4 rotation ---
+    # --- never driver-checked through round 3 (46) ---
     "session_paths",
     "rfm_features",
     "rate_timeline",
+    "partition_skew_report",
+    "upsert_merge",
+    "json_extract_stats",
+    "column_histograms",
+    "exact_median_twopass",
+    "scd2_pointintime_join",
+    "bootstrap_ci",
+    "daily_percentile_bands",
+    "join_cardinality_estimate",
+    "latest_state_pivot",
+    "winsorized_stats",
+    "seasonal_adjust",
+    "revenue_trend",
+    "revenue_concentration",
+    "supplier_return_rate",
+    "order_backlog_timeline",
+    "mix_shift_test",
+    "pipeline_health_report",
+    "pmi_collocations",
+    "bm25_retrieval",
+    "lang_id_confusion",
+    "snm_candidate_pairs",
+    "dedup_cascade_report",
+    "cdc_chunk_dedup",
+    "blocking_recall_eval",
+    "knn_graph",
+    "hard_negatives",
+    "pq_codes",
+    "pq_adc_topk",
+    "ann_recall_eval",
+    "streaming_ewma",
+    "streaming_late_data",
+    "streaming_upsert",
+    "streaming_sessionize",
+    "streaming_sliding_stats",
+    "streaming_latest_state",
+    "triangle_count",
+    "ewma_smooth",
+    "ts_similarity_pairs",
+    "cep_pattern_match",
+    "lpa_communities",
+    "conversion_ab_test",
+    "attribution_report",
+    # --- round-4 additions (never had a chance at a driver row) ---
 ]
-# Round-4 rotation queue (never driver-checked; all green under the
-# local gate): the three spill entries above plus the late-r3 adds —
-# triangle_count, ewma_smooth, snm_candidate_pairs,
-# partition_skew_report, streaming_ewma, pmi_collocations, knn_graph,
-# ts_similarity_pairs, upsert_merge, cep_pattern_match,
-# json_extract_stats, column_histograms, bm25_retrieval,
-# hard_negatives, lpa_communities, exact_median_twopass,
-# streaming_late_data, streaming_upsert, streaming_sessionize,
-# streaming_sliding_stats, pq_codes, pq_adc_topk, dedup_cascade_report,
-# scd2_pointintime_join, bootstrap_ci, daily_percentile_bands,
-# conversion_ab_test, lang_id_confusion, ann_recall_eval,
-# join_cardinality_estimate, attribution_report, cdc_chunk_dedup,
-# latest_state_pivot, streaming_latest_state, winsorized_stats,
-# seasonal_adjust, blocking_recall_eval.
+# Round-5 rotation queue: any round-4 additions past position 50, then
+# regression re-checks of the family flagships (batch_stats, tpch_q1,
+# dedup_clusters, cosine_topk, streaming_profile_stats, ...).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
