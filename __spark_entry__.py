@@ -26,6 +26,7 @@ from spark_streaming_testbed_spark.operators.multimodal import (
     MULTIMODAL_QUERIES,
 )
 from spark_streaming_testbed_spark.operators.oracles import RELATIONAL_ORACLES
+from spark_streaming_testbed_spark.operators.prep import PREP_ORACLES, PREP_QUERIES
 from spark_streaming_testbed_spark.operators.similarity import (
     SIMILARITY_ORACLES,
     SIMILARITY_QUERIES,
@@ -149,6 +150,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **ADVANCED_QUERIES,
     **WAREHOUSE_QUERIES,
     **SKETCH_QUERIES,
+    **PREP_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -164,6 +166,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **ADVANCED_ORACLES,
     **WAREHOUSE_ORACLES,
     **SKETCH_ORACLES,
+    **PREP_ORACLES,
 }
 
 
@@ -224,10 +227,17 @@ _FIRST_WINDOW: list[str] = [
     "conversion_ab_test",
     "attribution_report",
     # --- round-4 additions (never had a chance at a driver row) ---
+    "target_encoding",
+    "quantile_binning",
+    "k_anonymity_audit",
+    "length_bucket_plan",
 ]
-# Round-5 rotation queue: any round-4 additions past position 50, then
-# regression re-checks of the family flagships (batch_stats, tpch_q1,
-# dedup_clusters, cosine_topk, streaming_profile_stats, ...).
+# Round-5 rotation queue: the round-4 additions past position 50
+# (class_balance_weights, feature_hashing, ngram_novelty, benford_audit,
+# mad_outliers, gap_fill_locf, cusum_drift, embedding_threshold_sweep,
+# plus anything added later in round 4), then regression re-checks of
+# the family flagships (batch_stats, tpch_q1, dedup_clusters,
+# cosine_topk, streaming_profile_stats, ...).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,938 @@
+"""Feature-preparation and data-quality audit operators (round 4).
+
+The feature-engineering / governance layer a training-data pipeline runs
+between raw ingest and model consumption: leakage-safe target encoding,
+equal-frequency binning, robust (MAD) outlier flagging, Benford
+first-digit auditing, LOCF gap filling, CUSUM drift detection,
+k-anonymity auditing, n-gram novelty scoring, hashing-trick features,
+length-bucketed packing plans, class-balance weights, and a near-dup
+threshold sweep. All are beyond the reference's own operator set (the
+reference stops at windowed stats — ``testbed`` computes per-batch
+count/sum/mean/stddev only), added per the build brief's
+training-pipeline mandate.
+
+Cross-engine determinism rules (see text.py and the float-parity notes):
+integer arithmetic wherever possible (basis points / millionths via
+``div``, which truncates identically in Spark and DuckDB), DECIMAL(28,9)
+sufficient sums for order-independent aggregation of doubles,
+floor-quantization ``floor(x*1e6)/1e6`` instead of ``round`` on computed
+doubles, and sequential folds for vector math. Transcendental constants
+(Benford's log10 table) are computed ONCE in Python and embedded as
+literals in both plans, so neither engine evaluates a transcendental.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .text import MD5H_SQL_TEMPLATE, md5h, with_grams, with_tokens
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this are
+#: re-identification risks and must be suppressed or generalized.
+K_ANON = 5
+
+#: hashing-trick bucket count (power of two, as in Weinberger et al. 2009)
+HASH_BUCKETS = 64
+
+#: equal-frequency bin count for quantile binning
+N_BINS = 10
+
+#: MAD outlier rule: |x - median| > MAD_CUTOFF * 1.4826 * MAD
+#: (1.4826 makes MAD consistent with sigma under normality;
+#: 3.5 is the Iglewicz-Hoaglin recommendation)
+MAD_CUTOFF = 3.5
+MAD_SIGMA = 1.4826
+
+#: CUSUM reference drift k and (unused-for-alarm, reported) scale
+CUSUM_K = 0.05
+
+#: cosine thresholds for the near-dup threshold sweep, in millionths
+SWEEP_THRESHOLDS = (200000, 300000, 400000, 450000)
+
+#: Benford first-digit probabilities in millionths — computed once here
+#: and embedded as literals in BOTH the Spark plan and the DuckDB oracle
+#: so no engine evaluates log10 at query time.
+BENFORD_MILLIONTHS = {
+    d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _q6(col: Column) -> Column:
+    """Floor-quantize a computed double to 6 decimals (round() diverges
+    between engines on computed doubles; floor flips only if an ulp
+    straddles a 1e-6 boundary)."""
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+_Q6_SQL = "floor(({x}) * 1000000.0) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe target encoding (leave-one-out)
+# ---------------------------------------------------------------------------
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean target encoding of ``event_type`` against
+    ``value``: each event's encoded feature is the mean of all OTHER
+    events of its type — the standard leakage-safe categorical encoding
+    (each row's own target is excluded so the feature can't memorize it).
+
+    Scale shape: one bounded-cardinality aggregate (|event_types| rows)
+    broadcast back onto the fact rows — no fact-side shuffle at all.
+    Sums accumulate in DECIMAL(28,9) so both engines agree exactly; the
+    final division is floor-quantized."""
+    events = _t(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    loo = (
+        (F.col("s") - F.col("value").cast("decimal(28,9)")).cast("double")
+        / (F.col("n") - F.lit(1))
+    )
+    return (
+        events.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("n") > 1, _q6(loo)).alias("loo_encoding"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TARGET_ENCODING_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type,
+         sum(CAST(value AS DECIMAL(28,9))) AS s,
+         count(*) AS n
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN t.n > 1 THEN
+         {_Q6_SQL.format(x="CAST(t.s - CAST(e.value AS DECIMAL(28,9)) AS DOUBLE) / (t.n - 1)")}
+       END AS loo_encoding
+FROM events e JOIN per_type t USING (event_type)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency (quantile) binning
+# ---------------------------------------------------------------------------
+
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization of ``l_extendedprice`` into
+    :data:`N_BINS` bins via ``ntile`` with a fully deterministic sort
+    (price, orderkey, linenumber — no ties left to the engine), then a
+    per-bin profile: row count, exact bounds, DECIMAL-summed mean.
+
+    Scale shape: a global ntile is a total sort — at 100 TB you'd
+    compute approximate cut points on a sample and bin by range instead;
+    this operator IS the exact oracle-checkable twin of that (the bin
+    profile is identical when cut points are exact). The per-bin
+    aggregate is bounded (N_BINS rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select(
+        "l_extendedprice", F.ntile(N_BINS).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,9)")).alias("_s"),
+        )
+        .select(
+            "bin", "n", "lo", "hi",
+            _q6(F.col("_s").cast("double") / F.col("n")).alias("bin_mean"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUANTILE_BINNING_ORACLE = f"""
+WITH binned AS (
+  SELECT l_extendedprice,
+         ntile({N_BINS}) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+  FROM lineitem)
+SELECT bin, count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi,
+       {_Q6_SQL.format(x="CAST(sum(CAST(l_extendedprice AS DECIMAL(28,9))) AS DOUBLE) / count(*)")}
+         AS bin_mean
+FROM binned
+GROUP BY bin ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: treat (event_type, day, hour) as the
+    quasi-identifier and report, per event type, how many equivalence
+    classes fall below k = :data:`K_ANON` members and how many rows a
+    k-anonymous release would have to suppress (Sweeney 2002).
+
+    Scale shape: one hash aggregate on the quasi-identifier, then a
+    bounded re-aggregate per event type — two map-side-combinable
+    passes, no joins. Integer arithmetic only."""
+    events = _t(spark, sf_dir, "events")
+    classes = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        classes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum((F.col("n") < K_ANON).cast("long")).alias("n_small"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).alias(
+                "rows_suppressed"
+            ),
+        )
+        .select(
+            "event_type", "n_classes", "n_small", "n_rows", "rows_suppressed",
+            F.expr("rows_suppressed * 10000 div n_rows").alias(
+                "suppression_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_suppressed,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         * 10000 // CAST(sum(n) AS BIGINT) AS suppression_bp
+FROM classes
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed packing plan
+# ---------------------------------------------------------------------------
+
+#: power-of-two packing buckets covering the corpus's token-length range
+LENGTH_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket_expr(n_col: str) -> str:
+    """CASE ladder to the smallest covering power-of-two bucket —
+    identical SQL text works in Spark and DuckDB (no log2, so no
+    transcendental-parity risk)."""
+    branches = " ".join(
+        f"WHEN {n_col} <= {b} THEN {b}" for b in LENGTH_BUCKETS
+    )
+    return f"CASE {branches} ELSE -1 END"
+
+
+def length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: assign each document to the smallest
+    power-of-two length bucket covering its token count, then report per
+    bucket the doc count, true token mass, padded token mass (every doc
+    padded to the bucket length), and padding waste in basis points —
+    the batching-efficiency audit run before fixed-shape training.
+
+    Scale shape: token counting is row-local (split + size, codegen);
+    the per-bucket aggregate is bounded by len(LENGTH_BUCKETS). Integer
+    arithmetic only."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    counted = docs.select(
+        F.size("tokens").alias("n_tokens")
+    ).withColumn("bucket", F.expr(_bucket_expr("n_tokens")))
+    return (
+        counted.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("true_tokens"),
+        )
+        .select(
+            "bucket", "n_docs", "true_tokens",
+            (F.col("bucket") * F.col("n_docs")).alias("padded_tokens"),
+            F.expr(
+                "(bucket * n_docs - true_tokens) * 10000 div "
+                "(bucket * n_docs)"
+            ).alias("waste_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LENGTH_BUCKET_PLAN_ORACLE = f"""
+WITH counted AS (
+  SELECT len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents),
+bucketed AS (
+  SELECT n_tokens, {_bucket_expr("n_tokens")} AS bucket FROM counted)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS true_tokens,
+       bucket * count(*) AS padded_tokens,
+       (bucket * count(*) - CAST(sum(n_tokens) AS BIGINT)) * 10000
+         // (bucket * count(*)) AS waste_bp
+FROM bucketed
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Class-balance sampling weights
+# ---------------------------------------------------------------------------
+
+def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency sampling weights per (lang, source) stratum:
+    weight = N / (G * n_g) — the multiplier that equalizes expected
+    per-stratum mass when sampling a balanced training mix. Emitted in
+    integer micro-units (``div``) so both engines agree bitwise.
+
+    Scale shape: one bounded-cardinality aggregate; the two global
+    scalars (N, G) ride along via a single-row cross join, which Spark
+    broadcasts. No fact-side shuffle beyond the group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    totals = strata.agg(
+        F.sum("n_g").alias("n_total"), F.count(F.lit(1)).alias("g")
+    )
+    return (
+        strata.crossJoin(F.broadcast(totals))
+        .select(
+            "lang", "source", "n_g",
+            F.expr("n_total * 1000000 div (g * n_g)").alias("weight_micro"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CLASS_BALANCE_WEIGHTS_ORACLE = """
+WITH strata AS (
+  SELECT lang, source, count(*) AS n_g
+  FROM documents GROUP BY lang, source),
+totals AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_total, count(*) AS g FROM strata)
+SELECT s.lang, s.source, s.n_g,
+       t.n_total * 1000000 // (t.g * s.n_g) AS weight_micro
+FROM strata s CROSS JOIN totals t
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick features
+# ---------------------------------------------------------------------------
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. 2009): each token
+    maps to bucket ``h(token) mod B`` with a signed contribution from a
+    second hash bit, and per-doc bucket weights are summed — fixed-width
+    features with no vocabulary broadcast, the property that matters
+    when the vocabulary itself would be a 100 GB side input.
+
+    Scale shape: explode + hash + re-aggregate keyed on (doc_id,
+    bucket); the hash is the repo's portable 60-bit md5 prefix so DuckDB
+    reproduces it. Integer arithmetic only."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("tokens").alias("tok"))
+    h = md5h("tok")
+    return (
+        toks.select(
+            "doc_id",
+            (h % HASH_BUCKETS).alias("bucket"),
+            # sign bit decorrelates colliding tokens (hash-kernel trick)
+            F.when((h.bitwiseAND(F.lit(HASH_BUCKETS))) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .where(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+_H_TOK = MD5H_SQL_TEMPLATE.format(expr="tok")
+
+FEATURE_HASHING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         {_H_TOK} % {HASH_BUCKETS} AS bucket,
+         CASE WHEN ({_H_TOK} & {HASH_BUCKETS}) = 0 THEN 1 ELSE -1 END
+           AS sgn
+  FROM toks)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+FROM hashed
+GROUP BY doc_id, bucket
+HAVING CAST(sum(sgn) AS BIGINT) != 0
+ORDER BY doc_id, bucket
+"""
+
+
+PREP_QUERIES = {
+    "target_encoding": target_encoding,
+    "quantile_binning": quantile_binning,
+    "k_anonymity_audit": k_anonymity_audit,
+    "length_bucket_plan": length_bucket_plan,
+    "class_balance_weights": class_balance_weights,
+    "feature_hashing": feature_hashing,
+}
+
+PREP_ORACLES = {
+    "target_encoding": TARGET_ENCODING_ORACLE,
+    "quantile_binning": QUANTILE_BINNING_ORACLE,
+    "k_anonymity_audit": K_ANONYMITY_ORACLE,
+    "length_bucket_plan": LENGTH_BUCKET_PLAN_ORACLE,
+    "class_balance_weights": CLASS_BALANCE_WEIGHTS_ORACLE,
+    "feature_hashing": FEATURE_HASHING_ORACLE,
+}
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word 3-grams
+    that no earlier document (smaller doc_id) contains — the curriculum
+    signal that separates fresh content from recombinations of what the
+    corpus already has.
+
+    Scale shape: one aggregate keyed on the gram computes the global
+    first-seer ``min(doc_id)`` (map-side combinable), joined back to the
+    per-doc distinct grams on the gram key; the per-doc re-aggregate is
+    the second shuffle. Same inverted-index shape as the Jaccard
+    detector — no pairwise comparisons. Integer outputs only."""
+    docs = with_grams(
+        with_tokens(_t(spark, sf_dir, "documents")), NOVELTY_N, "grams"
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    first_seen = doc_grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        doc_grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.expr("n_novel * 10000 div n_grams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAMS3_SQL = (
+    f"CASE WHEN len(tokens) >= {NOVELTY_N} THEN "
+    f"list_distinct(list_transform(range(1, len(tokens) - {NOVELTY_N} + 2), "
+    f"i -> array_to_string(tokens[i:i+{NOVELTY_N - 1}], ' '))) "
+    "ELSE [] END"
+)
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tokens FROM documents),
+doc_grams AS (
+  SELECT doc_id, unnest({_GRAMS3_SQL}) AS gram FROM toks),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM doc_grams GROUP BY gram)
+SELECT d.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) * 10000 // count(*) AS novelty_bp
+FROM doc_grams d JOIN first_seen f USING (gram)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of ``l_extendedprice`` (Newcomb 1881 /
+    Benford 1938; standard forensic-accounting screen): observed
+    first-significant-digit counts vs the log10 expectation, with the
+    per-digit chi-square contribution in integer micro-units.
+
+    The digit comes from ``floor`` + BIGINT + string (no log10 on data);
+    the nine expected proportions are Python-computed literals embedded
+    in both plans, so neither engine evaluates a transcendental. One
+    9-row aggregate; integer arithmetic end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in BENFORD_MILLIONTHS.items() for x in kv]
+    )
+    return (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("_n", F.sum("n_obs").over(W.partitionBy()))
+        .select(
+            "digit", "n_obs",
+            F.expr("n_obs * 1000000 div _n").alias("obs_millionths"),
+            exp_map[F.col("digit")].alias("exp_millionths"),
+            # chi2 contribution (obs-exp)^2/exp in micro-units, exactly:
+            # (1e6*n_obs - n*p_micro)^2 // (1e6 * n * p_micro); the
+            # square exceeds int64 at scale, so it runs in DECIMAL(38,0)
+            # (Spark) / HUGEINT (DuckDB) — both exact integer domains
+            F.expr(
+                "cast((cast(1000000 * n_obs - _n * {m}[digit] "
+                "as decimal(38,0)) "
+                "* cast(1000000 * n_obs - _n * {m}[digit] "
+                "as decimal(38,0))) "
+                "div (1000000 * _n * {m}[digit]) as bigint)".format(
+                    m="map("
+                      + ", ".join(
+                          f"{k}, {v}" for k, v in BENFORD_MILLIONTHS.items()
+                      )
+                      + ")"
+                )
+            ).alias("chi2_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in BENFORD_MILLIONTHS.items())
+    + " END"
+)
+
+BENFORD_AUDIT_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem),
+counted AS (
+  SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counted)
+SELECT digit, n_obs,
+       n_obs * 1000000 // t.n AS obs_millionths,
+       {_BENFORD_CASE} AS exp_millionths,
+       CAST(CAST(1000000 * n_obs - t.n * ({_BENFORD_CASE}) AS HUGEINT)
+         * CAST(1000000 * n_obs - t.n * ({_BENFORD_CASE}) AS HUGEINT)
+         // CAST(1000000 * t.n * ({_BENFORD_CASE}) AS HUGEINT) AS BIGINT)
+         AS chi2_micro
+FROM counted CROSS JOIN tot t
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# MAD (median absolute deviation) outlier flags
+# ---------------------------------------------------------------------------
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier summary per event type: exact median, exact MAD,
+    and the count of events outside median ± 3.5·1.4826·MAD (the
+    Iglewicz-Hoaglin modified z-score rule) — the screen that still
+    works when the mean/stddev are themselves dragged by the outliers.
+
+    Scale shape: two bounded-group exact-percentile aggregates (median,
+    then MAD over |x-median|) with the 5-row result broadcast back for
+    the final count pass — three scans, no fact-side shuffle. Median
+    and MAD are floor-quantized BEFORE the threshold comparison so both
+    engines compare against bitwise-identical cutoffs."""
+    events = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        _q6(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        _q6(F.expr("percentile(adev, 0.5)")).alias("mad"),
+        F.min("med").alias("med"),
+    )
+    cutoff = F.lit(MAD_CUTOFF) * F.lit(MAD_SIGMA) * F.col("mad")
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > cutoff).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n", "med", "mad", "n_outliers",
+            F.expr("n_outliers * 10000 div n").alias("outlier_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_ORACLE = f"""
+WITH med AS (
+  SELECT event_type,
+         {_Q6_SQL.format(x="quantile_cont(value, 0.5)")} AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type,
+         {_Q6_SQL.format(x="quantile_cont(abs(e.value - m.med), 0.5)")}
+           AS mad,
+         min(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type)
+SELECT e.event_type,
+       count(*) AS n,
+       min(m.med) AS med,
+       min(m.mad) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) >
+                          {MAD_CUTOFF} * {MAD_SIGMA} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN abs(e.value - m.med) >
+                          {MAD_CUTOFF} * {MAD_SIGMA} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+         AS outlier_bp
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+PREP_QUERIES.update({
+    "ngram_novelty": ngram_novelty,
+    "benford_audit": benford_audit,
+    "mad_outliers": mad_outliers,
+})
+
+PREP_ORACLES.update({
+    "ngram_novelty": NGRAM_NOVELTY_ORACLE,
+    "benford_audit": BENFORD_AUDIT_ORACLE,
+    "mad_outliers": MAD_OUTLIERS_ORACLE,
+})
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap filling on the hourly grid
+# ---------------------------------------------------------------------------
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling for time-series features: the (event_type, day, hour)
+    mean-value grid, with empty cells filled by last observation carried
+    forward within the event type — what a feature store does before a
+    model consumes a regular time series. Leading gaps stay NULL.
+
+    Scale shape: the cell aggregate shrinks the facts to the bounded
+    grid first; the spine is a cross join of two tiny distinct sets (and
+    stays tiny at any fact scale because it's |types| x |hours|); LOCF is
+    one window pass over grid rows, partitioned by type. Cell means use
+    DECIMAL sums and are floor-quantized before the window, so the
+    carried value is bitwise identical across engines."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(28,9)"))).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "day", "hod",
+        _q6(F.col("_s").cast("double") / F.col("n")).alias("cell_mean"),
+    )
+    types = events.select("event_type").distinct()
+    hours = events.select(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+    ).distinct()
+    spine = types.crossJoin(hours)
+    grid = spine.join(cells, ["event_type", "day", "hod"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day", "hod")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.select(
+            "event_type", "day", "hod",
+            F.col("cell_mean").isNull().cast("int").alias("is_gap"),
+            F.last("cell_mean", ignorenulls=True).over(w).alias(
+                "value_filled"
+            ),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
+GAP_FILL_LOCF_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         {_Q6_SQL.format(x="CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / count(*)")}
+           AS cell_mean
+  FROM events GROUP BY 1, 2, 3),
+types AS (SELECT DISTINCT event_type FROM events),
+hours AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod
+  FROM events),
+grid AS (
+  SELECT t.event_type, h.day, h.hod, c.cell_mean
+  FROM types t CROSS JOIN hours h
+  LEFT JOIN cells c
+    ON c.event_type = t.event_type AND c.day = h.day AND c.hod = h.hod)
+SELECT event_type, day, hod,
+       CAST(cell_mean IS NULL AS INTEGER) AS is_gap,
+       last_value(cell_mean IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY day, hod
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM grid
+ORDER BY event_type, day, hod
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack per step (in value units) and alarm threshold
+CUSUM_SLACK = 2.0
+CUSUM_H = 8.0
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM drift detector (Page 1954) over each event type's
+    daily mean-value series: S+_t = max(0, S+_{t-1} + dev_t - k),
+    S-_t = max(0, S-_{t-1} - dev_t - k) against the type's global mean,
+    alarm when either side exceeds h — the change-point screen that
+    catches slow upstream drift a fixed threshold misses.
+
+    Scale shape: the recursion is inherently sequential PER KEY, so it
+    runs as ``applyInPandas`` over the tiny per-type daily series
+    (parallel across types; |days| rows each) after Spark reduces the
+    facts to that series with DECIMAL sums. The DuckDB oracle replays
+    the identical recursion with a recursive CTE; both engines fold the
+    same doubles in the same order, so the states match bitwise."""
+    import pandas as pd
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("_bs"),
+        F.count(F.lit(1)).alias("bn"),
+    )
+    series = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", "day",
+        (
+            (F.col("_s").cast("double") / F.col("n"))
+            - (F.col("_bs").cast("double") / F.col("bn"))
+        ).alias("dev"),
+    )
+
+    def _cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s_pos = s_neg = 0.0
+        pos, neg, alarm = [], [], []
+        for dev in pdf["dev"]:
+            # same association order as the oracle: (state + dev) - k
+            s_pos = max(0.0, s_pos + dev - CUSUM_SLACK)
+            s_neg = max(0.0, s_neg - dev - CUSUM_SLACK)
+            pos.append(s_pos)
+            neg.append(s_neg)
+            alarm.append(int(s_pos > CUSUM_H or s_neg > CUSUM_H))
+        pdf["s_pos"] = pos
+        pdf["s_neg"] = neg
+        pdf["alarm"] = alarm
+        return pdf
+
+    out = series.groupBy("event_type").applyInPandas(
+        _cusum,
+        schema="event_type string, day date, dev double, "
+               "s_pos double, s_neg double, alarm int",
+    )
+    return out.select(
+        "event_type", "day",
+        _q6(F.col("dev")).alias("dev"),
+        _q6(F.col("s_pos")).alias("s_pos"),
+        _q6(F.col("s_neg")).alias("s_neg"),
+        "alarm",
+    ).orderBy("event_type", "day")
+
+
+CUSUM_DRIFT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(28,9))) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type, sum(CAST(value AS DECIMAL(28,9))) AS bs,
+         count(*) AS bn
+  FROM events GROUP BY event_type),
+ser AS (
+  SELECT d.event_type, d.day,
+         CAST(d.s AS DOUBLE) / d.n - CAST(b.bs AS DOUBLE) / b.bn AS dev,
+         row_number() OVER (
+           PARTITION BY d.event_type ORDER BY d.day) AS t
+  FROM daily d JOIN base b USING (event_type)),
+cusum AS (
+  SELECT event_type, day, dev, t,
+         GREATEST(0.0, 0.0 + dev - {CUSUM_SLACK}) AS s_pos,
+         GREATEST(0.0, 0.0 - dev - {CUSUM_SLACK}) AS s_neg
+  FROM ser WHERE t = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.dev, s.t,
+         GREATEST(0.0, c.s_pos + s.dev - {CUSUM_SLACK}),
+         GREATEST(0.0, c.s_neg - s.dev - {CUSUM_SLACK})
+  FROM ser s JOIN cusum c
+    ON s.event_type = c.event_type AND s.t = c.t + 1)
+SELECT event_type, day,
+       {_Q6_SQL.format(x="dev")} AS dev,
+       {_Q6_SQL.format(x="s_pos")} AS s_pos,
+       {_Q6_SQL.format(x="s_neg")} AS s_neg,
+       CAST(s_pos > {CUSUM_H} OR s_neg > {CUSUM_H} AS INTEGER) AS alarm
+FROM cusum
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate threshold sweep
+# ---------------------------------------------------------------------------
+
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy tuning curve: within-cluster cosine pairs (the
+    SemDeDup candidate set — see :func:`similarity.semantic_dup_pairs`)
+    counted at each candidate threshold, with the number of documents a
+    keep-min-id policy would remove — the sweep run before committing a
+    near-dup threshold for a training corpus.
+
+    Scale shape: the quadratic blow-up stays within-cluster exactly as
+    in the production detector; the pair set materializes ONCE at the
+    loosest threshold and every tighter threshold reuses it via an
+    explode + re-aggregate (bounded by |thresholds|)."""
+    from .similarity import _cosine, ivf_assign
+
+    assigned = (
+        ivf_assign(spark, sf_dir)
+        .select("vec_id", "embedding", "list_id")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    floor_th = SWEEP_THRESHOLDS[0] / 1000000.0
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b", F.round(_cosine("ea", "eb"), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= F.lit(floor_th))
+    )
+    ths = F.array(
+        *[F.lit(t / 1000000.0) for t in SWEEP_THRESHOLDS]
+    )
+    return (
+        pairs.select("id_b", "cosine", F.explode(ths).alias("threshold"))
+        .where(F.col("cosine") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_removed"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    from .similarity import _IVF_FIT_PREFIX_SQL
+
+    floor_th = SWEEP_THRESHOLDS[0] / 1000000.0
+    th_list = ", ".join(
+        f"{t / 1000000.0}::DOUBLE" for t in SWEEP_THRESHOLDS
+    )
+    return f"""{_IVF_FIT_PREFIX_SQL},
+pairs AS (
+  SELECT b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM assigned a JOIN assigned b USING (list_id)
+  WHERE a.vec_id < b.vec_id),
+kept AS (SELECT * FROM pairs WHERE cosine >= {floor_th}),
+ths AS (SELECT unnest([{th_list}]) AS threshold)
+SELECT t.threshold,
+       count(*) AS n_pairs,
+       count(DISTINCT k.id_b) AS n_docs_removed
+FROM kept k JOIN ths t ON k.cosine >= t.threshold
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""
+
+
+EMBEDDING_THRESHOLD_SWEEP_ORACLE = _threshold_sweep_oracle()
+
+PREP_QUERIES.update({
+    "gap_fill_locf": gap_fill_locf,
+    "cusum_drift": cusum_drift,
+    "embedding_threshold_sweep": embedding_threshold_sweep,
+})
+
+PREP_ORACLES.update({
+    "gap_fill_locf": GAP_FILL_LOCF_ORACLE,
+    "cusum_drift": CUSUM_DRIFT_ORACLE,
+    "embedding_threshold_sweep": EMBEDDING_THRESHOLD_SWEEP_ORACLE,
+})

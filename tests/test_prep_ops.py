@@ -1,0 +1,219 @@
+"""Round-4 feature-prep / data-quality operators: plan-shape gates (the
+100 TB discipline) and data-level invariants at smoke scale. Value
+parity vs DuckDB is covered by the parametrized oracle gate in
+test_oracle_parity.py — these tests assert the things a hash match
+can't: physical plan shape and mathematical invariants."""
+
+from __future__ import annotations
+
+from spark_streaming_testbed_spark.operators import prep as P
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of
+
+
+# ---------------------------------------------------------------------------
+# plan-shape gates
+# ---------------------------------------------------------------------------
+
+def test_target_encoding_broadcasts_type_stats(spark):
+    plan = plan_of(P.target_encoding(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_quantile_binning_prunes_scan(spark):
+    plan = plan_of(P.quantile_binning(spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    # only the sort keys are read; no dates, flags, or quantities
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_quantity" not in read_schema
+
+
+def test_k_anonymity_is_two_hash_aggregates_no_join(spark):
+    plan = plan_of(P.k_anonymity_audit(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_feature_hashing_stays_jvm_side(spark):
+    plan = plan_of(P.feature_hashing(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_mad_outliers_broadcasts_cutoffs(spark):
+    plan = plan_of(P.mad_outliers(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_reads_one_column(spark):
+    plan = plan_of(P.benford_audit(spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_ngram_novelty_no_cartesian(spark):
+    plan = plan_of(P.ngram_novelty(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_reduces_before_python(spark):
+    # the sequential recursion runs over the per-type DAILY series, not
+    # the raw facts: the pandas stage must sit above an aggregate
+    plan = plan_of(P.cusum_drift(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    # both the daily-series and the baseline aggregates sit BELOW the
+    # pandas stage in the tree (children print after parents in
+    # formatted explain), so the raw facts never reach Python
+    tree = plan.split("(1) Scan")[0]
+    pandas_depth = min(
+        line.index("FlatMapGroupsInPandas")
+        for line in tree.splitlines() if "FlatMapGroupsInPandas" in line
+    )
+    agg_depths = [
+        line.index("HashAggregate")
+        for line in tree.splitlines() if "HashAggregate" in line
+    ]
+    assert agg_depths and all(d > pandas_depth for d in agg_depths)
+
+
+def test_gap_fill_single_window_pass(spark):
+    plan = plan_of(P.gap_fill_locf(spark, SF_SMOKE))
+    tree = plan.split("(1) Scan")[0]
+    assert sum("Window" in line for line in tree.splitlines()) == 1
+    # the spine cross join is broadcast (two tiny aggregates), never a
+    # partitioned cartesian of fact rows
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_sweep_joins_on_list_id(spark):
+    plan = plan_of(P.embedding_threshold_sweep(spark, SF_SMOKE))
+    # the quadratic join is keyed (within-cluster), never a global
+    # cartesian over the corpus
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# data-level invariants (sf0.001)
+# ---------------------------------------------------------------------------
+
+def test_target_encoding_excludes_self(spark):
+    rows = P.target_encoding(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, grp in by_type.items():
+        if len(grp) > 1:
+            # leave-one-out: encoding of the max-valued event is strictly
+            # below the plain group mean; of the min-valued, above it
+            mean = sum(r.value for r in grp) / len(grp)
+            mx = max(grp, key=lambda r: r.value)
+            mn = min(grp, key=lambda r: r.value)
+            assert mx.loo_encoding < mean + 1e-6
+            assert mn.loo_encoding > mean - 1e-6
+
+
+def test_quantile_binning_partitions_rows(spark):
+    rows = P.quantile_binning(spark, SF_SMOKE).collect()
+    assert [r.bin for r in rows] == list(range(1, P.N_BINS + 1))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    for lo_bin, hi_bin in zip(rows, rows[1:]):
+        assert lo_bin.hi <= hi_bin.lo + 1e-9  # bins ordered, no overlap
+
+
+def test_k_anonymity_accounting(spark):
+    for r in P.k_anonymity_audit(spark, SF_SMOKE).collect():
+        assert r.n_small <= r.n_classes
+        assert r.rows_suppressed <= r.n_rows
+        assert r.rows_suppressed < P.K_ANON * max(r.n_small, 1)
+        assert 0 <= r.suppression_bp <= 10000
+
+
+def test_length_bucket_plan_padding(spark):
+    rows = P.length_bucket_plan(spark, SF_SMOKE).collect()
+    assert rows, "at least one bucket"
+    for r in rows:
+        assert r.bucket in P.LENGTH_BUCKETS
+        assert r.padded_tokens >= r.true_tokens
+        assert 0 <= r.waste_bp < 10000
+
+
+def test_class_balance_weights_inverse_frequency(spark):
+    rows = P.class_balance_weights(spark, SF_SMOKE).collect()
+    assert all(r.weight_micro > 0 for r in rows)
+    # bigger stratum => no larger weight
+    by_n = sorted(rows, key=lambda r: r.n_g)
+    for a, b in zip(by_n, by_n[1:]):
+        assert a.weight_micro >= b.weight_micro
+
+
+def test_feature_hashing_bucket_range(spark):
+    rows = P.feature_hashing(spark, SF_SMOKE).collect()
+    assert all(0 <= r.bucket < P.HASH_BUCKETS for r in rows)
+    assert all(r.weight != 0 for r in rows)
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    rows = P.ngram_novelty(spark, SF_SMOKE).collect()
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_bp == 10000
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_benford_proportions_account_for_all_rows(spark):
+    rows = P.benford_audit(spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total_obs = sum(r.n_obs for r in rows)
+    # obs proportions sum to ~1e6 (integer truncation loses <9 per digit)
+    s = sum(r.obs_millionths for r in rows)
+    assert 1_000_000 - 9 <= s + 9 and s <= 1_000_000
+    assert all(r.chi2_micro >= 0 for r in rows)
+    assert total_obs > 0
+
+
+def test_mad_outlier_rate_is_sane(spark):
+    for r in P.mad_outliers(spark, SF_SMOKE).collect():
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n
+        assert r.outlier_bp < 2000  # a robust rule never flags 20%+
+
+
+def test_gap_fill_carries_forward(spark):
+    rows = P.gap_fill_locf(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        seen_value = False
+        for r in sorted(grp, key=lambda r: (r.day, r.hod)):
+            if r.value_filled is not None:
+                seen_value = True
+            elif seen_value:
+                raise AssertionError("null after first fill — LOCF broke")
+            if not r.is_gap:
+                assert r.value_filled is not None
+
+
+def test_cusum_states_nonnegative(spark):
+    rows = P.cusum_drift(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.s_pos >= 0 and r.s_neg >= 0
+        assert r.alarm in (0, 1)
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = P.embedding_threshold_sweep(spark, SF_SMOKE).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a.threshold < b.threshold
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_removed >= b.n_docs_removed
+    for r in rows:
+        assert r.n_docs_removed <= max(r.n_pairs, 1)

@@ -33,6 +33,7 @@ from spark_streaming_testbed_spark.operators.text import (  # noqa: E402
     lang_id_ngram,
     winnow_fingerprints,
 )
+from spark_streaming_testbed_spark.operators import prep as P  # noqa: E402
 from spark_streaming_testbed_spark.session import get_session  # noqa: E402
 
 TARGETS = [
@@ -95,6 +96,22 @@ TARGETS = [
     ("bucketed_join_stats", bucketed_join_stats,
      "both sides bucketed+sorted on the join key: zero-exchange "
      "SortMergeJoin — the shuffle paid once at write time"),
+    ("target_encoding", P.target_encoding,
+     "leave-one-out encoding as a bounded type-stats broadcast back "
+     "onto the facts — zero fact-side shuffle"),
+    ("cusum_drift", P.cusum_drift,
+     "the sequential CUSUM recursion runs in applyInPandas over the "
+     "per-type DAILY series (facts reduced by HashAggregate first, "
+     "baseline broadcast) — Python touches |types|x|days| rows only"),
+    ("gap_fill_locf", P.gap_fill_locf,
+     "grid = broadcast cross join of two tiny distinct aggregates; "
+     "LOCF is ONE window pass partitioned by type"),
+    ("ngram_novelty", P.ngram_novelty,
+     "inverted-index shape: gram -> min(doc_id) aggregate joined back "
+     "on the gram key — no pairwise doc comparisons"),
+    ("embedding_threshold_sweep", P.embedding_threshold_sweep,
+     "pairs materialize once at the loosest threshold within IVF "
+     "clusters; each tighter threshold is an explode+re-aggregate"),
 ]
 
 
