@@ -235,6 +235,8 @@ _FIRST_WINDOW: list[str] = [
 # Round-5 rotation queue: the round-4 additions past position 50
 # (class_balance_weights, feature_hashing, ngram_novelty, benford_audit,
 # mad_outliers, gap_fill_locf, cusum_drift, embedding_threshold_sweep,
+# percentile_rank_features, quantile_normalize_embeddings,
+# group_sample_topk, cross_split_leakage, dataset_card_report,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -936,3 +936,324 @@ PREP_ORACLES.update({
     "cusum_drift": CUSUM_DRIFT_ORACLE,
     "embedding_threshold_sweep": EMBEDDING_THRESHOLD_SWEEP_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Percentile-rank features
+# ---------------------------------------------------------------------------
+
+def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-type percentile rank of every event's value, in integer
+    basis points — the monotone-invariant feature transform (what
+    quantile transformers ship to models instead of raw heavy-tailed
+    values). Ties break on event_id so the rank is fully deterministic.
+
+    Scale shape: one window pass partitioned by the bounded event-type
+    key; at 100 TB the per-type sort is the cost — exactly the shape a
+    range-partitioned sort handles, no global ordering required."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    n = W.partitionBy("event_type")
+    return (
+        events.select(
+            "event_id", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(n).alias("n"),
+        )
+        .select(
+            "event_id", "event_type", "value",
+            F.expr("(rn - 1) * 10000 div (n - 1)").alias("pr_bp"),
+        )
+        .orderBy("event_id")
+    )
+
+
+PERCENTILE_RANK_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_id, event_type, value,
+       (rn - 1) * 10000 // (n - 1) AS pr_bp
+FROM ranked ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile normalization of embeddings
+# ---------------------------------------------------------------------------
+
+def quantile_normalize_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-based (quantile) normalization of every embedding dimension:
+    each coordinate is replaced by its within-dimension rank in basis
+    points — the distribution-free rescaling that makes dimensions
+    comparable before indexing or clustering when raw scales differ.
+
+    Scale shape: posexplode to the long form, ONE window pass
+    partitioned by dim_idx (bounded cardinality = embedding width, so
+    every dimension sorts independently in parallel), integer output.
+    Reassembling the array is a row-local collect_list away."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim_idx", "x")
+    )
+    w = W.partitionBy("dim_idx").orderBy(
+        F.col("x").cast("double"), "vec_id"
+    )
+    n = W.partitionBy("dim_idx")
+    return (
+        long.select(
+            "vec_id", "dim_idx",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(n).alias("n"),
+        )
+        .select(
+            "vec_id", "dim_idx",
+            F.expr("(rn - 1) * 10000 div (n - 1)").alias("rank_bp"),
+        )
+        .orderBy("vec_id", "dim_idx")
+    )
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH long AS (
+  SELECT vec_id, dim_idx, embedding[dim_idx + 1]::DOUBLE AS x
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(len(
+    (SELECT embedding FROM embeddings LIMIT 1)))) AS dim_idx)),
+ranked AS (
+  SELECT vec_id, dim_idx,
+         row_number() OVER (
+           PARTITION BY dim_idx ORDER BY x, vec_id) AS rn,
+         count(*) OVER (PARTITION BY dim_idx) AS n
+  FROM long)
+SELECT vec_id, dim_idx, (rn - 1) * 10000 // (n - 1) AS rank_bp
+FROM ranked ORDER BY vec_id, dim_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group uniform sample
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 20
+
+
+def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of k events per type: rank by the
+    content-independent 60-bit hash of the event id and keep the k
+    smallest — the reproducible per-group sample that ``df.sample``
+    can't give (stable under re-partitioning, re-runs, and incremental
+    loads, the same property hash_split exploits).
+
+    Scale shape: one window pass per bounded group; no global shuffle,
+    no RNG state to coordinate across executors."""
+    events = _t(spark, sf_dir, "events")
+    h = md5h("cast(event_id as string)")
+    w = W.partitionBy("event_type").orderBy(h.alias("h"), "event_id")
+    return (
+        events.select("event_id", "event_type", "value", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("event_type", "rn", "event_id", "value")
+        .orderBy("event_type", "rn")
+    )
+
+
+_H_EVENT = MD5H_SQL_TEMPLATE.format(expr="CAST(event_id AS VARCHAR)")
+
+GROUP_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {_H_EVENT}, event_id) AS rn
+  FROM events)
+SELECT event_type, rn, event_id, value
+FROM ranked WHERE rn <= {GROUP_SAMPLE_K}
+ORDER BY event_type, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-duplicate leakage audit
+# ---------------------------------------------------------------------------
+
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination through NEAR-duplicates: join the exact
+    n-gram-Jaccard near-dup pairs against the hash-split assignment of
+    both endpoints and count pairs per (split_a, split_b) cell — the
+    audit that catches eval examples whose near-twin sits in train,
+    which exact-match decontamination misses entirely.
+
+    Scale shape: the expensive part (the pair set) is the existing
+    inverted-index detector; this audit adds two broadcast-sized joins
+    of the slim id-pair list against the split projection."""
+    from .dedup import ngram_jaccard_pairs
+    from .text import hash_split
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    splits = hash_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "crosses_split",
+            (F.col("split_a") != F.col("split_b")).cast("int"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _cross_split_leakage_oracle() -> str:
+    from .dedup import NGRAM_JACCARD_ORACLE
+    from .text import HASH_SPLIT_ORACLE
+
+    pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    split_body = HASH_SPLIT_ORACLE.strip().removesuffix("ORDER BY doc_id")
+    return f"""
+WITH pairs AS ({pairs_body}),
+splits AS ({split_body})
+SELECT a.split AS split_a, b.split AS split_b,
+       count(*) AS n_pairs,
+       CAST(a.split != b.split AS INTEGER) AS crosses_split
+FROM pairs p
+JOIN splits a ON p.doc_a = a.doc_id
+JOIN splits b ON p.doc_b = b.doc_id
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+"""
+
+
+CROSS_SPLIT_LEAKAGE_ORACLE = _cross_split_leakage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Dataset card report
+# ---------------------------------------------------------------------------
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary every corpus release ships: total docs
+    and token mass, per-language and per-split composition, and the
+    exact-duplicate footprint — one (section, metric, value) table
+    composed from bounded aggregates (the governance one-pager, as a
+    query).
+
+    Scale shape: each section is a single bounded aggregate over one
+    scan family; the union is a tiny literal-labeled append. The dup
+    section reuses the md5 content-fingerprint group-by (linear)."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).alias("toks"),
+    ).select(
+        F.array(
+            F.struct(
+                F.lit("corpus").alias("section"),
+                F.lit("n_docs").alias("metric"),
+                F.col("n_docs").cast("long").alias("value"),
+            ),
+            F.struct(
+                F.lit("corpus").alias("section"),
+                F.lit("total_tokens").alias("metric"),
+                F.col("toks").cast("long").alias("value"),
+            ),
+        ).alias("rows")
+    ).select(F.explode("rows").alias("r")).select("r.*")
+
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(
+        F.lit("lang").alias("section"),
+        F.col("lang").alias("metric"),
+        "value",
+    )
+
+    from .text import hash_split
+
+    by_split = hash_split(spark, sf_dir).groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(
+        F.lit("split").alias("section"),
+        F.col("split").alias("metric"),
+        "value",
+    )
+
+    dup_docs = (
+        docs.groupBy(F.md5(F.trim("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("value"))
+        .select(
+            F.lit("dedup").alias("section"),
+            F.lit("exact_dup_docs").alias("metric"),
+            "value",
+        )
+    )
+
+    return (
+        corpus.unionByName(by_lang)
+        .unionByName(by_split)
+        .unionByName(dup_docs)
+        .orderBy("section", "metric")
+    )
+
+
+def _dataset_card_oracle() -> str:
+    from .text import HASH_SPLIT_ORACLE
+
+    split_body = HASH_SPLIT_ORACLE.strip().removesuffix("ORDER BY doc_id")
+    return f"""
+WITH splits AS ({split_body}),
+card AS (
+  SELECT 'corpus' AS section, 'n_docs' AS metric,
+         count(*)::BIGINT AS value FROM documents
+  UNION ALL
+  SELECT 'corpus', 'total_tokens',
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', lang, count(*)::BIGINT FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'split', split, count(*)::BIGINT FROM splits GROUP BY split
+  UNION ALL
+  SELECT 'dedup', 'exact_dup_docs',
+         CAST(coalesce(sum(k), 0) AS BIGINT)
+  FROM (SELECT md5(trim(text)) AS fp, count(*) AS k
+        FROM documents GROUP BY 1) g
+  WHERE k > 1)
+SELECT section, metric, value FROM card ORDER BY section, metric
+"""
+
+
+DATASET_CARD_ORACLE = _dataset_card_oracle()
+
+PREP_QUERIES.update({
+    "percentile_rank_features": percentile_rank_features,
+    "quantile_normalize_embeddings": quantile_normalize_embeddings,
+    "group_sample_topk": group_sample_topk,
+    "cross_split_leakage": cross_split_leakage,
+    "dataset_card_report": dataset_card_report,
+})
+
+PREP_ORACLES.update({
+    "percentile_rank_features": PERCENTILE_RANK_ORACLE,
+    "quantile_normalize_embeddings": QUANTILE_NORMALIZE_ORACLE,
+    "group_sample_topk": GROUP_SAMPLE_ORACLE,
+    "cross_split_leakage": CROSS_SPLIT_LEAKAGE_ORACLE,
+    "dataset_card_report": DATASET_CARD_ORACLE,
+})

@@ -217,3 +217,60 @@ def test_threshold_sweep_monotone(spark):
         assert a.n_docs_removed >= b.n_docs_removed
     for r in rows:
         assert r.n_docs_removed <= max(r.n_pairs, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 2: ranks, sampling, leakage, dataset card
+# ---------------------------------------------------------------------------
+
+def test_percentile_rank_bounds_and_extremes(spark):
+    rows = P.percentile_rank_features(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.pr_bp <= 10000
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        assert max(grp, key=lambda r: r.value).pr_bp == 10000
+        assert min(grp, key=lambda r: r.value).pr_bp == 0
+
+
+def test_quantile_normalize_covers_every_dim(spark):
+    rows = P.quantile_normalize_embeddings(spark, SF_SMOKE).collect()
+    dims = {r.dim_idx for r in rows}
+    n_vecs = len({r.vec_id for r in rows})
+    assert len(rows) == len(dims) * n_vecs
+    assert all(0 <= r.rank_bp <= 10000 for r in rows)
+
+
+def test_group_sample_is_deterministic_and_bounded(spark):
+    a = P.group_sample_topk(spark, SF_SMOKE).collect()
+    b = P.group_sample_topk(spark, SF_SMOKE).collect()
+    assert a == b  # same hash order every run — df.sample can't do this
+    per_type: dict[str, int] = {}
+    for r in a:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
+    assert all(v <= P.GROUP_SAMPLE_K for v in per_type.values())
+
+
+def test_cross_split_leakage_accounts_for_all_pairs(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    cells = P.cross_split_leakage(spark, SF_SMOKE).collect()
+    total_pairs = ngram_jaccard_pairs(spark, SF_SMOKE).count()
+    assert sum(r.n_pairs for r in cells) == total_pairs
+    for r in cells:
+        assert r.crosses_split == int(r.split_a != r.split_b)
+
+
+def test_dataset_card_sections(spark):
+    rows = P.dataset_card_report(spark, SF_SMOKE).collect()
+    card = {(r.section, r.metric): r.value for r in rows}
+    n_docs = card[("corpus", "n_docs")]
+    assert n_docs > 0
+    lang_total = sum(v for (s, _), v in card.items() if s == "lang")
+    split_total = sum(v for (s, _), v in card.items() if s == "split")
+    assert lang_total == n_docs == split_total
+    assert card[("dedup", "exact_dup_docs")] >= 0
+    assert card[("corpus", "total_tokens")] > n_docs
