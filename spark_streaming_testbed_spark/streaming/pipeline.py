@@ -438,6 +438,18 @@ def _streaming_upsert_oracle() -> str:
     return RELATIONAL_ORACLES["upsert_merge"]
 
 
+def _streaming_group_sample_query(spark, sf_dir):
+    from .stateful import streaming_group_sample
+
+    return streaming_group_sample(spark, sf_dir)
+
+
+def _streaming_group_sample_oracle() -> str:
+    from ..operators.prep import GROUP_SAMPLE_ORACLE
+
+    return GROUP_SAMPLE_ORACLE
+
+
 def _streaming_ewma_query(spark, sf_dir):
     from .stateful import streaming_ewma
 
@@ -553,6 +565,7 @@ STREAMING_QUERIES = {
     "streaming_stream_join": streaming_stream_join,
     "streaming_heavy_hitters": _streaming_hh_query,
     "streaming_ewma": _streaming_ewma_query,
+    "streaming_group_sample": _streaming_group_sample_query,
     "streaming_late_data": _streaming_late_query,
     "streaming_upsert": _streaming_upsert_query,
     "streaming_sessionize": _streaming_sessionize_query,
@@ -573,6 +586,9 @@ STREAMING_ORACLES = {
     # batch==stream equality: the MG sketch + exact confirm reproduces
     # the batch heavy_hitters exactly, so they share one oracle
     "streaming_heavy_hitters": _streaming_hh_oracle(),
+    # batch==stream equality: k-smallest-hash is an order statistic, so
+    # chunked folding equals the batch sample exactly — shared oracle
+    "streaming_group_sample": _streaming_group_sample_oracle(),
     # batch==stream equality: chunked state folding is bitwise identical
     # to the one-shot batch fold, so the stream shares ewma_smooth's oracle
     "streaming_ewma": _streaming_ewma_oracle(),

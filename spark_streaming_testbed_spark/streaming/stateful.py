@@ -551,6 +551,126 @@ def streaming_ewma(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming deterministic per-group sample (bounded-state hash top-k)
+# ---------------------------------------------------------------------------
+
+GS_OUTPUT_SCHEMA = (
+    "event_type string, n_seen long, rn int, event_id long, value double"
+)
+GS_STATE_SCHEMA = (
+    "hs array<long>, ids array<long>, vals array<double>, n_seen long"
+)
+
+
+def _update_group_sample(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's rows into the k-smallest-hash sample.
+
+    The sample is an order statistic of the (hash, event_id) key, so
+    folding chunk-by-chunk is EXACTLY the batch answer at every trigger
+    — no approximation, state bounded at k rows per group forever (the
+    distributed, restart-safe equivalent of reservoir sampling, without
+    RNG state to coordinate)."""
+    from ..operators.prep import GROUP_SAMPLE_K
+
+    if state.exists:
+        hs, ids, vals, n_seen = state.get
+        cand = [list(hs), list(ids), list(vals)]
+    else:
+        cand, n_seen = [[], [], []], 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        cand[0] += [int(x) for x in pdf["h"]]
+        cand[1] += [int(x) for x in pdf["event_id"]]
+        cand[2] += [float(x) for x in pdf["value"]]
+    merged = sorted(zip(*cand))[:GROUP_SAMPLE_K]
+    hs = [m[0] for m in merged]
+    ids = [m[1] for m in merged]
+    vals = [m[2] for m in merged]
+    state.update((hs, ids, vals, int(n_seen)))
+    yield pd.DataFrame(
+        {
+            "event_type": [str(key[0])] * len(merged),
+            "n_seen": [int(n_seen)] * len(merged),
+            "rn": list(range(1, len(merged) + 1)),
+            "event_id": ids,
+            "value": vals,
+        }
+    )
+
+
+def streaming_group_sample(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming per-group sample: events replay as a
+    time-ordered multi-trigger file stream; each type's state holds only
+    the k rows with the smallest 60-bit content hashes, and after the
+    last trigger the sample equals the batch
+    :func:`operators.prep.group_sample_topk` row for row — the two share
+    one DuckDB oracle. An always-current uniform sample maintained
+    online with k rows of state per group and no history re-scan.
+
+    Scale shape: per-trigger work is one bounded-key shuffle into the
+    stateful operator; the hash ranks are computed JVM-side before
+    Python sees anything."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.text import md5h
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory(prefix="sgsamp_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .select(
+                    "event_type", "event_id", "value",
+                    md5h("cast(event_id as string)").alias("h"),
+                )
+            )
+            updates = stream.groupBy("event_type").applyInPandasWithState(
+                _update_group_sample,
+                outputStructType=GS_OUTPUT_SCHEMA,
+                stateStructType=GS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"sgsamp_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_type")
+        return (
+            spark.table(name)
+            .withColumn("_max_seen", F.max("n_seen").over(w))
+            .where(F.col("n_seen") == F.col("_max_seen"))
+            .select("event_type", "rn", "event_id", "value")
+            .orderBy("event_type", "rn")
+        )
+
+
+# ---------------------------------------------------------------------------
 # Watermarked late-data handling: deterministic drop/emit accounting (T5)
 # ---------------------------------------------------------------------------
 

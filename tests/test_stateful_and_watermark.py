@@ -100,3 +100,31 @@ def test_watermark_semantics_documented_divergence(spark):
         t2 = _run(wm, mode="append")
         total_wm = sum(r["count"] for r in spark.table(t2).collect())
         assert total_wm <= total_no_wm
+
+
+def test_streaming_group_sample_matches_batch_and_bounds_state(spark):
+    """The k-smallest-hash sample is an order statistic, so the stream's
+    final state must equal the batch sample exactly, and no trigger may
+    ever hold more than k rows per group."""
+    from spark_streaming_testbed_spark.operators.prep import (
+        GROUP_SAMPLE_K,
+        group_sample_topk,
+    )
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_group_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = [
+        (r.event_type, r.rn, r.event_id, r.value)
+        for r in streaming_group_sample(spark, sf).collect()
+    ]
+    batch_rows = [
+        (r.event_type, r.rn, r.event_id, r.value)
+        for r in group_sample_topk(spark, sf).collect()
+    ]
+    assert stream_rows == batch_rows
+    per_type: dict[str, int] = {}
+    for t, rn, *_ in stream_rows:
+        per_type[t] = max(per_type.get(t, 0), rn)
+    assert all(v <= GROUP_SAMPLE_K for v in per_type.values())
