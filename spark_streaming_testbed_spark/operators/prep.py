@@ -1257,3 +1257,396 @@ PREP_ORACLES.update({
     "cross_split_leakage": CROSS_SPLIT_LEAKAGE_ORACLE,
     "dataset_card_report": DATASET_CARD_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing
+# ---------------------------------------------------------------------------
+
+#: Holt smoothing constants — written as four separate literals (0.5/0.5,
+#: 0.3/0.7) because `1 - 0.3` need not equal the nearest double to 0.7
+HOLT_A, HOLT_A1 = 0.5, 0.5
+HOLT_G, HOLT_G1 = 0.3, 0.7
+
+
+def holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (Holt 1957) of each event
+    type's daily mean series: level and trend recursions plus the
+    one-step-ahead forecast — the classical short-horizon forecaster a
+    monitoring pipeline runs next to its EWMA.
+
+    Scale shape: same as :func:`cusum_drift` — facts reduce to the tiny
+    per-type daily series (DECIMAL sums), the inherently sequential
+    recursion runs in ``applyInPandas`` parallel across types, and the
+    DuckDB oracle replays it with a recursive CTE folding the identical
+    doubles in the identical order."""
+    import pandas as pd
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "day",
+        (F.col("_s").cast("double") / F.col("n")).alias("x"),
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        levels, trends = [], []
+        lvl = trend = 0.0
+        for i, x in enumerate(pdf["x"]):
+            if i == 0:
+                lvl, trend = x, 0.0
+            else:
+                prev = lvl
+                # same association order as the oracle text
+                lvl = HOLT_A * x + HOLT_A1 * (lvl + trend)
+                trend = HOLT_G * (lvl - prev) + HOLT_G1 * trend
+            levels.append(lvl)
+            trends.append(trend)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    out = daily.groupBy("event_type").applyInPandas(
+        _holt,
+        schema="event_type string, day date, x double, "
+               "level double, trend double",
+    )
+    return out.select(
+        "event_type", "day",
+        _q6(F.col("x")).alias("x"),
+        _q6(F.col("level")).alias("level"),
+        _q6(F.col("trend")).alias("trend"),
+        _q6(F.col("level") + F.col("trend")).alias("forecast_next"),
+    ).orderBy("event_type", "day")
+
+
+HOLT_TREND_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+           AS x,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(date_trunc('day', ts) AS DATE)) AS t
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+holt AS (
+  SELECT event_type, day, x, t,
+         x AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM daily WHERE t = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.x, d.t,
+         {HOLT_A} * d.x + {HOLT_A1} * (h.level + h.trend),
+         {HOLT_G} * (({HOLT_A} * d.x + {HOLT_A1} * (h.level + h.trend))
+                     - h.level) + {HOLT_G1} * h.trend
+  FROM daily d JOIN holt h
+    ON d.event_type = h.event_type AND d.t = h.t + 1)
+SELECT event_type, day,
+       {_Q6_SQL.format(x="x")} AS x,
+       {_Q6_SQL.format(x="level")} AS level,
+       {_Q6_SQL.format(x="trend")} AS trend,
+       {_Q6_SQL.format(x="level + trend")} AS forecast_next
+FROM holt
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves
+# ---------------------------------------------------------------------------
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-purchase
+    week, cumulative purchase revenue per cohort at each week of age —
+    the retention-economics view (how much the week-one cohort has
+    spent by week 3). Exact integer cents end to end.
+
+    Scale shape: one aggregate to find each user's cohort (min month),
+    broadcast back onto purchases; the (cohort, age) aggregate is
+    bounded by weeks²; the running sum is a window over that tiny
+    grid, never over facts."""
+    events = _t(spark, sf_dir, "events")
+    buys = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    cohorts = buys.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    grid = (
+        buys.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("datediff(wk, cohort) div 7").cast("int").alias("age"),
+        )
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort").orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.select(
+            "cohort", "age", "active_users", "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH buys AS (
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort FROM buys GROUP BY user_id),
+grid AS (
+  SELECT c.cohort,
+         CAST(datediff('day', c.cohort, b.wk) // 7 AS INTEGER) AS age,
+         CAST(sum(b.cents) AS BIGINT) AS rev_cents,
+         count(DISTINCT b.user_id) AS active_users
+  FROM buys b JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2)
+SELECT cohort, age, active_users, rev_cents,
+       CAST(sum(rev_cents) OVER (
+         PARTITION BY cohort ORDER BY age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM grid
+ORDER BY cohort, age
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment pairs (quote / subset detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD_BP = 5000
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-duplicate detection by shingle CONTAINMENT
+    (Broder 1997's other resemblance measure): |A∩B| / min(|A|,|B|) —
+    catches a short document quoted inside a long one, which symmetric
+    Jaccard under-scores because the union is dominated by the long
+    side. Same inverted-index shape as the Jaccard detector, same
+    hot-shingle cap; integer basis points.
+
+    Scale shape: one shuffle keyed on the shingle hash; pair counts via
+    equi-join — never a cross join."""
+    from .dedup import MAX_SHINGLE_DF, _with_shingles
+
+    docs = _with_shingles(_t(spark, sf_dir, "documents"))
+    base = docs.where(F.size("shingles") > 0).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    inv0 = base.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s")
+    )
+    keep = inv0.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    inv = inv0.join(keep.select("s"), "s")
+    a = inv.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = inv.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b", "na", "nb", "common",
+            F.expr("common * 10000 div least(na, nb)").alias(
+                "containment_bp"
+            ),
+        )
+        .where(F.col("containment_bp") >= CONTAINMENT_THRESHOLD_BP)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_oracle() -> str:
+    from .dedup import _SHINGLES_SQL, MAX_SHINGLE_DF
+    from .text import TOKENS_SQL
+
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+base AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+         WHERE len(shingles) > 0),
+inv0 AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM base),
+keep AS (SELECT s FROM inv0 GROUP BY s
+         HAVING count(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (s)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, na, nb, CAST(common AS BIGINT) AS common,
+       CAST(common AS BIGINT) * 10000 // least(na, nb) AS containment_bp
+FROM pairs
+WHERE CAST(common AS BIGINT) * 10000 // least(na, nb)
+      >= {CONTAINMENT_THRESHOLD_BP}
+ORDER BY doc_a, doc_b
+"""
+
+
+CONTAINMENT_PAIRS_ORACLE = _containment_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Readability scores
+# ---------------------------------------------------------------------------
+
+#: deterministic sentence proxy: one "sentence" per 15 tokens (corpus has
+#: no punctuation), floor at 1
+READABILITY_WPS = 15
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document from deterministic
+    components: word count, vowel-run syllable estimate, and a token
+    windowed sentence proxy (the corpus carries no punctuation). All
+    arithmetic in integer milli-units so both engines agree bitwise —
+    the quality-filter feature set reading-level heuristics need.
+
+    Scale shape: entirely row-local (regexp + integer math in codegen),
+    no shuffle at all before the final sort."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size("tokens").alias("n_words"),
+            F.expr(
+                "size(regexp_extract_all(text, '[aeiou]+', 0))"
+            ).alias("n_syllables"),
+        )
+        .select(
+            "doc_id", "n_words", "n_syllables",
+            F.expr(
+                f"greatest(1, n_words div {READABILITY_WPS})"
+            ).alias("n_sentences"),
+        )
+        .select(
+            "doc_id", "n_words", "n_syllables", "n_sentences",
+            F.expr("n_syllables * 1000 div n_words").alias("spw_milli"),
+            F.expr(
+                "206835 - 1015 * (n_words * 1000 div n_sentences) div 1000 "
+                "- 84600 * (n_syllables * 1000 div n_words) div 1000"
+            ).alias("flesch_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+READABILITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiou]+')) AS n_syllables
+  FROM documents),
+s AS (
+  SELECT doc_id, n_words, n_syllables,
+         greatest(1, n_words // {READABILITY_WPS}) AS n_sentences
+  FROM base)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       n_syllables * 1000 // n_words AS spw_milli,
+       206835 - 1015 * (n_words * 1000 // n_sentences) // 1000
+       - 84600 * (n_syllables * 1000 // n_words) // 1000 AS flesch_milli
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension fidelity
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_PREFIXES = (16, 32, 48)
+
+
+def matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector fidelity of truncated (Matryoshka-style, Kusupati et
+    al. 2022) embeddings: the cosine between the full vector and each
+    prefix (zero-padded) is dot(prefix)/(||full||·||prefix||) — the
+    audit run before shipping shortened embeddings to a cheaper index.
+
+    Scale shape: row-local sequential folds per prefix (shared
+    ||full||), no shuffle; the same bitwise-portable fold contract as
+    the cosine operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    full_nsq = F.expr(
+        "aggregate(embedding, cast(0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    rows = []
+    base = emb.select("vec_id", "embedding", full_nsq.alias("_fn"))
+    for k in MATRYOSHKA_PREFIXES:
+        pre = (
+            f"aggregate(slice(embedding, 1, {k}), cast(0 as double), "
+            "(acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+        rows.append(
+            base.select(
+                "vec_id",
+                F.lit(k).alias("prefix_len"),
+                F.round(
+                    F.expr(pre) / (F.sqrt(F.col("_fn")) * F.expr(f"sqrt({pre})")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("vec_id", "prefix_len")
+
+
+def _matryoshka_oracle() -> str:
+    parts = []
+    for k in MATRYOSHKA_PREFIXES:
+        pre = (
+            f"list_sum(list_transform((embedding::DOUBLE[])[1:{k}], "
+            "v -> v * v))"
+        )
+        full = (
+            "list_sum(list_transform(embedding::DOUBLE[], v -> v * v))"
+        )
+        parts.append(f"""
+SELECT vec_id, {k} AS prefix_len,
+       round({pre} / (sqrt({full}) * sqrt({pre})), 6) AS cosine
+FROM embeddings""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY vec_id, prefix_len"
+
+
+MATRYOSHKA_ORACLE = _matryoshka_oracle()
+
+PREP_QUERIES.update({
+    "holt_trend": holt_trend,
+    "cohort_ltv": cohort_ltv,
+    "containment_pairs": containment_pairs,
+    "readability_scores": readability_scores,
+    "matryoshka_fidelity": matryoshka_fidelity,
+})
+
+PREP_ORACLES.update({
+    "holt_trend": HOLT_TREND_ORACLE,
+    "cohort_ltv": COHORT_LTV_ORACLE,
+    "containment_pairs": CONTAINMENT_PAIRS_ORACLE,
+    "readability_scores": READABILITY_ORACLE,
+    "matryoshka_fidelity": MATRYOSHKA_ORACLE,
+})

@@ -274,3 +274,88 @@ def test_dataset_card_sections(spark):
     assert lang_total == n_docs == split_total
     assert card[("dedup", "exact_dup_docs")] >= 0
     assert card[("corpus", "total_tokens")] > n_docs
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 3: forecasting, cohorts, containment, readability,
+# matryoshka
+# ---------------------------------------------------------------------------
+
+def test_holt_reduces_before_python(spark):
+    plan = plan_of(P.holt_trend(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    tree = plan.split("(1) Scan")[0]
+    pandas_depth = min(
+        line.index("FlatMapGroupsInPandas")
+        for line in tree.splitlines() if "FlatMapGroupsInPandas" in line
+    )
+    agg_depths = [
+        line.index("HashAggregate")
+        for line in tree.splitlines() if "HashAggregate" in line
+    ]
+    assert agg_depths and all(d > pandas_depth for d in agg_depths)
+
+
+def test_holt_first_point_anchors_level(spark):
+    rows = P.holt_trend(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        first = min(grp, key=lambda r: r.day)
+        assert first.level == first.x
+        assert first.trend == 0.0
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    rows = P.cohort_ltv(spark, SF_SMOKE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for grp in by_cohort.values():
+        grp.sort(key=lambda r: r.age)
+        assert grp[0].age == 0  # a cohort exists because someone bought
+        cum = 0
+        for r in grp:
+            cum += r.rev_cents
+            assert r.cum_rev_cents == cum
+
+
+def test_containment_dominates_jaccard(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment_bp
+        for r in P.containment_pairs(spark, SF_SMOKE).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    # containment >= jaccard always; every high-jaccard pair must appear
+    for pair, j in jac.items():
+        if j >= 0.5:
+            assert pair in cont
+            assert cont[pair] >= int(j * 10000) - 1
+
+
+def test_readability_row_local_plan(spark):
+    plan = plan_of(P.readability_scores(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan  # pure projection before the sort
+    rows = P.readability_scores(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_sentences >= 1
+        assert r.n_syllables >= r.n_words  # every corpus word has a vowel
+
+
+def test_matryoshka_full_prefix_is_identity(spark):
+    rows = P.matryoshka_fidelity(spark, SF_SMOKE).collect()
+    assert all(0.0 < r.cosine <= 1.0 for r in rows)
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.prefix_len] = r.cosine
+    for fid in by_vec.values():
+        assert set(fid) == set(P.MATRYOSHKA_PREFIXES)
