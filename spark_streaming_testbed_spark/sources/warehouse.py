@@ -365,7 +365,148 @@ def _load_events(spark: SparkSession, sf_dir: str):
     return load_table(spark, sf_dir, "events")
 
 
+# ---------------------------------------------------------------------------
+# File-skipping audit: arrival layout vs z-order layout under predicates
+# ---------------------------------------------------------------------------
+
+#: audit predicates: (name, dimension, lo, hi) — literal ranges on the
+#: two z-order dimensions, identical in both engines
+SKIP_PREDICATES = (
+    ("user_10_19", "user", 10.0, 19.0),
+    ("user_100_104", "user", 100.0, 104.0),
+    ("value_lo", "value", 0.0, 10.0),
+    ("value_mid", "value", 200.0, 250.0),
+    ("value_hi", "value", 400.0, 500.0),
+)
+
+
+def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY z-order matters, measured: for each audit predicate, how many
+    of the 16 files must be scanned under the arrival-order layout vs
+    the z-order layout, using exactly the per-file min/max ranges a
+    lakehouse data-skipping index stores. The skip rate (files pruned,
+    in basis points) is the number an OPTIMIZE ZORDER decision is made
+    on.
+
+    Scale shape: both layouts' file stats are bounded aggregates
+    (ZORDER_FILES rows); the predicate sweep is an explode over a
+    literal array. The expensive part — the clustering sort — is the
+    same once-per-compaction-cycle cost ``zorder_layout`` documents."""
+    from pyspark.sql import Window as W
+
+    ev = _load_events(spark, sf_dir)
+    arrival = (
+        ev.withColumn(
+            "file_id", F.ntile(ZORDER_FILES).over(W.orderBy("event_id"))
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("user_id").alias("u_min"), F.max("user_id").alias("u_max"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .withColumn("layout", F.lit("arrival"))
+    )
+    zorder = zorder_layout(spark, sf_dir).select(
+        "file_id", "u_min", "u_max", "v_min", "v_max"
+    ).withColumn("layout", F.lit("zorder"))
+    stats = arrival.unionByName(zorder)
+    preds = F.array(*[
+        F.struct(
+            F.lit(n).alias("pred"), F.lit(d).alias("dim"),
+            F.lit(lo).alias("lo"), F.lit(hi).alias("hi"),
+        )
+        for n, d, lo, hi in SKIP_PREDICATES
+    ])
+    exploded = stats.select(
+        "layout", "u_min", "u_max", "v_min", "v_max",
+        F.explode(preds).alias("p"),
+    ).select(
+        "layout", F.col("p.pred").alias("pred"),
+        F.when(
+            F.col("p.dim") == "user",
+            ~((F.col("p.hi") < F.col("u_min"))
+              | (F.col("p.lo") > F.col("u_max"))),
+        ).otherwise(
+            ~((F.col("p.hi") < F.col("v_min"))
+              | (F.col("p.lo") > F.col("v_max"))),
+        ).cast("long").alias("hit"),
+    )
+    return (
+        exploded.groupBy("layout", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("hit").alias("n_scanned"),
+        )
+        .select(
+            "layout", "pred", "n_files", "n_scanned",
+            F.expr(
+                "(n_files - n_scanned) * 10000 div n_files"
+            ).alias("skip_bp"),
+        )
+        .orderBy("layout", "pred")
+    )
+
+
+def _file_skipping_oracle() -> str:
+    zdiv = lambda a, b: f"({a} // {b})"  # noqa: E731
+    pred_rows = ",\n    ".join(
+        f"('{n}', '{d}', {lo}::DOUBLE, {hi}::DOUBLE)"
+        for n, d, lo, hi in SKIP_PREDICATES
+    )
+    return f"""
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         ntile({2 ** ZORDER_BITS}) OVER (ORDER BY user_id, event_id) - 1
+           AS r1,
+         ntile({2 ** ZORDER_BITS}) OVER (ORDER BY value, event_id) - 1
+           AS r2
+  FROM events),
+zed AS (
+  SELECT *, {_z_value_sql(zdiv)} AS z FROM ranked),
+zpacked AS (
+  SELECT *, ntile({ZORDER_FILES}) OVER (ORDER BY z, event_id) AS file_id
+  FROM zed),
+apacked AS (
+  SELECT *, ntile({ZORDER_FILES}) OVER (ORDER BY event_id) AS file_id
+  FROM events),
+stats AS (
+  SELECT 'zorder' AS layout, file_id,
+         min(user_id) AS u_min, max(user_id) AS u_max,
+         round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+  FROM zpacked GROUP BY file_id
+  UNION ALL
+  SELECT 'arrival', file_id,
+         min(user_id), max(user_id),
+         round(min(value), 6), round(max(value), 6)
+  FROM apacked GROUP BY file_id),
+preds(pred, dim, lo, hi) AS (VALUES
+    {pred_rows}),
+overl AS (
+  SELECT s.layout, p.pred,
+         CASE WHEN p.dim = 'user'
+              THEN CASE WHEN p.hi < s.u_min OR p.lo > s.u_max
+                        THEN 0 ELSE 1 END
+              ELSE CASE WHEN p.hi < s.v_min OR p.lo > s.v_max
+                        THEN 0 ELSE 1 END
+         END AS hit
+  FROM stats s CROSS JOIN preds p)
+SELECT layout, pred, count(*) AS n_files,
+       CAST(sum(hit) AS BIGINT) AS n_scanned,
+       (count(*) - CAST(sum(hit) AS BIGINT)) * 10000 // count(*)
+         AS skip_bp
+FROM overl
+GROUP BY layout, pred
+ORDER BY layout, pred
+"""
+
+
+FILE_SKIPPING_ORACLE = _file_skipping_oracle()
+
+
 WAREHOUSE_QUERIES["zorder_layout"] = zorder_layout
 WAREHOUSE_QUERIES["compaction_plan"] = compaction_plan
 WAREHOUSE_ORACLES["zorder_layout"] = ZORDER_LAYOUT_ORACLE
+WAREHOUSE_QUERIES["file_skipping_audit"] = file_skipping_audit
+WAREHOUSE_ORACLES["file_skipping_audit"] = FILE_SKIPPING_ORACLE
 WAREHOUSE_ORACLES["compaction_plan"] = COMPACTION_PLAN_ORACLE

@@ -216,3 +216,26 @@ def test_scd2_ranges_are_contiguous_and_single_current(spark):
         for a, b in zip(versions, versions[1:]):
             assert a.valid_to_ms == b.valid_from_ms  # contiguous, no gaps
             assert a.segment != b.segment  # true SCD2: runs collapsed
+
+
+def test_file_skipping_zorder_dominates_arrival(spark):
+    """The point of the audit: under every predicate the z-order layout
+    scans no more files than arrival order, and on at least one
+    predicate it strictly prunes where arrival order cannot."""
+    from spark_streaming_testbed_spark.sources.warehouse import (
+        file_skipping_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = file_skipping_audit(spark, SF_SMOKE).collect()
+    by_pred: dict = {}
+    for r in rows:
+        by_pred.setdefault(r.pred, {})[r.layout] = r
+    strict = 0
+    for pred, d in by_pred.items():
+        assert set(d) == {"arrival", "zorder"}
+        assert d["zorder"].n_scanned <= d["arrival"].n_scanned
+        assert d["zorder"].n_files == d["arrival"].n_files
+        if d["zorder"].n_scanned < d["arrival"].n_scanned:
+            strict += 1
+    assert strict >= 1
