@@ -1,0 +1,112 @@
+"""Scale-holding smoke: run flagship operators on a 10x-replicated copy
+of the sf0.1 tables (~1M events / 5k docs -> ~600k lineitem rows stay as
+is) and report wall-clock vs the sf0.1 numbers. The copies get re-keyed
+ids so group cardinalities grow with the data (the adversarial case for
+shuffles), not just row counts.
+
+Usage: python tools/scale_smoke.py [replication] [sf_dir]
+Writes one JSON line; keep it for the round notes. This is evidence the
+plans HOLD as data grows — the per-op ratio should track the data ratio
+(linear ops) or better (bounded-output aggregates), never blow past it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_streaming_testbed_spark.session import get_session, load_table
+
+#: flagship per family: shuffle-heavy, window, inverted-index, stateful
+SMOKE_OPS = [
+    "batch_stats",
+    "tpch_q1",
+    "cumulative_counts",
+    "target_encoding",
+    "k_anonymity_audit",
+    "percentile_rank_features",
+    "gap_fill_locf",
+    "cusum_drift",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "ngram_novelty",
+    "feature_hashing",
+    "token_stats",
+]
+
+#: per-table id columns to shift per replica so keys grow with the data
+REKEY = {
+    "events": {"event_id": 10_000_000, "user_id": 10_000},
+    "documents": {"doc_id": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def replicate(spark, sf_dir: str, out_dir: str, times: int) -> None:
+    for name in ["region", "nation", "supplier", "part"]:
+        load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name, shifts in REKEY.items():
+        base = load_table(spark, sf_dir, name)
+        parts = []
+        for i in range(times):
+            df = base
+            for col, step in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            # shift timestamps per replica so time-keyed groups also grow
+            if name == "events":
+                df = df.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS")
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def main() -> None:
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    import __spark_entry__ as entry
+
+    spark = get_session("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    result = {"replication": times, "base": sf_dir, "ops": {}}
+    with tempfile.TemporaryDirectory(prefix="scale_smoke_") as tmp:
+        replicate(spark, sf_dir, tmp, times)
+        for name in SMOKE_OPS:
+            fn = queries[name]
+            fn(spark, sf_dir).count()  # warm base
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            base_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            big_rows = fn(spark, tmp).count()
+            big_s = time.perf_counter() - t0
+            result["ops"][name] = {
+                "base_s": round(base_s, 2),
+                "big_s": round(big_s, 2),
+                "ratio": round(big_s / max(base_s, 1e-9), 1),
+                "big_rows": big_rows,
+            }
+            print(name, result["ops"][name], flush=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
