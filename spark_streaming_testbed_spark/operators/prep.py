@@ -1650,3 +1650,296 @@ PREP_ORACLES.update({
     "readability_scores": READABILITY_ORACLE,
     "matryoshka_fidelity": MATRYOSHKA_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_HOURS = 48
+
+
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product funnel with a conversion deadline: each next stage
+    must land within :data:`FUNNEL_WINDOW_HOURS` of the previous
+    stage's anchor — the business definition ("converted within 48 h"),
+    which the unbounded funnel over-counts. Same min-timestamp chaining
+    shape as ``event_funnel`` (advanced.py): per-stage conditional
+    aggregates joined co-partitioned on user_id, no per-user event
+    lists, no raw-stream window; integer basis points."""
+    stages = ("view", "click", "purchase")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    anchors = None
+    counts = []
+    for stage in stages:
+        hits = events.where(F.col("event_type") == stage)
+        if anchors is not None:
+            hits = hits.join(anchors, "user_id").where(
+                (F.col("ts") > F.col("anchor_ts"))
+                & (F.col("ts") <= F.col("anchor_ts")
+                   + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
+            )
+        anchors = hits.groupBy("user_id").agg(
+            F.min("ts").alias("anchor_ts")
+        )
+        counts.append(
+            anchors.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(stage).alias("stage"), "users"
+            )
+        )
+    funnel = counts[0]
+    for df in counts[1:]:
+        funnel = funnel.unionByName(df)
+    top = funnel.where(F.col("stage") == stages[0]).select(
+        F.col("users").alias("top_users")
+    )
+    return (
+        funnel.crossJoin(F.broadcast(top))
+        .select(
+            "stage", "users",
+            F.expr("users * 10000 div top_users").alias("pct_of_top_bp"),
+        )
+        .orderBy("stage")
+    )
+
+
+FUNNEL_TIME_BOUNDED_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS anchor_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS anchor_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.anchor_ts
+    AND e.ts <= s1.anchor_ts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS anchor_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.anchor_ts
+    AND e.ts <= s2.anchor_ts + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id),
+funnel AS (
+  SELECT 'view' AS stage, count(*) AS users FROM s1
+  UNION ALL SELECT 'click', count(*) FROM s2
+  UNION ALL SELECT 'purchase', count(*) FROM s3),
+top AS (SELECT users AS top_users FROM funnel WHERE stage = 'view')
+SELECT stage, users, users * 10000 // top_users AS pct_of_top_bp
+FROM funnel CROSS JOIN top
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit (centroid distance vs within-label p95)
+# ---------------------------------------------------------------------------
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier rate: distance of every vector to
+    its label's centroid, flagged against the label's own p95 distance
+    — the screen that catches mislabeled or corrupted vectors before
+    they poison contrastive training.
+
+    Scale shape: centroids via the long-form (label, dim) aggregate
+    (shuffles |labels|·dim tiny rows, never whole vectors); distances
+    re-join the long form co-partitioned on (label, dim); the squared
+    deviations accumulate in DECIMAL so the per-vector sum is
+    order-independent; quantized cutoffs before comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim_idx", "x"),
+    ).select(
+        "vec_id", "label", "dim_idx", F.col("x").cast("double").alias("x")
+    )
+    cents = long.groupBy("label", "dim_idx").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    dists = (
+        long.join(cents, ["label", "dim_idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                .cast("decimal(38,18)")
+            ).alias("_ss")
+        )
+        .select(
+            "vec_id", "label",
+            _q6(F.sqrt(F.col("_ss").cast("double"))).alias("dist"),
+        )
+    )
+    cuts = dists.groupBy("label").agg(
+        _q6(F.expr("percentile(dist, 0.95)")).alias("p95")
+    )
+    return (
+        dists.join(F.broadcast(cuts), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p95").alias("p95_dist"),
+            F.sum((F.col("dist") > F.col("p95")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "label", "n", "p95_dist", "n_outliers",
+            F.expr("n_outliers * 10000 div n").alias("outlier_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH idx AS (
+  SELECT unnest(range(len(
+    (SELECT embedding FROM embeddings LIMIT 1)))) AS dim_idx),
+long AS (
+  SELECT vec_id, label, dim_idx,
+         embedding[dim_idx + 1]::DOUBLE AS x
+  FROM embeddings CROSS JOIN idx),
+cents AS (
+  SELECT label, dim_idx, round(avg(x), 6) AS c
+  FROM long GROUP BY label, dim_idx),
+dists AS (
+  SELECT l.vec_id, l.label,
+         {_Q6_SQL.format(x="sqrt(CAST(sum(CAST((l.x - c.c) * (l.x - c.c) AS DECIMAL(38,18))) AS DOUBLE))")}
+           AS dist
+  FROM long l JOIN cents c USING (label, dim_idx)
+  GROUP BY l.vec_id, l.label),
+cuts AS (
+  SELECT label, {_Q6_SQL.format(x="quantile_cont(dist, 0.95)")} AS p95
+  FROM dists GROUP BY label)
+SELECT d.label, count(*) AS n, min(c.p95) AS p95_dist,
+       CAST(sum(CASE WHEN d.dist > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(sum(CASE WHEN d.dist > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // count(*) AS outlier_bp
+FROM dists d JOIN cuts c USING (label)
+GROUP BY d.label ORDER BY d.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warehouse DQ audit across the TPC-H-ish star: orphan lineitems
+    (order key missing), childless orders, customers with no orders,
+    and order headers whose total disagrees with the exact-cents line
+    total — the four checks an ingest gate runs before publishing a
+    snapshot. Violation rates in basis points.
+
+    Scale shape: three anti-joins on their natural keys plus one cents
+    aggregate joined back; all count outputs. Derived money runs in
+    integer cents (floor(x·100)) — identical in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    def row(check, viol_df, denom_df):
+        v = viol_df.agg(F.count(F.lit(1)).alias("violations"))
+        d = denom_df.agg(F.count(F.lit(1)).alias("entities"))
+        return v.crossJoin(d).select(
+            F.lit(check).alias("check_name"), "violations", "entities",
+            F.expr("violations * 10000 div entities").alias("rate_bp"),
+        )
+
+    orphan_lines = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == orders.o_orderkey, "left_anti",
+    )
+    childless = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == li.l_orderkey, "left_anti",
+    )
+    idle_cust = cust.join(
+        orders.select("o_custkey").distinct(),
+        cust.c_custkey == orders.o_custkey, "left_anti",
+    )
+    line_cents = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) + F.col("l_tax"))
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    mismatched = (
+        orders.join(line_cents, orders.o_orderkey == line_cents.l_orderkey)
+        .where(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            != F.col("line_cents")
+        )
+    )
+    out = (
+        row("orphan_lineitems", orphan_lines, li)
+        .unionByName(row("childless_orders", childless, orders))
+        .unionByName(row("customers_no_orders", idle_cust, cust))
+        .unionByName(row("total_mismatch_orders", mismatched,
+                         orders.join(line_cents,
+                                     orders.o_orderkey
+                                     == line_cents.l_orderkey)))
+    )
+    return out.orderBy("check_name")
+
+
+REFERENTIAL_INTEGRITY_ORACLE = """
+WITH line_cents AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 + l_tax)
+                             * (1.0 - l_discount) * 100.0) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY l_orderkey),
+checks AS (
+  SELECT 'orphan_lineitems' AS check_name,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+           AS violations,
+         (SELECT count(*) FROM lineitem) AS entities
+  UNION ALL
+  SELECT 'childless_orders',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey)),
+         (SELECT count(*) FROM orders)
+  UNION ALL
+  SELECT 'customers_no_orders',
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey)),
+         (SELECT count(*) FROM customer)
+  UNION ALL
+  SELECT 'total_mismatch_orders',
+         (SELECT count(*) FROM orders o JOIN line_cents lc
+            ON o.o_orderkey = lc.l_orderkey
+          WHERE CAST(floor(o.o_totalprice * 100.0) AS BIGINT)
+                != lc.line_cents),
+         (SELECT count(*) FROM orders o JOIN line_cents lc
+            ON o.o_orderkey = lc.l_orderkey))
+SELECT check_name, CAST(violations AS BIGINT) AS violations,
+       CAST(entities AS BIGINT) AS entities,
+       CAST(violations AS BIGINT) * 10000 // CAST(entities AS BIGINT)
+         AS rate_bp
+FROM checks ORDER BY check_name
+"""
+
+PREP_QUERIES.update({
+    "funnel_time_bounded": funnel_time_bounded,
+    "embedding_outliers": embedding_outliers,
+    "referential_integrity_audit": referential_integrity_audit,
+})
+
+PREP_ORACLES.update({
+    "funnel_time_bounded": FUNNEL_TIME_BOUNDED_ORACLE,
+    "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
+    "referential_integrity_audit": REFERENTIAL_INTEGRITY_ORACLE,
+})

@@ -359,3 +359,47 @@ def test_matryoshka_full_prefix_is_identity(spark):
         by_vec.setdefault(r.vec_id, {})[r.prefix_len] = r.cosine
     for fid in by_vec.values():
         assert set(fid) == set(P.MATRYOSHKA_PREFIXES)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 4: bounded funnel, embedding outliers, integrity audit
+# ---------------------------------------------------------------------------
+
+def test_bounded_funnel_never_exceeds_unbounded(spark):
+    from spark_streaming_testbed_spark.operators.advanced import (
+        event_funnel,
+    )
+
+    bounded = {
+        r.stage: r.users
+        for r in P.funnel_time_bounded(spark, SF_SMOKE).collect()
+    }
+    unbounded = {
+        r.stage: r.users for r in event_funnel(spark, SF_SMOKE).collect()
+    }
+    for stage, users in bounded.items():
+        assert users <= unbounded[stage]
+    assert bounded["purchase"] <= bounded["click"] <= bounded["view"]
+
+
+def test_embedding_outlier_rate_near_five_pct(spark):
+    rows = P.embedding_outliers(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # p95 cutoff => ~5% flagged (ties/quantization shift it slightly)
+        assert 0 <= r.outlier_bp <= 800
+        assert r.p95_dist > 0
+
+
+def test_referential_integrity_checks_present(spark):
+    rows = {r.check_name: r
+            for r in P.referential_integrity_audit(spark, SF_SMOKE)
+            .collect()}
+    assert set(rows) == {
+        "orphan_lineitems", "childless_orders",
+        "customers_no_orders", "total_mismatch_orders",
+    }
+    assert rows["orphan_lineitems"].violations == 0  # generator invariant
+    for r in rows.values():
+        assert 0 <= r.rate_bp <= 10000
+        assert r.violations <= r.entities
