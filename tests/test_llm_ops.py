@@ -940,3 +940,42 @@ def test_semantic_dup_pairs_subset_of_exact(spark):
     for r in sem:
         assert (r.id_a, r.id_b) in exact
         assert abs(exact[(r.id_a, r.id_b)] - r.cosine) < 1e-9
+
+
+def test_payload_fingerprint_is_a_real_decode():
+    """The dedup fingerprint must come from actually decompressing the
+    IDAT raster, not from the header: two PNGs with identical headers
+    but different pixel bytes fingerprint differently, and identical
+    pixels under different dimensions collide (pre-codec identity)."""
+    import pandas as pd
+
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        _fingerprint_payloads,
+        png_encode,
+    )
+
+    def fp_of(payload):
+        (out,) = _fingerprint_payloads(
+            iter([pd.DataFrame({"doc_id": [0], "payload": [payload]})])
+        )
+        return out["fp"][0]
+
+    same_dims_a = png_encode(8, 8, 0, b"aaaaaaaa")
+    same_dims_b = png_encode(8, 8, 0, b"bbbbbbbb")
+    assert fp_of(same_dims_a) != fp_of(same_dims_b)
+    # identical source bytes, different raster shapes -> same content
+    # fingerprint as long as the compared prefix is covered
+    wide = png_encode(16, 16, 0, b"xy")
+    tall = png_encode(8, 32, 0, b"xy")
+    assert fp_of(wide) == fp_of(tall)
+
+
+def test_payload_dedup_groups_are_real(spark):
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        multimodal_payload_dedup,
+    )
+
+    rows = multimodal_payload_dedup(spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        assert r.n_assets > 1
+        assert r.keeper_doc_id >= 0
