@@ -240,7 +240,8 @@ _FIRST_WINDOW: list[str] = [
 # streaming_group_sample, holt_trend, cohort_ltv, containment_pairs,
 # readability_scores, matryoshka_fidelity, file_skipping_audit,
 # funnel_time_bounded, embedding_outliers, referential_integrity_audit,
-# multimodal_payload_dedup,
+# multimodal_payload_dedup, seasonal_anomaly_alerts, oov_rate,
+# label_noise_audit,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -1943,3 +1943,218 @@ PREP_ORACLES.update({
     "embedding_outliers": EMBEDDING_OUTLIERS_ORACLE,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly alerts
+# ---------------------------------------------------------------------------
+
+ANOM_SIGMAS = 3.0
+
+
+def seasonal_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike detection on the DESEASONALIZED rate: hourly event counts
+    minus the type's hour-of-day baseline, alerting where the residual
+    exceeds 3 sigma of the type's residuals — the alert rule
+    ``seasonal_adjust`` (relational.py) justifies: alarm on the
+    residual, not the daily cycle. Complements ``cusum_drift`` (slow
+    drift) with the spike side of the monitoring story.
+
+    Scale shape: two bounded aggregates (hourly cells, hour-of-day
+    baseline) and one broadcast join; residual variance from DECIMAL
+    sufficient sums; cutoffs quantized before comparison."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = cells.groupBy("event_type", "hod").agg(
+        F.round(F.avg("cnt"), 6).alias("baseline")
+    )
+    resid = cells.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type", "day", "hod",
+        (F.col("cnt").cast("double") - F.col("baseline")).alias("r"),
+    )
+    sig = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        _q6(
+            F.sqrt(
+                F.sum((F.col("r") * F.col("r")).cast("decimal(28,9)"))
+                .cast("double") / F.count(F.lit(1))
+            )
+        ).alias("sigma"),
+    )
+    return (
+        resid.join(F.broadcast(sig), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_cells").alias("n_cells"),
+            F.min("sigma").alias("sigma"),
+            F.sum(
+                (F.abs(F.col("r")) > F.lit(ANOM_SIGMAS) * F.col("sigma"))
+                .cast("long")
+            ).alias("n_alerts"),
+            _q6(F.max(F.abs(F.col("r")))).alias("max_abs_resid"),
+        )
+        .select(
+            "event_type", "n_cells", "sigma", "n_alerts",
+            "max_abs_resid",
+            F.expr("n_alerts * 10000 div n_cells").alias("alert_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_ANOMALY_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+base AS (
+  SELECT event_type, hod, round(avg(cnt), 6) AS baseline
+  FROM cells GROUP BY 1, 2),
+resid AS (
+  SELECT c.event_type, c.day, c.hod,
+         CAST(c.cnt AS DOUBLE) - b.baseline AS r
+  FROM cells c JOIN base b USING (event_type, hod)),
+sig AS (
+  SELECT event_type, count(*) AS n_cells,
+         {_Q6_SQL.format(x="sqrt(CAST(sum(CAST(r * r AS DECIMAL(28,9))) AS DOUBLE) / count(*))")}
+           AS sigma
+  FROM resid GROUP BY event_type)
+SELECT r.event_type, min(s.n_cells) AS n_cells, min(s.sigma) AS sigma,
+       CAST(sum(CASE WHEN abs(r.r) > {ANOM_SIGMAS} * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+       {_Q6_SQL.format(x="max(abs(r.r))")} AS max_abs_resid,
+       CAST(sum(CASE WHEN abs(r.r) > {ANOM_SIGMAS} * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // min(s.n_cells) AS alert_bp
+FROM resid r JOIN sig s USING (event_type)
+GROUP BY r.event_type ORDER BY r.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 30
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-:data:`VOCAB_TOP_K` token vocabulary (ties broken by token
+    string) — the tokenizer-coverage signal that decides whether a
+    vocabulary transfers to a new source.
+
+    Scale shape: the vocabulary is a bounded top-k (rank over the token
+    aggregate) broadcast into an anti-membership flag on the exploded
+    tokens; per-doc re-aggregate. Integer basis points."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("tokens").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), "tok")
+    vocab = counts.select(
+        "tok", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= VOCAB_TOP_K).select("tok")
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_in").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.expr("n_oov * 10000 div n_tokens").alias("oov_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+OOV_RATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+    FROM counts) r
+  WHERE rk <= {VOCAB_TOP_K})
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // count(*) AS oov_bp
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit (declared language vs content prediction)
+# ---------------------------------------------------------------------------
+
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source label-noise rate: how often a source's declared
+    ``lang`` disagrees with the content-derived language prediction —
+    the audit that ranks ingestion sources by metadata trustworthiness
+    before their labels train anything.
+
+    Scale shape: reuses the row-local ``lang_id`` scorer; one join to
+    the source column and a bounded per-source aggregate."""
+    from .text import lang_id
+
+    preds = lang_id(spark, sf_dir).select("doc_id", "matches_label")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(preds, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("matches_label")).cast("long")).alias(
+                "n_mismatch"
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_mismatch",
+            F.expr("n_mismatch * 10000 div n_docs").alias("noise_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _label_noise_oracle() -> str:
+    from .text import LANG_ID_ORACLE
+
+    return f"""
+WITH preds AS (
+  SELECT doc_id, matches_label FROM ({LANG_ID_ORACLE})),
+j AS (
+  SELECT d.source, p.matches_label
+  FROM documents d JOIN preds p USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT matches_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(sum(CASE WHEN NOT matches_label THEN 1 ELSE 0 END)
+            AS BIGINT) * 10000 // count(*) AS noise_bp
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+LABEL_NOISE_ORACLE = _label_noise_oracle()
+
+PREP_QUERIES.update({
+    "seasonal_anomaly_alerts": seasonal_anomaly_alerts,
+    "oov_rate": oov_rate,
+    "label_noise_audit": label_noise_audit,
+})
+
+PREP_ORACLES.update({
+    "seasonal_anomaly_alerts": SEASONAL_ANOMALY_ORACLE,
+    "oov_rate": OOV_RATE_ORACLE,
+    "label_noise_audit": LABEL_NOISE_ORACLE,
+})

@@ -403,3 +403,39 @@ def test_referential_integrity_checks_present(spark):
     for r in rows.values():
         assert 0 <= r.rate_bp <= 10000
         assert r.violations <= r.entities
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 5: anomaly alerts, OOV, label noise
+# ---------------------------------------------------------------------------
+
+def test_seasonal_anomaly_alert_rate_is_tail(spark):
+    rows = P.seasonal_anomaly_alerts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.sigma >= 0
+        # 3-sigma rule flags a small tail, never the bulk
+        assert 0 <= r.alert_bp <= 2500
+        assert r.n_alerts <= r.n_cells
+
+
+def test_oov_rate_bounds_and_vocab_effect(spark):
+    rows = P.oov_rate(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_bp <= 10000
+    # the corpus vocabulary covers the corpus far better than nothing
+    total = sum(r.n_tokens for r in rows)
+    oov = sum(r.n_oov for r in rows)
+    assert oov < total
+
+
+def test_label_noise_accounting(spark):
+    rows = P.label_noise_audit(spark, SF_SMOKE).collect()
+    n_total = sum(r.n_docs for r in rows)
+    from spark_streaming_testbed_spark.session import load_table
+
+    assert n_total == load_table(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert 0 <= r.n_mismatch <= r.n_docs
