@@ -910,6 +910,153 @@ DEDUP_QUERIES["contamination_overlap"] = contamination_overlap
 
 
 # ---------------------------------------------------------------------------
+# LSH parameter sweep: empirical (bands, rows) tuning curve
+# ---------------------------------------------------------------------------
+
+#: (bands, rows_per_band) configurations over the K=8 signature
+LSH_SWEEP_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH tuning curve, MEASURED instead of estimated: for
+    each (bands, rows-per-band) split of the K=8 signature, the
+    candidate-pair count the banding pays for and the recall it
+    achieves against the exact n-gram-Jaccard truth — the empirical
+    version of the 1-(1-s^r)^b S-curve, computed on the corpus itself
+    (which is how production pipelines actually pick b and r).
+
+    Scale shape: signatures and the truth set materialize ONCE
+    (localCheckpoint); each configuration re-bands the tiny signature
+    table (|docs|·b slim rows) and joins slim id pairs. More bands ⇒
+    more candidates ⇒ recall can only rise — asserted in tests."""
+    shingled = (
+        _with_shingles(load_table(spark, sf_dir, "documents"))
+        .where(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+    )
+    with_sig = exploded.groupBy("doc_id").agg(*[
+        F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]).localCheckpoint(eager=True)
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+    rows = []
+    for n_bands, r in LSH_SWEEP_CONFIGS:
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5h(
+                    "concat_ws(':', "
+                    + ", ".join(f"mh{b * r + i}" for i in range(r))
+                    + ")"
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ])
+        banded = with_sig.select(
+            "doc_id", F.explode(bands).alias("b")
+        ).select(
+            "doc_id", F.col("b.band").alias("band"),
+            F.col("b.bh").alias("bh"),
+        )
+        cand = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint(eager=True)
+        )
+        n_cand = cand.count()
+        n_hits = cand.join(truth, ["doc_a", "doc_b"]).count()
+        rows.append((n_bands, r, n_cand, n_truth, n_hits,
+                     n_hits * 10000 // n_truth if n_truth else 0))
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, n_candidates bigint, "
+        "n_truth bigint, n_hits bigint, recall_bp bigint",
+    ).orderBy("bands")
+
+
+def _lsh_sweep_oracle() -> str:
+    base = MD5H_SQL_TEMPLATE.format(expr="s")
+    mh_defs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> {_mix_expr('h', j, 'duck')})) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    truth_body = NGRAM_JACCARD_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    cfg_ctes, cfg_rows = [], []
+    for n_bands, r in LSH_SWEEP_CONFIGS:
+        band_selects = "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {bh} AS bh FROM sig".format(
+                b=b,
+                bh=MD5H_SQL_TEMPLATE.format(
+                    expr="concat_ws(':', "
+                    + ", ".join(f"mh{b * r + i}" for i in range(r))
+                    + ")"
+                ),
+            )
+            for b in range(n_bands)
+        )
+        tag = f"c{n_bands}x{r}"
+        cfg_ctes.append(f"""bands_{tag} AS ({band_selects}),
+cand_{tag} AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands_{tag} l JOIN bands_{tag} r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)""")
+        cfg_rows.append(f"""SELECT {n_bands} AS bands, {r} AS rows_per_band,
+  (SELECT count(*) FROM cand_{tag}) AS n_candidates,
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand_{tag} JOIN truth USING (doc_a, doc_b))
+    AS n_hits""")
+    ctes = ",\n".join(cfg_ctes)
+    body = "\n  UNION ALL ".join(cfg_rows)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tok),
+hb AS (SELECT doc_id, shingles,
+              list_transform(shingles, s -> {base}) AS hs
+       FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id,
+       {mh_defs}
+       FROM hb),
+truth AS (SELECT doc_a, doc_b FROM ({truth_body})),
+{ctes},
+stats AS (
+  {body})
+SELECT bands, rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS BIGINT) * 10000
+         // CAST(n_truth AS BIGINT) AS recall_bp
+FROM stats ORDER BY bands
+"""
+
+
+LSH_PARAM_SWEEP_ORACLE = _lsh_sweep_oracle()
+
+DEDUP_QUERIES["lsh_param_sweep"] = lsh_param_sweep
+DEDUP_ORACLES["lsh_param_sweep"] = LSH_PARAM_SWEEP_ORACLE
+
+
+# ---------------------------------------------------------------------------
 # Substring-level duplication audit (sliding token windows)
 # ---------------------------------------------------------------------------
 

@@ -2158,3 +2158,123 @@ PREP_ORACLES.update({
     "oov_rate": OOV_RATE_ORACLE,
     "label_noise_audit": LABEL_NOISE_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Joint histogram (hour-of-day x value bucket)
+# ---------------------------------------------------------------------------
+
+JH_BUCKET_WIDTH = 50.0
+
+
+def joint_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution heat map: event counts over (hour-of-day,
+    value bucket) with each cell's share of the total in basis points —
+    the 2-D profile that reveals interactions (e.g. high-value events
+    clustering at night) that the two marginals hide.
+
+    Scale shape: one hash aggregate on the bounded (24 x ~10) grid plus
+    a single-row total broadcast. Integer arithmetic only."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(JH_BUCKET_WIDTH))
+        .cast("int").alias("vbucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "hod", "vbucket", "n",
+            F.expr("n * 10000 div total").alias("share_bp"),
+        )
+        .orderBy("hod", "vbucket")
+    )
+
+
+JOINT_HISTOGRAM_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(floor(value / {JH_BUCKET_WIDTH}) AS INTEGER) AS vbucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT hod, vbucket, CAST(n AS BIGINT) AS n,
+       CAST(n AS BIGINT) * 10000 // t.total AS share_bp
+FROM cells CROSS JOIN total t
+ORDER BY hod, vbucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity_audit` (Machanavajjhala
+    et al. 2007): a quasi-identifier class can be k-anonymous yet leak
+    the sensitive attribute if every member shares one value. Per event
+    type: equivalence classes on (day, hour) whose distinct sensitive
+    buckets (value deciles) fall below l = 3.
+
+    Scale shape: one aggregate on (QI, sensitive-bucket), a count-
+    distinct re-aggregate per QI class, and a bounded per-type rollup —
+    all map-side combinable. Integer arithmetic only."""
+    events = _t(spark, sf_dir, "events")
+    classes = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") / F.lit(JH_BUCKET_WIDTH))
+            .cast("int").alias("sbucket"),
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.countDistinct("sbucket").alias("n_distinct"))
+    )
+    return (
+        classes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(
+                (F.col("n_distinct") < L_DIVERSITY).cast("long")
+            ).alias("n_low_diversity"),
+        )
+        .select(
+            "event_type", "n_classes", "n_low_diversity",
+            F.expr("n_low_diversity * 10000 div n_classes").alias(
+                "low_diversity_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH classes AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(DISTINCT CAST(floor(value / {JH_BUCKET_WIDTH})
+                             AS INTEGER)) AS n_distinct
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type, count(*) AS n_classes,
+       CAST(sum(CASE WHEN n_distinct < {L_DIVERSITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_diversity,
+       CAST(sum(CASE WHEN n_distinct < {L_DIVERSITY} THEN 1 ELSE 0 END)
+            AS BIGINT) * 10000 // count(*) AS low_diversity_bp
+FROM classes GROUP BY event_type ORDER BY event_type
+"""
+
+PREP_QUERIES.update({
+    "joint_histogram": joint_histogram,
+    "l_diversity_audit": l_diversity_audit,
+})
+
+PREP_ORACLES.update({
+    "joint_histogram": JOINT_HISTOGRAM_ORACLE,
+    "l_diversity_audit": L_DIVERSITY_ORACLE,
+})

@@ -439,3 +439,42 @@ def test_label_noise_accounting(spark):
     assert n_total == load_table(spark, SF_SMOKE, "documents").count()
     for r in rows:
         assert 0 <= r.n_mismatch <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 6: LSH sweep, joint histogram, l-diversity
+# ---------------------------------------------------------------------------
+
+def test_lsh_sweep_monotone_in_bands(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        lsh_param_sweep,
+    )
+
+    rows = sorted(
+        lsh_param_sweep(spark, SF_SMOKE).collect(), key=lambda r: r.bands
+    )
+    assert [(r.bands, r.rows_per_band) for r in rows] == [
+        (1, 8), (2, 4), (4, 2), (8, 1)
+    ]
+    # more bands => looser filter => candidates and recall only grow
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.recall_bp <= b.recall_bp
+        assert a.n_hits <= a.n_candidates
+        assert a.n_hits <= a.n_truth
+
+
+def test_joint_histogram_shares_sum(spark):
+    rows = P.joint_histogram(spark, SF_SMOKE).collect()
+    assert all(0 <= r.hod < 24 for r in rows)
+    total_bp = sum(r.share_bp for r in rows)
+    # truncation loses < 1 bp per cell
+    assert 10000 - len(rows) <= total_bp <= 10000
+
+
+def test_l_diversity_bounds(spark):
+    rows = P.l_diversity_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_low_diversity <= r.n_classes
+        assert 0 <= r.low_diversity_bp <= 10000
