@@ -2278,3 +2278,156 @@ PREP_ORACLES.update({
     "joint_histogram": JOINT_HISTOGRAM_ORACLE,
     "l_diversity_audit": L_DIVERSITY_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal dedup consensus
+# ---------------------------------------------------------------------------
+
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pair table across the near-dup detectors: the union of exact
+    n-gram-Jaccard, MinHash-LSH-verified, and shingle-containment pairs
+    with a flag per signal and the agreement count — the evidence table
+    a dedup governance review reads (pairs flagged by one signal only
+    are the ones to eyeball before deleting data).
+
+    Scale shape: each detector keeps its own scale shape; the consensus
+    is two full-outer joins of slim id-pair lists."""
+    from .dedup import lsh_near_dup_pairs, ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("sig_jaccard")
+    )
+    lsh = lsh_near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("sig_lsh")
+    )
+    cont = containment_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("sig_containment")
+    )
+    merged = (
+        jac.join(lsh, ["doc_a", "doc_b"], "full_outer")
+        .join(cont, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce("sig_jaccard", F.lit(0)).alias("sig_jaccard"),
+            F.coalesce("sig_lsh", F.lit(0)).alias("sig_lsh"),
+            F.coalesce("sig_containment", F.lit(0)).alias(
+                "sig_containment"
+            ),
+        )
+    )
+    return merged.select(
+        "doc_a", "doc_b", "sig_jaccard", "sig_lsh", "sig_containment",
+        (
+            F.col("sig_jaccard") + F.col("sig_lsh")
+            + F.col("sig_containment")
+        ).alias("n_signals"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _dedup_consensus_oracle() -> str:
+    from .dedup import LSH_NEAR_DUP_PAIRS_ORACLE, NGRAM_JACCARD_ORACLE
+
+    jac = NGRAM_JACCARD_ORACLE.strip().removesuffix("ORDER BY doc_a, doc_b")
+    lsh = LSH_NEAR_DUP_PAIRS_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    cont = CONTAINMENT_PAIRS_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    return f"""
+WITH jac AS (SELECT doc_a, doc_b, 1 AS sig_jaccard FROM ({jac})),
+lsh AS (SELECT doc_a, doc_b, 1 AS sig_lsh FROM ({lsh})),
+cont AS (SELECT doc_a, doc_b, 1 AS sig_containment FROM ({cont})),
+keys AS (
+  SELECT doc_a, doc_b FROM jac
+  UNION SELECT doc_a, doc_b FROM lsh
+  UNION SELECT doc_a, doc_b FROM cont)
+SELECT k.doc_a, k.doc_b,
+       coalesce(j.sig_jaccard, 0) AS sig_jaccard,
+       coalesce(l.sig_lsh, 0) AS sig_lsh,
+       coalesce(c.sig_containment, 0) AS sig_containment,
+       coalesce(j.sig_jaccard, 0) + coalesce(l.sig_lsh, 0)
+         + coalesce(c.sig_containment, 0) AS n_signals
+FROM keys k
+LEFT JOIN jac j USING (doc_a, doc_b)
+LEFT JOIN lsh l USING (doc_a, doc_b)
+LEFT JOIN cont c USING (doc_a, doc_b)
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_CONSENSUS_ORACLE = _dedup_consensus_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate
+# ---------------------------------------------------------------------------
+
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions containing
+    exactly one event, per day of session start — the engagement KPI
+    computed over the same native ``session_window`` sessions the
+    sessionizer emits (one definition of "session" across the repo).
+
+    Scale shape: the session aggregate is the one shuffle; the daily
+    rollup is bounded. Integer basis points."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy(
+            F.to_date(F.col("sw.start")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias(
+                "n_bounces"
+            ),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            F.expr("n_bounces * 10000 div n_sessions").alias("bounce_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+BOUNCE_RATE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 30 * 60 * 1000
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered),
+sessions AS (
+  SELECT user_id, sid, min(ts) AS start_ts, count(*) AS n_events
+  FROM islands GROUP BY user_id, sid)
+SELECT CAST(date_trunc('day', start_ts) AS DATE) AS day,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // count(*) AS bounce_bp
+FROM sessions GROUP BY 1 ORDER BY day
+"""
+
+PREP_QUERIES.update({
+    "dedup_consensus": dedup_consensus,
+    "bounce_rate": bounce_rate,
+})
+
+PREP_ORACLES.update({
+    "dedup_consensus": DEDUP_CONSENSUS_ORACLE,
+    "bounce_rate": BOUNCE_RATE_ORACLE,
+})

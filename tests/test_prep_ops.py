@@ -478,3 +478,33 @@ def test_l_diversity_bounds(spark):
     for r in rows:
         assert 0 <= r.n_low_diversity <= r.n_classes
         assert 0 <= r.low_diversity_bp <= 10000
+
+
+def test_dedup_consensus_contains_every_detector(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = P.dedup_consensus(spark, SF_SMOKE).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    jac = {(r.doc_a, r.doc_b)
+           for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in lsh_near_dup_pairs(spark, SF_SMOKE).collect()}
+    for pair in jac:
+        assert by_pair[pair].sig_jaccard == 1
+    for pair in lsh:
+        assert by_pair[pair].sig_lsh == 1
+        # LSH-verified pairs pass the same Jaccard bar => subset
+        assert by_pair[pair].sig_jaccard == 1
+    for r in rows:
+        assert 1 <= r.n_signals <= 3
+
+
+def test_bounce_rate_bounds(spark):
+    rows = P.bounce_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert 0 <= r.bounce_bp <= 10000
