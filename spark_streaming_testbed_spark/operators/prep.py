@@ -1681,9 +1681,12 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("ts") <= F.col("anchor_ts")
                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
             )
+        # checkpoint each stage's anchors: the stage-count union would
+        # otherwise recompute the whole upstream chain per stage
+        # (1+2+3 passes over the facts instead of 3)
         anchors = hits.groupBy("user_id").agg(
             F.min("ts").alias("anchor_ts")
-        )
+        ).localCheckpoint(eager=True)
         counts.append(
             anchors.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(stage).alias("stage"), "users"
