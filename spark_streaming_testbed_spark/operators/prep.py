@@ -2434,3 +2434,140 @@ PREP_ORACLES.update({
     "dedup_consensus": DEDUP_CONSENSUS_ORACLE,
     "bounce_rate": BOUNCE_RATE_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) via sort + running max
+# ---------------------------------------------------------------------------
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over the part catalog: parts not dominated on
+    (cheaper avg sale price, larger total quantity moved) — the
+    skyline operator (Börzsönyi et al. 2001), answered without the
+    naive O(n²) dominance join: sort by price ascending and keep rows
+    whose quantity beats the running maximum of everything cheaper.
+    Ties on price are dominated unless they also beat equal-priced
+    peers, handled by ranking price strictly.
+
+    Scale shape: one bounded per-part aggregate, one sort + running-max
+    window — O(n log n) where the textbook formulation is quadratic;
+    at cluster scale the sort is a range exchange, no cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        _q6(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,9)"))
+            .cast("double") / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.sum(F.col("l_quantity").cast("decimal(28,9)"))
+        .cast("double").alias("total_qty"),
+    )
+    # strictly-cheaper running max without a float range frame: collapse
+    # to one row per distinct price first (equal-priced rows must not
+    # shadow each other), then a rows-frame running max over prices
+    per_price = parts.groupBy("avg_price").agg(
+        F.max("total_qty").alias("mq")
+    )
+    w = W.orderBy("avg_price").rowsBetween(W.unboundedPreceding, -1)
+    cheaper = per_price.withColumn(
+        "max_qty_cheaper", F.max("mq").over(w)
+    ).select("avg_price", "max_qty_cheaper")
+    flagged = parts.join(cheaper, "avg_price")
+    return (
+        flagged.where(
+            F.col("max_qty_cheaper").isNull()
+            | (F.col("total_qty") > F.col("max_qty_cheaper"))
+        )
+        .select("l_partkey", "avg_price", "total_qty")
+        .orderBy("avg_price", "l_partkey")
+    )
+
+
+SKYLINE_PARTS_ORACLE = f"""
+WITH parts AS (
+  SELECT l_partkey,
+         {_Q6_SQL.format(x="CAST(sum(CAST(l_extendedprice AS DECIMAL(28,9))) AS DOUBLE) / count(*)")}
+           AS avg_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,9))) AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT p.l_partkey, p.avg_price, p.total_qty
+FROM parts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM parts q
+  WHERE q.avg_price < p.avg_price AND q.total_qty >= p.total_qty)
+ORDER BY avg_price, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA compliance by order priority
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 30
+
+
+def sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority shipping SLA: the share of line items shipped
+    within :data:`SLA_DAYS` days of their order date — the operations
+    KPI behind TPC-H Q4's spirit, reported as a rate per priority tier.
+
+    Scale shape: facts join the order header on the natural key (the
+    order side projects two columns) and reduce to a bounded
+    per-priority aggregate. Integer day arithmetic and basis points."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                ) <= SLA_DAYS
+            ).cast("long").alias("in_sla"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("in_sla").alias("n_in_sla"),
+        )
+        .select(
+            "o_orderpriority", "n_lines", "n_in_sla",
+            F.expr("n_in_sla * 10000 div n_lines").alias("sla_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SLA_COMPLIANCE_ORACLE = f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN datediff('day',
+                              CAST(date_trunc('day', o.o_orderdate)
+                                   AS DATE),
+                              CAST(date_trunc('day', l.l_shipdate)
+                                   AS DATE)) <= {SLA_DAYS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_sla,
+       CAST(sum(CASE WHEN datediff('day',
+                              CAST(date_trunc('day', o.o_orderdate)
+                                   AS DATE),
+                              CAST(date_trunc('day', l.l_shipdate)
+                                   AS DATE)) <= {SLA_DAYS}
+                     THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+         AS sla_bp
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+PREP_QUERIES.update({
+    "skyline_parts": skyline_parts,
+    "sla_compliance": sla_compliance,
+})
+
+PREP_ORACLES.update({
+    "skyline_parts": SKYLINE_PARTS_ORACLE,
+    "sla_compliance": SLA_COMPLIANCE_ORACLE,
+})

@@ -508,3 +508,31 @@ def test_bounce_rate_bounds(spark):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert 0 <= r.bounce_bp <= 10000
+
+
+def test_skyline_is_pareto_frontier(spark):
+    rows = sorted(
+        P.skyline_parts(spark, SF_SMOKE).collect(),
+        key=lambda r: r.avg_price,
+    )
+    assert rows
+    # along increasing price, surviving quantity strictly increases
+    for a, b in zip(rows, rows[1:]):
+        assert a.avg_price <= b.avg_price
+        assert a.total_qty < b.total_qty
+    # no row dominates another
+    for a in rows:
+        for b in rows:
+            if a is not b:
+                assert not (
+                    b.avg_price < a.avg_price
+                    and b.total_qty >= a.total_qty
+                )
+
+
+def test_sla_rates_bounded(spark):
+    rows = P.sla_compliance(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_in_sla <= r.n_lines
+        assert 0 <= r.sla_bp <= 10000
