@@ -2571,3 +2571,151 @@ PREP_ORACLES.update({
     "skyline_parts": SKYLINE_PARTS_ORACLE,
     "sla_compliance": SLA_COMPLIANCE_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: canonical document per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship rules over the near-dup clusters: each multi-member
+    cluster elects a canonical document (longest text, ties to the
+    smallest doc_id) and reports the members it absorbs — the merge
+    step that turns cluster assignments into a deduplicated corpus with
+    provenance.
+
+    Scale shape: the cluster assignment is the existing checkpointed
+    min-label propagation; the election is one max-struct aggregate per
+    cluster (no sort), joined back to nothing — member ids aggregate as
+    a sorted list for the bounded multi-member clusters only."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).where(
+        F.col("cluster_size") > 1
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(docs, "doc_id")
+    # max on (n_chars, -doc_id) elects longest-then-smallest-id without
+    # a per-cluster sort
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("_win"),
+            F.sum("n_chars").alias("total_chars"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_win.neg_id")).cast("bigint").alias("canonical_doc"),
+            F.col("_win.nc").alias("canonical_chars"),
+            "n_members", "total_chars", "member_ids",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_canonicals_oracle() -> str:
+    from .dedup import DEDUP_CLUSTERS_ORACLE
+
+    clusters_body = DEDUP_CLUSTERS_ORACLE.strip().removesuffix(
+        "ORDER BY d.doc_id"
+    )
+    return f"""
+WITH assign AS ({clusters_body}),
+members AS (
+  SELECT a.doc_id, a.cluster_id, d.n_chars
+  FROM assign a JOIN documents d USING (doc_id)
+  WHERE a.cluster_size > 1)
+SELECT cluster_id,
+       CAST(arg_max(doc_id,
+                    CAST(n_chars AS BIGINT) * 1000000000000 - doc_id)
+            AS BIGINT) AS canonical_doc,
+       CAST(max(n_chars) AS BIGINT) AS canonical_chars,
+       count(*) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       list_sort(list(doc_id)) AS member_ids
+FROM members
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+CLUSTER_CANONICALS_ORACLE = _cluster_canonicals_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users
+# ---------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU-by-day) plus
+    the same-day count — the engagement trendline. Distinct-over-range
+    windows don't exist in either engine, so the rolling distinct is an
+    explicit (user, day) de-dup joined to a bounded day spine over the
+    7-day interval — the standard scale shape (the join side is
+    |users|·|days| AFTER per-day dedup, never raw events).
+
+    Scale shape: events reduce to distinct (user, day) first (one hash
+    aggregate); the spine join multiplies by at most WINDOW days."""
+    events = _t(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    joined = days.alias("d").join(
+        user_days.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(
+            F.col("d.day"), ROLLING_WINDOW_DAYS - 1)),
+    )
+    return (
+        joined.groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct("u.user_id").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+            ).alias("dau"),
+        )
+        .select(
+            "day", "dau", "wau",
+            F.expr("dau * 10000 div wau").alias("stickiness_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_ORACLE = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM user_days)
+SELECT d.day,
+       count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+         AS dau,
+       count(DISTINCT u.user_id) AS wau,
+       count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+         * 10000 // count(DISTINCT u.user_id) AS stickiness_bp
+FROM days d JOIN user_days u
+  ON u.day <= d.day AND u.day >= d.day - {ROLLING_WINDOW_DAYS - 1}
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+PREP_QUERIES.update({
+    "cluster_canonicals": cluster_canonicals,
+    "rolling_active_users": rolling_active_users,
+})
+
+PREP_ORACLES.update({
+    "cluster_canonicals": CLUSTER_CANONICALS_ORACLE,
+    "rolling_active_users": ROLLING_ACTIVE_USERS_ORACLE,
+})

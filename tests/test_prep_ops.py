@@ -536,3 +536,20 @@ def test_sla_rates_bounded(spark):
     for r in rows:
         assert 0 <= r.n_in_sla <= r.n_lines
         assert 0 <= r.sla_bp <= 10000
+
+
+def test_cluster_canonicals_election_rules(spark):
+    rows = P.cluster_canonicals(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_members > 1
+        assert r.canonical_doc in r.member_ids
+        assert r.cluster_id == min(r.member_ids)
+        assert r.canonical_chars <= r.total_chars
+
+
+def test_rolling_active_users_dominates_daily(spark):
+    rows = P.rolling_active_users(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness_bp <= 10000
