@@ -244,6 +244,7 @@ _FIRST_WINDOW: list[str] = [
 # label_noise_audit, lsh_param_sweep, joint_histogram,
 # l_diversity_audit, dedup_consensus, bounce_rate, skyline_parts,
 # sla_compliance, cluster_canonicals, rolling_active_users,
+# source_vocab_overlap, dedup_savings_curve,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -2719,3 +2719,166 @@ PREP_ORACLES.update({
     "cluster_canonicals": CLUSTER_CANONICALS_ORACLE,
     "rolling_active_users": ROLLING_ACTIVE_USERS_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+SRC_VOCAB_K = 20
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of each source's top-k token vocabulary
+    — the corpus-mixing diagnostic that shows which ingestion sources
+    speak the same language before they are blended into one training
+    mix (low overlap ⇒ the mix shifts the token distribution).
+
+    Scale shape: per-source top-k via one rank window over the bounded
+    (source, token) aggregate; the pairwise comparison joins the tiny
+    |sources|·k vocab table with itself on the token — |sources|² stays
+    bounded no matter the corpus size. Integer basis points."""
+    docs = with_tokens(_t(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode("tokens").alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    vocab = counts.select(
+        "source", "tok", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= SRC_VOCAB_K).select("source", "tok")
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.select(
+            "src_a", "src_b", "n_common",
+            F.expr(
+                f"n_common * 10000 div ({2 * SRC_VOCAB_K} - n_common)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+counts AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+vocab AS (
+  SELECT source, tok FROM (
+    SELECT source, tok, row_number() OVER (
+      PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+    FROM counts) r
+  WHERE rk <= {SRC_VOCAB_K}),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM vocab a JOIN vocab b
+    ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS BIGINT) * 10000
+         // ({2 * SRC_VOCAB_K} - CAST(n_common AS BIGINT)) AS jaccard_bp
+FROM inter
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings curve
+# ---------------------------------------------------------------------------
+
+def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What deduplication would save, by cluster size: for each near-dup
+    cluster size, the cluster count, the documents and characters a
+    keep-one policy removes, and the cumulative share of the corpus
+    reclaimed (largest clusters first) — the business case for running
+    the dedup pass, as a query.
+
+    Scale shape: reuses the checkpointed cluster assignment; everything
+    after it aggregates the bounded cluster-size distribution. Integer
+    basis points against total corpus characters."""
+    from .dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = dedup_clusters(spark, sf_dir).join(docs, "doc_id")
+    per_cluster = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("n_chars").alias("chars"),
+        F.max("n_chars").alias("keep_chars"),
+    )
+    by_size = per_cluster.where(F.col("size") > 1).groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("size") - 1).alias("docs_removed"),
+        F.sum(F.col("chars") - F.col("keep_chars")).alias(
+            "chars_removed"
+        ),
+    )
+    total = docs.agg(F.sum("n_chars").alias("total_chars"))
+    w = (
+        W.orderBy(F.col("size").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        by_size.crossJoin(F.broadcast(total))
+        .select(
+            "size", "n_clusters", "docs_removed", "chars_removed",
+            F.expr(
+                "sum(chars_removed) over (order by size desc "
+                "rows between unbounded preceding and current row) "
+                "* 10000 div total_chars"
+            ).alias("cum_savings_bp"),
+        )
+        .orderBy(F.col("size").desc())
+    )
+
+
+def _dedup_savings_oracle() -> str:
+    from .dedup import DEDUP_CLUSTERS_ORACLE
+
+    clusters_body = DEDUP_CLUSTERS_ORACLE.strip().removesuffix(
+        "ORDER BY d.doc_id"
+    )
+    return f"""
+WITH assign AS ({clusters_body}),
+per_cluster AS (
+  SELECT a.cluster_id, count(*) AS size,
+         CAST(sum(d.n_chars) AS BIGINT) AS chars,
+         CAST(max(d.n_chars) AS BIGINT) AS keep_chars
+  FROM assign a JOIN documents d USING (doc_id)
+  GROUP BY a.cluster_id),
+by_size AS (
+  SELECT size, count(*) AS n_clusters,
+         CAST(sum(size - 1) AS BIGINT) AS docs_removed,
+         CAST(sum(chars - keep_chars) AS BIGINT) AS chars_removed
+  FROM per_cluster WHERE size > 1 GROUP BY size),
+total AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents)
+SELECT size, n_clusters, docs_removed, chars_removed,
+       CAST(sum(chars_removed) OVER (
+         ORDER BY size DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         * 10000 // t.total_chars AS cum_savings_bp
+FROM by_size CROSS JOIN total t
+ORDER BY size DESC
+"""
+
+
+DEDUP_SAVINGS_ORACLE = _dedup_savings_oracle()
+
+PREP_QUERIES.update({
+    "source_vocab_overlap": source_vocab_overlap,
+    "dedup_savings_curve": dedup_savings_curve,
+})
+
+PREP_ORACLES.update({
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,
+    "dedup_savings_curve": DEDUP_SAVINGS_ORACLE,
+})

@@ -553,3 +553,22 @@ def test_rolling_active_users_dominates_daily(spark):
     for r in rows:
         assert r.dau <= r.wau
         assert 0 < r.stickiness_bp <= 10000
+
+
+def test_source_vocab_overlap_bounds(spark):
+    rows = P.source_vocab_overlap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_common <= P.SRC_VOCAB_K
+        assert 0 < r.jaccard_bp <= 10000
+
+
+def test_dedup_savings_cumulative_monotone(spark):
+    rows = P.dedup_savings_curve(spark, SF_SMOKE).collect()
+    prev = 0
+    for r in rows:  # ordered by size desc; cumulative share only grows
+        assert r.docs_removed == (r.size - 1) * r.n_clusters
+        assert r.cum_savings_bp >= prev
+        prev = r.cum_savings_bp
+        assert 0 <= r.cum_savings_bp <= 10000
