@@ -244,7 +244,8 @@ _FIRST_WINDOW: list[str] = [
 # label_noise_audit, lsh_param_sweep, joint_histogram,
 # l_diversity_audit, dedup_consensus, bounce_rate, skyline_parts,
 # sla_compliance, cluster_canonicals, rolling_active_users,
-# source_vocab_overlap, dedup_savings_curve,
+# source_vocab_overlap, dedup_savings_curve, dup_graph_degrees,
+# jaccard_histogram, session_depth_dist,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

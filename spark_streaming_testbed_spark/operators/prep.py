@@ -2882,3 +2882,171 @@ PREP_ORACLES.update({
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_ORACLE,
     "dedup_savings_curve": DEDUP_SAVINGS_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution
+# ---------------------------------------------------------------------------
+
+def dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: how many docs
+    have 1, 2, ... near-dup neighbors — the shape that predicts whether
+    clustering will produce pairs, stars, or giant templated components
+    (a heavy tail here is the early warning for boilerplate).
+
+    Scale shape: degrees are one aggregate over the slim pair list
+    (both directions); the histogram is a bounded re-aggregate."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        degrees.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("deg")
+    )
+
+
+def _dup_graph_degrees_oracle() -> str:
+    from .dedup import NGRAM_JACCARD_ORACLE
+
+    pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_body})),
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL SELECT doc_b FROM pairs),
+degrees AS (SELECT doc_id, count(*) AS deg FROM ends GROUP BY doc_id)
+SELECT deg, count(*) AS n_docs FROM degrees GROUP BY deg ORDER BY deg
+"""
+
+
+DUP_GRAPH_DEGREES_ORACLE = _dup_graph_degrees_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Jaccard similarity histogram
+# ---------------------------------------------------------------------------
+
+JACC_HIST_BINS = 10
+
+
+def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup pair similarities in 10 equal-width
+    bins over [threshold, 1] — the diagnostic read before moving the
+    dedup threshold (a mass pile-up just above the bar means the
+    threshold is doing real work; an empty gap means it's free to
+    move). Bin index from integer arithmetic on the rounded score.
+
+    Scale shape: one bounded aggregate over the slim pair list."""
+    from .dedup import JACCARD_THRESHOLD, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    span = 1.0 - JACCARD_THRESHOLD
+    bin_expr = F.least(
+        F.lit(JACC_HIST_BINS - 1),
+        F.floor(
+            (F.col("jaccard") - F.lit(JACCARD_THRESHOLD))
+            * F.lit(JACC_HIST_BINS) / F.lit(span)
+        ).cast("int"),
+    )
+    return (
+        pairs.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bin")
+    )
+
+
+def _jaccard_histogram_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, NGRAM_JACCARD_ORACLE
+
+    pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    span = 1.0 - JACCARD_THRESHOLD
+    return f"""
+WITH pairs AS (SELECT jaccard FROM ({pairs_body}))
+SELECT least({JACC_HIST_BINS - 1},
+             CAST(floor((jaccard - {JACCARD_THRESHOLD})
+                        * {JACC_HIST_BINS} / {span}) AS INTEGER)) AS bin,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY bin
+"""
+
+
+JACCARD_HISTOGRAM_ORACLE = _jaccard_histogram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Session depth distribution
+# ---------------------------------------------------------------------------
+
+def session_depth_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement depth: the distribution of sessions-per-user over the
+    period (how many users had 1, 2, ... sessions) plus each cohort's
+    share — the histogram under every "power user" definition. Uses the
+    same native session_window sessions as the rest of the repo.
+
+    Scale shape: session aggregate (one shuffle), per-user count,
+    bounded histogram with a single-row total broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_user = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    hist = per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = hist.agg(F.sum("n_users").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "n_sessions", "n_users",
+            F.expr("n_users * 10000 div total").alias("share_bp"),
+        )
+        .orderBy("n_sessions")
+    )
+
+
+SESSION_DEPTH_DIST_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 30 * 60 * 1000
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+per_user AS (
+  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+  FROM ordered GROUP BY user_id),
+hist AS (
+  SELECT n_sessions, count(*) AS n_users
+  FROM per_user GROUP BY n_sessions),
+total AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM hist)
+SELECT n_sessions, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS BIGINT) * 10000 // t.total AS share_bp
+FROM hist CROSS JOIN total t
+ORDER BY n_sessions
+"""
+
+PREP_QUERIES.update({
+    "dup_graph_degrees": dup_graph_degrees,
+    "jaccard_histogram": jaccard_histogram,
+    "session_depth_dist": session_depth_dist,
+})
+
+PREP_ORACLES.update({
+    "dup_graph_degrees": DUP_GRAPH_DEGREES_ORACLE,
+    "jaccard_histogram": JACCARD_HISTOGRAM_ORACLE,
+    "session_depth_dist": SESSION_DEPTH_DIST_ORACLE,
+})

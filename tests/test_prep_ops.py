@@ -572,3 +572,37 @@ def test_dedup_savings_cumulative_monotone(spark):
         assert r.cum_savings_bp >= prev
         prev = r.cum_savings_bp
         assert 0 <= r.cum_savings_bp <= 10000
+
+
+def test_dup_graph_degree_mass_matches_pairs(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = P.dup_graph_degrees(spark, SF_SMOKE).collect()
+    n_pairs = ngram_jaccard_pairs(spark, SF_SMOKE).count()
+    # handshake lemma: sum(deg * count) == 2 * |edges|
+    assert sum(r.deg * r.n_docs for r in rows) == 2 * n_pairs
+
+
+def test_jaccard_histogram_mass(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = P.jaccard_histogram(spark, SF_SMOKE).collect()
+    assert sum(r.n_pairs for r in rows) == \
+        ngram_jaccard_pairs(spark, SF_SMOKE).count()
+    assert all(0 <= r.bin < P.JACC_HIST_BINS for r in rows)
+
+
+def test_session_depth_dist_mass(spark):
+    rows = P.session_depth_dist(spark, SF_SMOKE).collect()
+    from spark_streaming_testbed_spark.session import load_table
+
+    n_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(r.n_sessions >= 1 for r in rows)
