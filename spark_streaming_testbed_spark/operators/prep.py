@@ -3050,3 +3050,196 @@ PREP_ORACLES.update({
     "jaccard_histogram": JACCARD_HISTOGRAM_ORACLE,
     "session_depth_dist": SESSION_DEPTH_DIST_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association over sessions
+# ---------------------------------------------------------------------------
+
+def session_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules with sessions as baskets: for each event-type
+    pair, the sessions containing both, the confidence of a→b, and the
+    lift vs independence (Agrawal & Srikant 1994, reduced to the
+    pairwise case) — "users who view also purchase" as a query, in
+    exact integer micro-units.
+
+    Scale shape: sessions reduce to distinct (session, type) first;
+    the pair join is keyed on the session id and the type sets are
+    bounded (|types|² pairs total); counts only."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("#"),
+                F.unix_millis("sw.start").cast("string"),
+            ).alias("sid"),
+            "types",
+        )
+    )
+    present = sessions.select(
+        "sid", F.explode("types").alias("etype")
+    )
+    n_total = sessions.select(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    per_type = present.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_with")
+    )
+    a = present.select("sid", F.col("etype").alias("type_a"))
+    b = present.select("sid", F.col("etype").alias("type_b"))
+    both = (
+        a.join(b, "sid")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_type.select(
+        F.col("etype").alias("type_a"), F.col("n_with").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("etype").alias("type_b"), F.col("n_with").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr("n_both * 10000 div n_sessions").alias("support_bp"),
+            F.expr("n_both * 10000 div n_a").alias("confidence_bp"),
+            F.expr(
+                "n_both * n_sessions * 1000000 div (n_a * n_b)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SESSION_COOCCURRENCE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 30 * 60 * 1000
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered),
+present AS (
+  SELECT DISTINCT concat(CAST(user_id AS VARCHAR), '#',
+                         CAST(sid AS VARCHAR)) AS sid, event_type
+  FROM islands),
+totals AS (SELECT count(DISTINCT sid) AS n_sessions FROM present),
+per_type AS (
+  SELECT event_type, count(*) AS n_with FROM present GROUP BY 1),
+copresent AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM present a JOIN present b
+    ON a.sid = b.sid AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT bo.type_a, bo.type_b,
+       CAST(bo.n_both AS BIGINT) AS n_both,
+       CAST(na.n_with AS BIGINT) AS n_a,
+       CAST(nb.n_with AS BIGINT) AS n_b,
+       CAST(bo.n_both AS BIGINT) * 10000 // t.n_sessions AS support_bp,
+       CAST(bo.n_both AS BIGINT) * 10000 // na.n_with
+         AS confidence_bp,
+       CAST(bo.n_both AS BIGINT) * t.n_sessions * 1000000
+         // (na.n_with * nb.n_with) AS lift_micro
+FROM copresent bo
+JOIN per_type na ON bo.type_a = na.event_type
+JOIN per_type nb ON bo.type_b = nb.event_type
+CROSS JOIN totals t
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly part growth movers
+# ---------------------------------------------------------------------------
+
+MOVERS_TOP_N = 10
+
+
+def part_growth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fastest-moving parts week over week: per part, revenue cents by
+    ship week, WoW growth in basis points, and the top risers of the
+    latest complete week — the merchandising watchlist, in exact
+    integer arithmetic end to end.
+
+    Scale shape: one (part, week) cents aggregate; lag over each
+    part's short week series; a bounded top-n on the final week."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+        ).alias("cents")
+    )
+    w = W.partitionBy("l_partkey").orderBy("wk")
+    grown = weekly.withColumn("prev_cents", F.lag("cents").over(w))
+    last_wk = weekly.agg(F.max("wk").alias("last_wk"))
+    return (
+        grown.crossJoin(F.broadcast(last_wk))
+        .where(
+            (F.col("wk") == F.col("last_wk"))
+            & F.col("prev_cents").isNotNull()
+            & (F.col("prev_cents") > 0)
+        )
+        .select(
+            "l_partkey", "wk", "cents", "prev_cents",
+            F.expr(
+                "(cents - prev_cents) * 10000 div prev_cents"
+            ).alias("growth_bp"),
+        )
+        .orderBy(F.col("growth_bp").desc(), "l_partkey")
+        .limit(MOVERS_TOP_N)
+    )
+
+
+PART_GROWTH_MOVERS_ORACLE = f"""
+WITH weekly AS (
+  SELECT l_partkey,
+         CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2),
+grown AS (
+  SELECT l_partkey, wk, cents,
+         lag(cents) OVER (
+           PARTITION BY l_partkey ORDER BY wk) AS prev_cents
+  FROM weekly),
+last_wk AS (SELECT max(wk) AS last_wk FROM weekly)
+SELECT l_partkey, wk, cents, prev_cents,
+       (cents - prev_cents) * 10000 // prev_cents AS growth_bp
+FROM grown CROSS JOIN last_wk
+WHERE wk = last_wk AND prev_cents IS NOT NULL AND prev_cents > 0
+ORDER BY growth_bp DESC, l_partkey
+LIMIT {MOVERS_TOP_N}
+"""
+
+PREP_QUERIES.update({
+    "session_cooccurrence_lift": session_cooccurrence_lift,
+    "part_growth_movers": part_growth_movers,
+})
+
+PREP_ORACLES.update({
+    "session_cooccurrence_lift": SESSION_COOCCURRENCE_ORACLE,
+    "part_growth_movers": PART_GROWTH_MOVERS_ORACLE,
+})

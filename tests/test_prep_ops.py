@@ -606,3 +606,22 @@ def test_session_depth_dist_mass(spark):
     )
     assert sum(r.n_users for r in rows) == n_users
     assert all(r.n_sessions >= 1 for r in rows)
+
+
+def test_cooccurrence_lift_identities(spark):
+    rows = P.session_cooccurrence_lift(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 < r.support_bp <= 10000
+        assert 0 < r.confidence_bp <= 10000
+        assert r.lift_micro > 0
+
+
+def test_part_growth_movers_sorted_desc(spark):
+    rows = P.part_growth_movers(spark, SF_SMOKE).collect()
+    assert len(rows) <= P.MOVERS_TOP_N
+    for a, b in zip(rows, rows[1:]):
+        assert (a.growth_bp, -a.l_partkey) >= (b.growth_bp, -b.l_partkey)
+    for r in rows:
+        assert r.prev_cents > 0
