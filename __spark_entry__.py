@@ -246,7 +246,8 @@ _FIRST_WINDOW: list[str] = [
 # sla_compliance, cluster_canonicals, rolling_active_users,
 # source_vocab_overlap, dedup_savings_curve, dup_graph_degrees,
 # jaccard_histogram, session_depth_dist, session_cooccurrence_lift,
-# part_growth_movers,
+# part_growth_movers, uniform_negatives, temporal_split_audit,
+# ts_feature_table,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -3243,3 +3243,228 @@ PREP_ORACLES.update({
     "session_cooccurrence_lift": SESSION_COOCCURRENCE_ORACLE,
     "part_growth_movers": PART_GROWTH_MOVERS_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucketed uniform negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_PER_QUERY = 3
+NEG_BUCKETS = 16
+
+
+def uniform_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negatives for contrastive training: for
+    each anchor vector, :data:`NEG_PER_QUERY` different-label vectors
+    chosen by smallest pair hash — reproducible (no RNG state), and
+    restricted to the anchor's hash bucket so the candidate join is
+    1/:data:`NEG_BUCKETS` of the cross product (the easy-negative
+    complement to ``hard_negatives``' nearest-wrong-label mining).
+
+    Scale shape: both sides carry only (id, label, bucket); the
+    equi-join on the bucket bounds the blow-up, and the per-anchor
+    top-k is a window over the tiny candidate set."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    bucket = md5h("cast(vec_id as string)") % NEG_BUCKETS
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        bucket.alias("bkt"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label"),
+        bucket.alias("bkt"),
+    )
+    pair_h = md5h(
+        "concat(cast(q_id as string), '|', cast(c_id as string))"
+    )
+    cand = (
+        q.join(c, "bkt")
+        .where(F.col("q_label") != F.col("c_label"))
+        .select("q_id", "q_label", "c_id", "c_label",
+                pair_h.alias("ph"))
+    )
+    w = W.partitionBy("q_id").orderBy("ph", "c_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NEG_PER_QUERY)
+        .select("q_id", "q_label", "rk", "c_id", "c_label")
+        .orderBy("q_id", "rk")
+    )
+
+
+_NEG_BKT_Q = MD5H_SQL_TEMPLATE.format(expr="CAST(q_id AS VARCHAR)")
+_NEG_BKT_C = MD5H_SQL_TEMPLATE.format(expr="CAST(c_id AS VARCHAR)")
+_NEG_PH = MD5H_SQL_TEMPLATE.format(
+    expr="concat(CAST(q_id AS VARCHAR), '|', CAST(c_id AS VARCHAR))"
+)
+
+UNIFORM_NEGATIVES_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         {MD5H_SQL_TEMPLATE.format(expr="CAST(vec_id AS VARCHAR)")}
+           % {NEG_BUCKETS} AS bkt
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS c_id, label AS c_label,
+         {MD5H_SQL_TEMPLATE.format(expr="CAST(vec_id AS VARCHAR)")}
+           % {NEG_BUCKETS} AS bkt
+  FROM embeddings),
+cand AS (
+  SELECT q.q_id, q.q_label, c.c_id, c.c_label,
+         {_NEG_PH} AS ph
+  FROM q JOIN c USING (bkt)
+  WHERE q.q_label != c.c_label),
+ranked AS (
+  SELECT q_id, q_label, c_id, c_label,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY ph, c_id) AS rk
+  FROM cand)
+SELECT q_id, q_label, CAST(rk AS INTEGER) AS rk, c_id, c_label
+FROM ranked WHERE rk <= {NEG_PER_QUERY}
+ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split audit
+# ---------------------------------------------------------------------------
+
+TEMPORAL_CUTOFF_DAY = 24
+
+
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based split audit: events before day :data:`TEMPORAL_CUTOFF
+    _DAY` of the month train, the rest test — per split the row/user
+    counts, plus how many test-set users also appear in train (the
+    entity overlap that decides whether the evaluation measures
+    generalization to new users or just new days).
+
+    Scale shape: one pass with a date predicate per split, distinct
+    user sets reduced before the overlap join. Integer counts."""
+    events = _t(spark, sf_dir, "events")
+    tagged = events.select(
+        "user_id",
+        F.when(
+            F.dayofmonth("ts") < TEMPORAL_CUTOFF_DAY, "train"
+        ).otherwise("test").alias("split"),
+    )
+    stats = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    train_u = tagged.where(F.col("split") == "train").select(
+        "user_id"
+    ).distinct()
+    test_u = tagged.where(F.col("split") == "test").select(
+        "user_id"
+    ).distinct()
+    overlap = train_u.join(test_u, "user_id").agg(
+        F.count(F.lit(1)).alias("n_seen_users")
+    )
+    return (
+        stats.crossJoin(F.broadcast(overlap))
+        .select(
+            "split", "n_rows", "n_users", "n_seen_users",
+            F.expr("n_seen_users * 10000 div n_users").alias(
+                "seen_user_bp"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+TEMPORAL_SPLIT_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN day(ts) < {TEMPORAL_CUTOFF_DAY}
+              THEN 'train' ELSE 'test' END AS split
+  FROM events),
+stats AS (
+  SELECT split, count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_users
+  FROM tagged GROUP BY split),
+overlap AS (
+  SELECT count(*) AS n_seen_users FROM (
+    SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+    INTERSECT_SENTINEL) u)
+SELECT s.split, CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       CAST(o.n_seen_users AS BIGINT) AS n_seen_users,
+       CAST(o.n_seen_users AS BIGINT) * 10000 // s.n_users
+         AS seen_user_bp
+FROM stats s CROSS JOIN overlap o
+ORDER BY split
+"""
+# the overlap CTE needs an INTERSECT, which the f-string above can't
+# express cleanly — splice it in here
+TEMPORAL_SPLIT_ORACLE = TEMPORAL_SPLIT_ORACLE.replace(
+    "INTERSECT_SENTINEL",
+    "INTERSECT SELECT DISTINCT user_id FROM tagged WHERE split = 'test'",
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-series feature table (lags + rolling mean in one pass)
+# ---------------------------------------------------------------------------
+
+def ts_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store staple: per (event_type, day) the daily mean
+    plus its lag-1, lag-7, and trailing-7-day rolling mean — every
+    derived column from ONE window pass over the reduced daily series
+    (no self-joins), with DECIMAL daily sums and quantized outputs.
+
+    Scale shape: facts reduce to the bounded (type, day) grid first;
+    all four features share one partition+sort."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("_s"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "day",
+        _q6(F.col("_s").cast("double") / F.col("n")).alias("dm"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type", "day", "dm",
+            F.lag("dm", 1).over(w).alias("lag1"),
+            F.lag("dm", 7).over(w).alias("lag7"),
+            _q6(
+                F.sum(F.col("dm").cast("decimal(28,9)")).over(w7)
+                .cast("double")
+                / F.count(F.lit(1)).over(w7)
+            ).alias("roll7_mean"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS_FEATURE_TABLE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {_Q6_SQL.format(x="CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / count(*)")}
+           AS dm
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, dm,
+       lag(dm, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1,
+       lag(dm, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7,
+       {_Q6_SQL.format(x="CAST(sum(CAST(dm AS DECIMAL(28,9))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / count(*) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")}
+         AS roll7_mean
+FROM daily
+ORDER BY event_type, day
+"""
+
+PREP_QUERIES.update({
+    "uniform_negatives": uniform_negatives,
+    "temporal_split_audit": temporal_split_audit,
+    "ts_feature_table": ts_feature_table,
+})
+
+PREP_ORACLES.update({
+    "uniform_negatives": UNIFORM_NEGATIVES_ORACLE,
+    "temporal_split_audit": TEMPORAL_SPLIT_ORACLE,
+    "ts_feature_table": TS_FEATURE_TABLE_ORACLE,
+})

@@ -625,3 +625,43 @@ def test_part_growth_movers_sorted_desc(spark):
         assert (a.growth_bp, -a.l_partkey) >= (b.growth_bp, -b.l_partkey)
     for r in rows:
         assert r.prev_cents > 0
+
+
+def test_uniform_negatives_contract(spark):
+    rows = P.uniform_negatives(spark, SF_SMOKE).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r.q_label != r.c_label  # negatives only
+        per_q.setdefault(r.q_id, []).append(r.rk)
+    for rks in per_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= P.NEG_PER_QUERY
+    # determinism: a second run produces the identical sample
+    assert rows == P.uniform_negatives(spark, SF_SMOKE).collect()
+
+
+def test_temporal_split_covers_everything(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = {r.split: r
+            for r in P.temporal_split_audit(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    assert rows["train"].n_rows + rows["test"].n_rows == events.count()
+    for r in rows.values():
+        assert r.n_seen_users <= r.n_users or r.split == "test"
+        assert 0 <= r.seen_user_bp <= 10000
+
+
+def test_ts_feature_table_window_identities(spark):
+    rows = P.ts_feature_table(spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        grp.sort(key=lambda r: r.day)
+        assert grp[0].lag1 is None
+        for prev, cur in zip(grp, grp[1:]):
+            assert cur.lag1 == prev.dm
+        for i, r in enumerate(grp):
+            window = [g.dm for g in grp[max(0, i - 6): i + 1]]
+            assert abs(r.roll7_mean - sum(window) / len(window)) < 1e-5
