@@ -247,7 +247,7 @@ _FIRST_WINDOW: list[str] = [
 # source_vocab_overlap, dedup_savings_curve, dup_graph_degrees,
 # jaccard_histogram, session_depth_dist, session_cooccurrence_lift,
 # part_growth_movers, uniform_negatives, temporal_split_audit,
-# ts_feature_table,
+# ts_feature_table, fulfillment_lag_hist, segment_migration,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -3468,3 +3468,163 @@ PREP_ORACLES.update({
     "temporal_split_audit": TEMPORAL_SPLIT_ORACLE,
     "ts_feature_table": TS_FEATURE_TABLE_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lag distribution
+# ---------------------------------------------------------------------------
+
+LAG_BUCKET_DAYS = 15
+
+
+def fulfillment_lag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution by order month: line items
+    bucketed by fulfillment delay (15-day buckets), with each bucket's
+    share of the month — the operations view behind the SLA scorecard
+    (where the delay mass actually sits, not just the compliance rate).
+
+    Scale shape: one natural-key join (order side projects two
+    columns), one bounded (month, bucket) aggregate, shares against a
+    per-month window sum. Integer day and basis-point arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    bucketed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                ).cast("int") / F.lit(LAG_BUCKET_DAYS)
+            ).cast("int").alias("lag_bucket"),
+        )
+        .groupBy("mon", "lag_bucket")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    w = W.partitionBy("mon")
+    return (
+        bucketed.withColumn("mon_total", F.sum("n_lines").over(w))
+        .select(
+            "mon", "lag_bucket", "n_lines",
+            F.expr("n_lines * 10000 div mon_total").alias("share_bp"),
+        )
+        .orderBy("mon", "lag_bucket")
+    )
+
+
+FULFILLMENT_LAG_ORACLE = f"""
+WITH bucketed AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+         CAST(datediff('day',
+                 CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                 CAST(date_trunc('day', l.l_shipdate) AS DATE))
+              // {LAG_BUCKET_DAYS} AS INTEGER) AS lag_bucket,
+         count(*) AS n_lines
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT mon, lag_bucket, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines AS BIGINT) * 10000
+         // CAST(sum(n_lines) OVER (PARTITION BY mon) AS BIGINT)
+         AS share_bp
+FROM bucketed
+ORDER BY mon, lag_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Customer segment migration
+# ---------------------------------------------------------------------------
+
+SEGMENT_SPLIT_DAY = 16
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: users terciled by spend in the first
+    half of the period vs the second half (plus 'inactive'), with the
+    user count per (from, to) cell — the churn/upsell flow picture
+    behind every retention program. Terciles break ties on user_id so
+    both engines segment identically.
+
+    Scale shape: two bounded per-user aggregates (one per half), each
+    terciled by one rank window; the matrix is a tiny join of the two
+    segment tables."""
+    events = _t(spark, sf_dir, "events")
+    spend = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(
+            F.dayofmonth("ts") < SEGMENT_SPLIT_DAY, F.lit("h1")
+        ).otherwise(F.lit("h2")).alias("half"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    ).groupBy("half", "user_id").agg(F.sum("cents").alias("spend"))
+
+    def seg(half):
+        w = W.orderBy(F.col("spend").desc(), "user_id")
+        return (
+            spend.where(F.col("half") == half)
+            .withColumn("t", F.ntile(3).over(w))
+            .select(
+                "user_id",
+                F.when(F.col("t") == 1, "high")
+                .when(F.col("t") == 2, "mid")
+                .otherwise("low").alias(f"seg_{half}"),
+            )
+        )
+    users = events.select("user_id").distinct()
+    joined = (
+        users.join(seg("h1"), "user_id", "left")
+        .join(seg("h2"), "user_id", "left")
+        .select(
+            F.coalesce("seg_h1", F.lit("inactive")).alias("from_seg"),
+            F.coalesce("seg_h2", F.lit("inactive")).alias("to_seg"),
+        )
+    )
+    return (
+        joined.groupBy("from_seg", "to_seg")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("from_seg", "to_seg")
+    )
+
+
+SEGMENT_MIGRATION_ORACLE = f"""
+WITH spend AS (
+  SELECT CASE WHEN day(ts) < {SEGMENT_SPLIT_DAY} THEN 'h1' ELSE 'h2' END
+           AS half,
+         user_id,
+         CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+seg1 AS (
+  SELECT user_id,
+         CASE ntile(3) OVER (ORDER BY spend DESC, user_id)
+           WHEN 1 THEN 'high' WHEN 2 THEN 'mid' ELSE 'low' END
+           AS seg_h1
+  FROM spend WHERE half = 'h1'),
+seg2 AS (
+  SELECT user_id,
+         CASE ntile(3) OVER (ORDER BY spend DESC, user_id)
+           WHEN 1 THEN 'high' WHEN 2 THEN 'mid' ELSE 'low' END
+           AS seg_h2
+  FROM spend WHERE half = 'h2'),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT coalesce(s1.seg_h1, 'inactive') AS from_seg,
+       coalesce(s2.seg_h2, 'inactive') AS to_seg,
+       count(*) AS n_users
+FROM users u
+LEFT JOIN seg1 s1 USING (user_id)
+LEFT JOIN seg2 s2 USING (user_id)
+GROUP BY 1, 2
+ORDER BY from_seg, to_seg
+"""
+
+PREP_QUERIES.update({
+    "fulfillment_lag_hist": fulfillment_lag_hist,
+    "segment_migration": segment_migration,
+})
+
+PREP_ORACLES.update({
+    "fulfillment_lag_hist": FULFILLMENT_LAG_ORACLE,
+    "segment_migration": SEGMENT_MIGRATION_ORACLE,
+})

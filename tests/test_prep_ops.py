@@ -665,3 +665,27 @@ def test_ts_feature_table_window_identities(spark):
         for i, r in enumerate(grp):
             window = [g.dm for g in grp[max(0, i - 6): i + 1]]
             assert abs(r.roll7_mean - sum(window) / len(window)) < 1e-5
+
+
+def test_fulfillment_lag_shares_per_month(spark):
+    rows = P.fulfillment_lag_hist(spark, SF_SMOKE).collect()
+    by_mon: dict = {}
+    for r in rows:
+        by_mon.setdefault(r.mon, []).append(r)
+    for grp in by_mon.values():
+        s = sum(r.share_bp for r in grp)
+        assert 10000 - len(grp) <= s <= 10000  # truncation loses <1bp/row
+
+
+def test_segment_migration_covers_all_users(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = P.segment_migration(spark, SF_SMOKE).collect()
+    n_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    segs = {"high", "mid", "low", "inactive"}
+    for r in rows:
+        assert r.from_seg in segs and r.to_seg in segs
