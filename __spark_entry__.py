@@ -248,6 +248,7 @@ _FIRST_WINDOW: list[str] = [
 # jaccard_histogram, session_depth_dist, session_cooccurrence_lift,
 # part_growth_movers, uniform_negatives, temporal_split_audit,
 # ts_feature_table, fulfillment_lag_hist, segment_migration,
+# weekday_activity_profile, repeat_purchase_gaps,
 # plus anything added later in round 4), then regression re-checks of
 # the family flagships (batch_stats, tpch_q1, dedup_clusters,
 # cosine_topk, streaming_profile_stats, ...).

@@ -3628,3 +3628,112 @@ PREP_ORACLES.update({
     "fulfillment_lag_hist": FULFILLMENT_LAG_ORACLE,
     "segment_migration": SEGMENT_MIGRATION_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Weekday activity profile
+# ---------------------------------------------------------------------------
+
+def weekday_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(weekday, event type) activity profile with each type's
+    share of its weekday — the simplest seasonality cut (weekday mix),
+    complementing the hour-of-day baseline ops. ISO weekday numbering
+    so both engines agree on Monday=1.
+
+    Scale shape: one bounded (7 x |types|) aggregate plus a per-weekday
+    window sum. Integer arithmetic only."""
+    events = _t(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.expr("extract(dayofweek_iso from ts)").cast("int").alias("iso_dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("iso_dow")
+    return (
+        cells.withColumn("dow_total", F.sum("n").over(w))
+        .select(
+            "iso_dow", "event_type", "n",
+            F.expr("n * 10000 div dow_total").alias("share_bp"),
+        )
+        .orderBy("iso_dow", "event_type")
+    )
+
+
+WEEKDAY_PROFILE_ORACLE = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT iso_dow, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS BIGINT) * 10000
+         // CAST(sum(n) OVER (PARTITION BY iso_dow) AS BIGINT)
+         AS share_bp
+FROM cells
+ORDER BY iso_dow, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase gap histogram
+# ---------------------------------------------------------------------------
+
+def repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a user's consecutive purchases —
+    the repeat-behavior curve replenishment and win-back campaigns are
+    timed against. One lag window per user over purchase days, then a
+    bounded integer-day histogram with shares.
+
+    Scale shape: facts filter to purchases, reduce to distinct
+    (user, day), one user-partitioned lag, bounded histogram."""
+    events = _t(spark, sf_dir, "events")
+    buy_days = events.where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    gaps = buy_days.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    hist = gaps.groupBy("gap_days").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+    total = hist.agg(F.sum("n_gaps").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "gap_days", "n_gaps",
+            F.expr("n_gaps * 10000 div total").alias("share_bp"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+REPEAT_PURCHASE_GAPS_ORACLE = """
+WITH buy_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT user_id,
+         datediff('day',
+                  lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                  day) AS gap_days
+  FROM buy_days),
+hist AS (
+  SELECT gap_days, count(*) AS n_gaps FROM gaps
+  WHERE gap_days IS NOT NULL GROUP BY gap_days),
+total AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS total FROM hist)
+SELECT CAST(gap_days AS INTEGER) AS gap_days,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(n_gaps AS BIGINT) * 10000 // t.total AS share_bp
+FROM hist CROSS JOIN total t
+ORDER BY gap_days
+"""
+
+PREP_QUERIES.update({
+    "weekday_activity_profile": weekday_activity_profile,
+    "repeat_purchase_gaps": repeat_purchase_gaps,
+})
+
+PREP_ORACLES.update({
+    "weekday_activity_profile": WEEKDAY_PROFILE_ORACLE,
+    "repeat_purchase_gaps": REPEAT_PURCHASE_GAPS_ORACLE,
+})

@@ -689,3 +689,22 @@ def test_segment_migration_covers_all_users(spark):
     segs = {"high", "mid", "low", "inactive"}
     for r in rows:
         assert r.from_seg in segs and r.to_seg in segs
+
+
+def test_weekday_profile_shares(spark):
+    rows = P.weekday_activity_profile(spark, SF_SMOKE).collect()
+    by_dow: dict = {}
+    for r in rows:
+        assert 1 <= r.iso_dow <= 7
+        by_dow.setdefault(r.iso_dow, []).append(r)
+    for grp in by_dow.values():
+        s = sum(r.share_bp for r in grp)
+        assert 10000 - len(grp) <= s <= 10000
+
+
+def test_repeat_purchase_gaps_positive(spark):
+    rows = P.repeat_purchase_gaps(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.gap_days >= 1  # distinct days => gaps of at least a day
+        assert r.n_gaps > 0
