@@ -171,87 +171,73 @@ _EXTRA_ORACLES: dict[str, str] = {
 
 
 # The driver's correctness gate covers only the FIRST 50 registry keys,
-# so the window rotates per round. Round 4: the 46 registry entries that
-# have never had a driver row in rounds 1-3 (all green under the local
-# tools/check_oracle.py replica) take the window; operators ADDED in
-# round 4 fill the remaining slots as they land so they hit the hard
-# signal immediately. Every operator displaced this round carries a
-# driver-green row from rounds 1-3, so the union of all rounds'
-# CORRECTNESS files covers the whole registry.
+# so the window rotates per round. Every operator displaced by a
+# rotation carries a driver-green row from an earlier round, so the
+# union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- never driver-checked through round 3 (46) ---
-    "session_paths",
-    "rfm_features",
-    "rate_timeline",
-    "partition_skew_report",
-    "upsert_merge",
-    "json_extract_stats",
-    "column_histograms",
-    "exact_median_twopass",
-    "scd2_pointintime_join",
-    "bootstrap_ci",
-    "daily_percentile_bands",
-    "join_cardinality_estimate",
-    "latest_state_pivot",
-    "winsorized_stats",
-    "seasonal_adjust",
-    "revenue_trend",
-    "revenue_concentration",
-    "supplier_return_rate",
-    "order_backlog_timeline",
-    "mix_shift_test",
-    "pipeline_health_report",
-    "pmi_collocations",
-    "bm25_retrieval",
-    "lang_id_confusion",
-    "snm_candidate_pairs",
-    "dedup_cascade_report",
-    "cdc_chunk_dedup",
-    "blocking_recall_eval",
-    "knn_graph",
-    "hard_negatives",
-    "pq_codes",
-    "pq_adc_topk",
-    "ann_recall_eval",
-    "streaming_ewma",
-    "streaming_late_data",
-    "streaming_upsert",
-    "streaming_sessionize",
-    "streaming_sliding_stats",
-    "streaming_latest_state",
-    "triangle_count",
-    "ewma_smooth",
-    "ts_similarity_pairs",
-    "cep_pattern_match",
-    "lpa_communities",
-    "conversion_ab_test",
-    "attribution_report",
-    # --- round-4 additions (never had a chance at a driver row) ---
-    "target_encoding",
-    "quantile_binning",
-    "k_anonymity_audit",
-    "length_bucket_plan",
+    # --- round-5 window: the 50 round-4 operators that have never had
+    # a driver CORRECTNESS row (all green under the local
+    # tools/check_oracle.py replica and the judge's independent re-run).
+    # After this round every registry entry is driver-verified. ---
+    "lsh_param_sweep",
+    "multimodal_payload_dedup",
+    "streaming_group_sample",
+    "file_skipping_audit",
+    "class_balance_weights",
+    "feature_hashing",
+    "ngram_novelty",
+    "benford_audit",
+    "mad_outliers",
+    "gap_fill_locf",
+    "cusum_drift",
+    "embedding_threshold_sweep",
+    "percentile_rank_features",
+    "quantile_normalize_embeddings",
+    "group_sample_topk",
+    "cross_split_leakage",
+    "dataset_card_report",
+    "holt_trend",
+    "cohort_ltv",
+    "containment_pairs",
+    "readability_scores",
+    "matryoshka_fidelity",
+    "funnel_time_bounded",
+    "embedding_outliers",
+    "referential_integrity_audit",
+    "seasonal_anomaly_alerts",
+    "oov_rate",
+    "label_noise_audit",
+    "joint_histogram",
+    "l_diversity_audit",
+    "dedup_consensus",
+    "bounce_rate",
+    "skyline_parts",
+    "sla_compliance",
+    "cluster_canonicals",
+    "rolling_active_users",
+    "source_vocab_overlap",
+    "dedup_savings_curve",
+    "dup_graph_degrees",
+    "jaccard_histogram",
+    "session_depth_dist",
+    "session_cooccurrence_lift",
+    "part_growth_movers",
+    "uniform_negatives",
+    "temporal_split_audit",
+    "ts_feature_table",
+    "fulfillment_lag_hist",
+    "segment_migration",
+    "weekday_activity_profile",
+    "repeat_purchase_gaps",
 ]
-# Round-5 rotation queue: the round-4 additions past position 50
-# (class_balance_weights, feature_hashing, ngram_novelty, benford_audit,
-# mad_outliers, gap_fill_locf, cusum_drift, embedding_threshold_sweep,
-# percentile_rank_features, quantile_normalize_embeddings,
-# group_sample_topk, cross_split_leakage, dataset_card_report,
-# streaming_group_sample, holt_trend, cohort_ltv, containment_pairs,
-# readability_scores, matryoshka_fidelity, file_skipping_audit,
-# funnel_time_bounded, embedding_outliers, referential_integrity_audit,
-# multimodal_payload_dedup, seasonal_anomaly_alerts, oov_rate,
-# label_noise_audit, lsh_param_sweep, joint_histogram,
-# l_diversity_audit, dedup_consensus, bounce_rate, skyline_parts,
-# sla_compliance, cluster_canonicals, rolling_active_users,
-# source_vocab_overlap, dedup_savings_curve, dup_graph_degrees,
-# jaccard_histogram, session_depth_dist, session_cooccurrence_lift,
-# part_growth_movers, uniform_negatives, temporal_split_audit,
-# ts_feature_table, fulfillment_lag_hist, segment_migration,
-# weekday_activity_profile, repeat_purchase_gaps,
-# plus anything added later in round 4), then regression re-checks of
-# the family flagships (batch_stats, tpch_q1, dedup_clusters,
-# cosine_topk, streaming_profile_stats, ...).
+# Rotation policy from round 6 onward: blend ~40 slots of new /
+# never-driver-checked operators with ~10 family-flagship REGRESSION
+# re-checks as a drift guard. Reserved flagship re-check set:
+# batch_stats, tpch_q1, dedup_clusters, cosine_topk,
+# streaming_profile_stats, profile_fixed_ramp, loglake_execution_roundtrip,
+# congestion_drop_accounting, streaming_ewma, target_encoding
+# (one per family: relational, TPC-H, dedup graph, similarity, streaming
+# replay, rate profiles, loglake, congestion, stateful streaming, prep).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -233,14 +233,19 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
         recs = [json.loads(line) for line in open(acct)]
         return durs, recs
 
-    durs_off, _ = run(controlled=False)
     # the live loop shares a JVM with 20+ warm query plans; a single GC
     # or compile stall inside the 15 s window can dominate the backlog
-    # sum (observed 129 s once vs 4-10 s across isolated reruns), so the
-    # controller's capability is reported as the better of two runs
+    # sum (observed 129 s once vs 4-10 s across isolated reruns), so
+    # BOTH arms run twice and report their better run (symmetric
+    # best-of-2, per ADVICE r4)
     out: dict[str, float] = {}
-    if durs_off:
-        out["scenario2_pid_off_max_trigger"] = round(max(durs_off), 3)
+    best_off = None
+    for _ in range(2):
+        durs_off, _ = run(controlled=False)
+        if durs_off and (best_off is None or max(durs_off) < best_off):
+            best_off = max(durs_off)
+    if best_off is not None:
+        out["scenario2_pid_off_max_trigger"] = round(best_off, 3)
     best_recovery, best_max = None, None
     for _ in range(2):
         durs_on, recs_on = run(controlled=True)
@@ -253,7 +258,10 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
             best_recovery, best_max = backlog, max(durs_on)
     if best_max is not None:
         out["scenario2_pid_on_max_trigger"] = round(best_max, 3)
-    out["scenario2_pid_recovery_sec"] = round(best_recovery or 0.0, 3)
+    if best_recovery is not None:
+        # omitted entirely when no controlled run produced triggers —
+        # a missing measurement must not read as a 0 s (perfect) recovery
+        out["scenario2_pid_recovery_sec"] = round(best_recovery, 3)
     return out
 
 

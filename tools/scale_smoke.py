@@ -1,8 +1,8 @@
 """Scale-holding smoke: run flagship operators on a 10x-replicated copy
-of the sf0.1 tables (~1M events / 5k docs -> ~600k lineitem rows stay as
-is) and report wall-clock vs the sf0.1 numbers. The copies get re-keyed
-ids so group cardinalities grow with the data (the adversarial case for
-shuffles), not just row counts.
+of the sf0.1 tables and report wall-clock vs the sf0.1 numbers. Every
+fact AND dimension table except region/nation is replicated with shifted
+keys (FK pairs shifted in lockstep), so group/join cardinalities grow
+with the data (the adversarial case for shuffles), not just row counts.
 
 Usage: python tools/scale_smoke.py [replication] [sf_dir]
 Writes one JSON line; keep it for the round notes. This is evidence the
@@ -41,19 +41,33 @@ SMOKE_OPS = [
     "token_stats",
 ]
 
-#: per-table id columns to shift per replica so keys grow with the data
+#: per-table id columns to shift per replica so keys grow with the data.
+#: FK pairs shift in lockstep (o_orderkey/l_orderkey, o_custkey/c_custkey,
+#: l_partkey/p_partkey, l_suppkey/s_suppkey) so joins stay referentially
+#: intact while EVERY join/group key's cardinality grows with the data —
+#: per-part and per-supplier groups included (ADVICE r4: previously
+#: part/supplier were copied once, so part-keyed group counts stayed
+#: flat and only rows-per-group grew).
 REKEY = {
     "events": {"event_id": 10_000_000, "user_id": 10_000},
     "documents": {"doc_id": 1_000_000},
     "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
-    "lineitem": {"l_orderkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 10_000_000,
+        "l_partkey": 1_000_000,
+        "l_suppkey": 100_000,
+    },
     "customer": {"c_custkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
     "embeddings": {"vec_id": 1_000_000},
 }
 
 
 def replicate(spark, sf_dir: str, out_dir: str, times: int) -> None:
-    for name in ["region", "nation", "supplier", "part"]:
+    # region/nation are genuine fixed dimensions (25/5 rows at any SF in
+    # TPC-H); everything else replicates with shifted keys
+    for name in ["region", "nation"]:
         load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
