@@ -75,18 +75,40 @@ def tsv_lines(stats: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_table(result: DataFrame, mode: str = "complete") -> str:
+def run_stream_to_table(
+    result: DataFrame,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> str:
     """Drive a streaming aggregation to completion with availableNow into
-    a memory sink; returns the sink table name."""
+    a memory sink; returns the sink table name.
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the query's lifetime: state-store
+    partition count is frozen at stream start from that conf, and each
+    partition pays a per-trigger state commit. The profile-replay queries
+    have single-digit distinct keys, so 32 state partitions are pure
+    overhead (~1.3 s/query measured at local[32]); size the override to
+    the state's key cardinality. At production scale the state is keyed
+    per (window, value) across executors — leave it unset there.
+    """
+    spark = result.sparkSession
     name = f"sink_{uuid.uuid4().hex[:10]}"
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -108,7 +130,10 @@ def streaming_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # independent (complete-mode tumbling windows).
         stream = profile_stream(spark, plan, tmp, seconds_per_file=4)
         stats = windowed_stats(stream, window="5 seconds", by_stream=False)
-        table = run_stream_to_table(stats, mode="complete")
+        # 2 distinct (window, value) state keys: 4 state partitions, not
+        # the session's 32 — each partition pays a per-trigger commit
+        table = run_stream_to_table(stats, mode="complete",
+                                    shuffle_partitions=4)
         # memory sink is fully materialized once awaitTermination returns
         return spark.table(table).orderBy("window_start", "value")
 
@@ -154,7 +179,9 @@ def streaming_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa = profile_stream(spark, plan_a, tmp, stream_id=0, seconds_per_file=2)
         sb = profile_stream(spark, plan_b, tmp, stream_id=1, seconds_per_file=2)
         stats = windowed_stats(union_streams([sa, sb]), window="2 seconds")
-        table = run_stream_to_table(stats, mode="complete")
+        # single-digit (window, stream, value) state keys
+        table = run_stream_to_table(stats, mode="complete",
+                                    shuffle_partitions=4)
         return spark.table(table).orderBy("window_start", "stream_id", "value")
 
 
@@ -250,7 +277,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("ts") - F.lit(DEFAULT_EPOCH_MS)).alias("time_ms"),
             "value",
         )
-        table = run_stream_to_table(deduped, mode="append")
+        # ~800 distinct (ts, value) state keys
+        table = run_stream_to_table(deduped, mode="append",
+                                    shuffle_partitions=8)
         return spark.table(table).orderBy("time_ms", "value")
 
 
@@ -516,12 +545,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-trigger cost is the stateful join's task count, not data —
         # run the micro-batches at a narrow shuffle width (cf.
         # streaming_funnel; at scale this knob lives in the checkpoint)
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            table = run_stream_to_table(joined, mode="append")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        table = run_stream_to_table(joined, mode="append",
+                                    shuffle_partitions=8)
         return (
             spark.table(table)
             .groupBy(
