@@ -21,6 +21,10 @@ from spark_streaming_testbed_spark.operators.loglake_queries import (
     LOGLAKE_ORACLES,
     LOGLAKE_QUERIES,
 )
+from spark_streaming_testbed_spark.operators.modeling import (
+    MODELING_ORACLES,
+    MODELING_QUERIES,
+)
 from spark_streaming_testbed_spark.operators.multimodal import (
     MULTIMODAL_ORACLES,
     MULTIMODAL_QUERIES,
@@ -151,6 +155,7 @@ _RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **WAREHOUSE_QUERIES,
     **SKETCH_QUERIES,
     **PREP_QUERIES,
+    **MODELING_QUERIES,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -167,6 +172,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     **WAREHOUSE_ORACLES,
     **SKETCH_ORACLES,
     **PREP_ORACLES,
+    **MODELING_ORACLES,
 }
 
 

@@ -1,0 +1,641 @@
+"""Statistical-law fits and model-style analytics (round 5).
+
+Operators a corpus/commerce analytics layer runs on top of the raw
+aggregates: Zipf-slope and Heaps-curve corpus diagnostics, Kaplan-Meier
+survival over purchase gaps, interval-overlap concurrency timelines,
+incremental aggregate maintenance (the materialized-view merge), degree
+assortativity of the co-activity graph, and an OLS discount-uplift
+slope. All beyond the reference's own operator set (the reference stops
+at windowed count/sum/mean/stddev — simple-streaming-app
+SimpleStreamingApp.scala:51-91); added per the build brief's
+training-pipeline mandate.
+
+Cross-engine determinism (see the float-parity rules in prep.py):
+- OLS fits run on integer-quantized inputs whose sums stay below 2^53,
+  so every sum is EXACT in a double and the closed-form slope arithmetic
+  performs the identical IEEE operations in both engines; outputs are
+  floor-quantized integers.
+- ln() differs by 1 ulp between the JVM and libm, so each ln value is
+  floor-quantized to an integer (milli-nats) BEFORE any sum.
+- The Kaplan-Meier product folds sequentially over window-ordered lists
+  in integer millionths — `(acc * f) div 1e6` truncates identically in
+  Spark's fold and DuckDB's list_reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .advanced import SESSION_GAP_MS, _coactivity_edges
+from .text import TOKENS_SQL, with_tokens
+
+#: Zipf fit: top-K tokens by corpus frequency (the classical fit range;
+#: the tail below rank ~1000 bends away from the power law)
+ZIPF_TOP_K = 500
+
+#: Heaps curve checkpoint width in documents
+HEAPS_BUCKET_DOCS = 250
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: OLS of ln(frequency) on ln(rank) over the top-K tokens
+# ---------------------------------------------------------------------------
+
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit Zipf's law over the corpus token frequencies: the OLS slope of
+    ln(freq) vs ln(rank) for the top-500 tokens — the one-number corpus
+    health check (natural text sits near -1; templated/spammy corpora
+    drift shallow).
+
+    Scale shape: ONE token-keyed aggregate (map-side combinable), then
+    the top-K cut via orderBy().limit() — Catalyst plans
+    TakeOrderedAndProject (per-partition top-K, merge at the driver),
+    NOT a global sort or an unpartitioned rank window over the full
+    vocabulary; the row_number ranks only the 500 survivors. The fit
+    reduces 500 rows to one. Determinism: ln values quantized to
+    integer milli-nats before summation; all sums < 2^53 so the
+    closed-form slope is exact IEEE arithmetic; output is an integer
+    (slope in 1e-5 units)."""
+    toks = with_tokens(_t(spark, sf_dir, "documents")).select(
+        F.explode("tokens").alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    ).limit(ZIPF_TOP_K)
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), F.col("token").asc()))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000)
+        .cast("long").alias("lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000)
+        .cast("long").alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(100000.0)
+        ).cast("long").alias("slope_e5"),
+    )
+
+
+ZIPF_TOKEN_SLOPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM freq QUALIFY rank <= {ZIPF_TOP_K}),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS lx,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS ly
+  FROM ranked),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(lx) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(ly) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(lx * ly) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(lx * lx) AS BIGINT) AS DOUBLE) AS sxx
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100000.0)
+            AS BIGINT) AS slope_e5
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law curve: vocabulary growth vs corpus size at doc checkpoints
+# ---------------------------------------------------------------------------
+
+def heaps_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: at every 250-document
+    checkpoint, the cumulative token count and the cumulative distinct
+    vocabulary — sublinear vocab growth is the signature of natural
+    text; a near-linear curve flags synthetic/ID-heavy content.
+
+    Scale shape: cumulative vocab WITHOUT a running distinct — each
+    token's first-appearance bucket is one token-keyed min-aggregate
+    (map-side combinable), then per-bucket counts and a window cumsum
+    over the tiny bucket spine. Integers only."""
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens"
+    )
+    bucket = (F.col("doc_id") / HEAPS_BUCKET_DOCS).cast("long")
+    per_bucket_tokens = (
+        docs.select(bucket.alias("bucket"), F.size("tokens").alias("nt"))
+        .groupBy("bucket")
+        .agg(F.sum("nt").alias("toks"))
+    )
+    first_bucket = (
+        docs.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(
+            (F.col("first_doc") / HEAPS_BUCKET_DOCS)
+            .cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_bucket_tokens.join(first_bucket, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+        .select(
+            "bucket",
+            F.sum("toks").over(cum).alias("cum_tokens"),
+            F.sum("new_vocab").over(cum).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HEAPS_VOCAB_CURVE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKENS_SQL} AS tokens FROM documents),
+per_bucket AS (
+  SELECT CAST(doc_id // {HEAPS_BUCKET_DOCS} AS BIGINT) AS bucket,
+         CAST(sum(len(tokens)) AS BIGINT) AS toks
+  FROM docs GROUP BY 1),
+first_bucket AS (
+  SELECT CAST(min(doc_id) // {HEAPS_BUCKET_DOCS} AS BIGINT) AS bucket,
+         token
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM docs)
+  GROUP BY token),
+vocab AS (
+  SELECT bucket, count(*) AS new_vocab FROM first_bucket GROUP BY bucket)
+SELECT bucket,
+       CAST(sum(coalesce(toks, 0)) OVER (
+         ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(new_vocab, 0)) OVER (
+         ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM per_bucket FULL JOIN vocab USING (bucket)
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-sessions timeline: interval-overlap counts per hour
+# ---------------------------------------------------------------------------
+
+def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour count of ACTIVE sessions — how many 30-minute-gap user
+    sessions overlap each hour bucket. The capacity-planning view of the
+    session model (how much concurrent state a server farm holds).
+
+    Scale shape: sessions come from the native ``session_window`` (one
+    user-keyed shuffle); each session explodes into only the hour
+    buckets it overlaps (sessions are minutes long, so ~1-2 rows each)
+    and the timeline is one hour-keyed count — linear, no self-join, no
+    global-order window (the classic sweep-line needs a total order;
+    the bucketed form is the shape that distributes). Integers only."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("sw.start")).alias("start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("end_ms"),
+        )
+    )
+    hours = sessions.select(
+        F.explode(
+            F.sequence(
+                (F.col("start_ms") / 3_600_000).cast("long"),
+                ((F.col("end_ms") - 1) / 3_600_000).cast("long"),
+            )
+        ).alias("hour")
+    )
+    return (
+        hours.groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("hour")
+    )
+
+
+CONCURRENT_SESSIONS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_ms(ts) AS t,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MS}
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+sessions AS (
+  SELECT min(t) AS start_ms, max(t) + {SESSION_GAP_MS} AS end_ms
+  FROM islands GROUP BY user_id, sid),
+hours AS (
+  SELECT unnest(range(start_ms // 3600000,
+                      (end_ms - 1) // 3600000 + 1)) AS hour
+  FROM sessions)
+SELECT CAST(hour AS BIGINT) AS hour, count(*) AS n_active
+FROM hours GROUP BY hour ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: partial-agg merge == full recompute
+# ---------------------------------------------------------------------------
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the orders fact is split at its
+    midpoint date into a BASE half and a DELTA half, each pre-aggregated
+    independently, and the two partial-aggregate tables merge by key —
+    the incremental-refresh contract (merge(partial(base), partial(delta))
+    == full recompute, which is exactly what the oracle computes).
+
+    Scale shape: this is the map-side-combine algebra made explicit —
+    count and integer-cents sum are commutative monoids, so partials
+    merge with a second small aggregate instead of rescanning base. The
+    cutoff is a broadcast 1-row scalar anchor (J3 pattern)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ms"),
+        F.expr(
+            "cast(round(o_totalprice * 100) as bigint)"
+        ).alias("cents"),
+    )
+    cutoff = orders.agg(
+        ((F.min("ms") + F.max("ms")) / 2).cast("long").alias("cut")
+    )
+    tagged = orders.crossJoin(F.broadcast(cutoff))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("mon", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+
+    base = partial(tagged.where(F.col("ms") < F.col("cut")))
+    delta = partial(tagged.where(F.col("ms") >= F.col("cut")))
+    return (
+        base.unionByName(delta)
+        .groupBy("mon", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("mon", "o_orderpriority")
+    )
+
+
+INCREMENTAL_AGG_MERGE_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over repeat-purchase gaps
+# ---------------------------------------------------------------------------
+
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of the repeat-purchase gap: each
+    consecutive-purchase-day gap is an observed duration (the customer
+    "came back" after t days); each user's trailing gap to the end of
+    the observation window is CENSORED (no return seen yet — exactly
+    what naive gap histograms get wrong). S(t) = prod_{s<=t}
+    (1 - d_s/n_s) over event times, the standard right-censored
+    estimator (Kaplan & Meier 1958).
+
+    Scale shape: durations reduce to one row per distinct gap length
+    (bounded by the observation span in days) before any window; the
+    risk set is a descending cumsum and the survival product a
+    sequential integer fold over a window-ordered list — both on the
+    tiny reduced table. Determinism: factors are integer millionths,
+    folded with truncating division that matches DuckDB's `//`."""
+    ev = _t(spark, sf_dir, "events")
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_date(F.to_date("ts")).alias("day"))
+        .distinct()
+    )
+    horizon = buys.agg(F.max("day").alias("max_day"))
+    w_user = W.partitionBy("user_id").orderBy("day")
+    gaps = buys.select(
+        "user_id",
+        (F.col("day") - F.lag("day").over(w_user)).alias("t"),
+        F.lit(1).alias("observed"),
+    ).where(F.col("t").isNotNull())
+    last = buys.groupBy("user_id").agg(F.max("day").alias("last_day"))
+    censored = (
+        last.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (F.col("max_day") - F.col("last_day")).alias("t"),
+            F.lit(0).alias("observed"),
+        )
+        .where(F.col("t") >= 1)
+    )
+    subjects = gaps.select("t", "observed").unionByName(
+        censored.select("t", "observed")
+    )
+    per_t = subjects.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("observed").alias("d_events"),
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risk = per_t.select(
+        "t", "d_events", F.sum("n_at").over(w_desc).alias("n_risk")
+    ).where(F.col("d_events") >= 1)
+    factors = risk.select(
+        "t", "n_risk", "d_events",
+        F.expr(
+            "(n_risk - d_events) * 1000000L div n_risk"
+        ).alias("factor"),
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        factors.select(
+            "t", "n_risk", "d_events",
+            F.collect_list("factor").over(w_asc).alias("fs"),
+        )
+        .select(
+            F.col("t").cast("long").alias("t"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d_events").cast("long").alias("d_events"),
+            F.aggregate(
+                "fs",
+                F.lit(1000000).cast("long"),
+                lambda acc, x: F.floor(
+                    (acc * x) / F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("surv_milli"),
+        )
+        .orderBy("t")
+    )
+
+
+SURVIVAL_KM_CURVE_ORACLE = """
+WITH buys AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS day
+  FROM events WHERE event_type = 'purchase'),
+horizon AS (SELECT max(day) AS max_day FROM buys),
+gaps AS (
+  SELECT day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS t,
+         1 AS observed
+  FROM buys),
+censored AS (
+  SELECT h.max_day - max(b.day) AS t, 0 AS observed
+  FROM buys b CROSS JOIN horizon h
+  GROUP BY b.user_id, h.max_day),
+subjects AS (
+  SELECT t, observed FROM gaps WHERE t IS NOT NULL
+  UNION ALL
+  SELECT t, observed FROM censored WHERE t >= 1),
+per_t AS (
+  SELECT t, count(*) AS n_at, CAST(sum(observed) AS BIGINT) AS d_events
+  FROM subjects GROUP BY t),
+risk AS (
+  SELECT t, d_events,
+         CAST(sum(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS n_risk
+  FROM per_t QUALIFY d_events >= 1),
+factors AS (
+  SELECT t, n_risk, d_events,
+         (n_risk - d_events) * 1000000 // n_risk AS factor
+  FROM risk),
+curve AS (
+  SELECT t, n_risk, d_events,
+         list(factor) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS fs
+  FROM factors)
+SELECT CAST(t AS BIGINT) AS t,
+       n_risk,
+       d_events,
+       CAST(list_reduce(
+         list_prepend(CAST(1000000 AS BIGINT),
+                      list_transform(fs, f -> CAST(f AS BIGINT))),
+         (acc, x) -> (acc * x) // 1000000) AS BIGINT) AS surv_milli
+FROM curve ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-activity graph
+# ---------------------------------------------------------------------------
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the edges of the user co-activity graph —
+    positive means hubs link to hubs (social cores), negative means
+    hub-and-spoke (broadcast/bot patterns). Uses the same edge
+    definition as ``pagerank_coactivity`` so the graph family reads one
+    topology.
+
+    Scale shape: degrees are one edge-keyed aggregate; endpoint degrees
+    attach with two joins against the node-cardinality degree table
+    (broadcastable — tiny next to edges); the correlation is a single
+    reduce. Determinism: degree sums are exact-in-double integers, the
+    closed-form correlation performs identical IEEE ops in both engines,
+    and sqrt is correctly-rounded per IEEE 754; output floor-quantized
+    to millionths."""
+    ev = _t(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    xy = (
+        edges.join(
+            F.broadcast(deg.select(F.col("src"), F.col("deg").alias("dx"))),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("src").alias("dst"), F.col("deg").alias("dy")
+                )
+            ),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("assortativity_micro"),
+    )
+
+
+DEGREE_ASSORTATIVITY_ORACLE = """
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+xy AS (
+  SELECT dl.deg AS dx, dr.deg AS dy
+  FROM edges e
+  JOIN deg dl ON e.src = dl.src
+  JOIN deg dr ON e.dst = dr.src),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(dx) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(dy) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE) AS syy
+  FROM xy)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(floor((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  * 1000000.0) AS BIGINT) AS assortativity_micro
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discount-uplift OLS slope per brand
+# ---------------------------------------------------------------------------
+
+def discount_uplift_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of order quantity on discount depth — the
+    first-cut price-elasticity proxy (how many extra centi-units a basis
+    point of discount buys). Closed-form least squares over integer-
+    quantized (discount bp, quantity centi-units) points.
+
+    Scale shape: lineitem joins the part dimension BROADCAST to pick up
+    the brand, then one brand-keyed aggregate computes the five OLS
+    sums — map-side combinable, one shuffle of 25 groups. Determinism:
+    quantized sums below 2^53 are exact in doubles; identical IEEE
+    arithmetic both engines; floor-quantized output."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_discount * 10000) as bigint)").alias("x"),
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    s = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        )
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where(den != 0)
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_lines"),
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / den * F.lit(1000000.0)
+            ).cast("long").alias("slope_micro"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DISCOUNT_UPLIFT_SLOPE_ORACLE = """
+WITH pts AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 10000) AS BIGINT) AS x,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (
+  SELECT p_brand,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx
+  FROM pts GROUP BY p_brand)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0)
+            AS BIGINT) AS slope_micro
+FROM s WHERE n * sxx - sx * sx <> 0
+ORDER BY p_brand
+"""
+
+
+MODELING_QUERIES = {
+    "zipf_token_slope": zipf_token_slope,
+    "heaps_vocab_curve": heaps_vocab_curve,
+    "concurrent_sessions_timeline": concurrent_sessions_timeline,
+    "incremental_agg_merge": incremental_agg_merge,
+    "survival_km_curve": survival_km_curve,
+    "degree_assortativity": degree_assortativity,
+    "discount_uplift_slope": discount_uplift_slope,
+}
+
+MODELING_ORACLES = {
+    "zipf_token_slope": ZIPF_TOKEN_SLOPE_ORACLE,
+    "heaps_vocab_curve": HEAPS_VOCAB_CURVE_ORACLE,
+    "concurrent_sessions_timeline": CONCURRENT_SESSIONS_ORACLE,
+    "incremental_agg_merge": INCREMENTAL_AGG_MERGE_ORACLE,
+    "survival_km_curve": SURVIVAL_KM_CURVE_ORACLE,
+    "degree_assortativity": DEGREE_ASSORTATIVITY_ORACLE,
+    "discount_uplift_slope": DISCOUNT_UPLIFT_SLOPE_ORACLE,
+}

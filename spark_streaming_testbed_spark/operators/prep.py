@@ -433,22 +433,27 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal that separates fresh content from recombinations of what the
     corpus already has.
 
-    Scale shape: one aggregate keyed on the gram computes the global
-    first-seer ``min(doc_id)`` (map-side combinable), joined back to the
-    per-doc distinct grams on the gram key; the per-doc re-aggregate is
-    the second shuffle. Same inverted-index shape as the Jaccard
-    detector — no pairwise comparisons. Integer outputs only."""
+    Scale shape: exactly TWO shuffles of the exploded gram table — a
+    gram-partitioned window computes the global first-seer
+    ``min(doc_id)`` in place (no join back: the r4 agg+join shape
+    re-shuffled the full exploded table a third time, the top
+    scale-smoke outlier), then the per-doc re-aggregate. Grams shuffle
+    as xxhash64 codes (8 bytes), not 20-30 byte strings — the same
+    fingerprint-first trick as the decontamination gate; a collision
+    would mis-attribute one gram's first-seer (P ~ n^2/2^64, ~1e-6 at
+    ten million distinct grams). No pairwise comparisons. Integer
+    outputs only."""
     docs = with_grams(
         with_tokens(_t(spark, sf_dir, "documents")), NOVELTY_N, "grams"
     )
     doc_grams = docs.select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
-    )
-    first_seen = doc_grams.groupBy("gram").agg(
-        F.min("doc_id").alias("first_doc")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("g"))
     return (
-        doc_grams.join(first_seen, "gram")
+        doc_grams.select(
+            "doc_id",
+            F.min("doc_id").over(W.partitionBy("g")).alias("first_doc"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -455,6 +455,18 @@ ORDER BY user_id, session_start_ms
 """
 
 
+def _streaming_topk_query(spark, sf_dir):
+    from .stateful import streaming_topk_users
+
+    return streaming_topk_users(spark, sf_dir)
+
+
+def _streaming_topk_oracle() -> str:
+    from .stateful import STREAMING_TOPK_USERS_ORACLE
+
+    return STREAMING_TOPK_USERS_ORACLE
+
+
 def _streaming_upsert_query(spark, sf_dir):
     from .stateful import streaming_upsert
 
@@ -596,6 +608,7 @@ STREAMING_QUERIES = {
     "streaming_sessionize": _streaming_sessionize_query,
     "streaming_sliding_stats": _streaming_sliding_query,
     "streaming_latest_state": _streaming_latest_state_query,
+    "streaming_topk_users": _streaming_topk_query,
 }
 
 STREAMING_ORACLES = {
@@ -630,4 +643,7 @@ STREAMING_ORACLES = {
     # batch==stream: the stateful golden record converges to the batch
     # latest-state pivot, so they share one oracle
     "streaming_latest_state": _streaming_latest_state_oracle(),
+    # complete-mode counts converge to the batch group-by, so the
+    # running leaderboard shares the plain top-k SQL
+    "streaming_topk_users": _streaming_topk_oracle(),
 }

@@ -1193,3 +1193,84 @@ def streaming_latest_state(spark, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id")
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k: complete-mode running ranking across triggers
+# ---------------------------------------------------------------------------
+
+TOPK_USERS_K = 20
+
+
+def streaming_topk_users(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming top-k: the running "most active
+    purchasers" leaderboard — per-user purchase counts maintained by a
+    complete-mode streaming aggregation across a time-ordered replay,
+    ranked after the final trigger. The complete-mode counts converge to
+    the batch group-by exactly, so the oracle is the plain SQL top-k.
+
+    Scale shape: streaming state is one counter per user (the only
+    shuffle is user-keyed); the rank runs on the final counter table,
+    which is node-cardinality. Ties break on user_id so the cut at k is
+    deterministic in both engines."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    with tempfile.TemporaryDirectory(prefix="stopk_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            counts = (
+                stream.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_purchases"))
+            )
+            name = f"stopk_{uuid.uuid4().hex[:8]}"
+            q = (
+                counts.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        ranked = spark.table(name).select(
+            "user_id", "n_purchases",
+            F.row_number().over(
+                W.orderBy(F.col("n_purchases").desc(), F.col("user_id"))
+            ).alias("rnk"),
+        )
+        return (
+            ranked.where(F.col("rnk") <= TOPK_USERS_K)
+            .orderBy("rnk")
+        )
+
+
+STREAMING_TOPK_USERS_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ranked AS (
+  SELECT user_id, n_purchases,
+         row_number() OVER (ORDER BY n_purchases DESC, user_id) AS rnk
+  FROM counts)
+SELECT user_id, n_purchases, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {TOPK_USERS_K} ORDER BY rnk
+"""

@@ -429,3 +429,61 @@ def test_median_second_pass_is_broadcast_pruned(spark):
     plan = plan_of(exact_median_twopass(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zipf_topk_plans_take_ordered_not_global_window(spark):
+    """The top-500 cut must be TakeOrderedAndProject (distributed
+    top-k); an unpartitioned rank window over the full vocabulary would
+    sort every token in one task."""
+    from spark_streaming_testbed_spark.operators.modeling import (
+        zipf_token_slope,
+    )
+
+    plan = plan_of(zipf_token_slope(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_broadcasts_degree_table(spark):
+    """Endpoint degrees attach via broadcast joins of the tiny
+    node-cardinality degree table — the edge table never re-shuffles
+    for them."""
+    from spark_streaming_testbed_spark.operators.modeling import (
+        degree_assortativity,
+    )
+
+    plan = plan_of(degree_assortativity(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_anchor_is_broadcast(spark):
+    """The midpoint cutoff is a 1-row scalar anchor: it must attach via
+    BroadcastNestedLoopJoin/BroadcastExchange, never a shuffle."""
+    from spark_streaming_testbed_spark.operators.modeling import (
+        incremental_agg_merge,
+    )
+
+    plan = plan_of(incremental_agg_merge(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+
+
+def test_uplift_slope_broadcasts_part_dimension(spark):
+    from spark_streaming_testbed_spark.operators.modeling import (
+        discount_uplift_slope,
+    )
+
+    plan = plan_of(discount_uplift_slope(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # quantized integer math stays in the JVM
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ngram_novelty_single_gram_shuffle(spark):
+    """r5 rewrite: first-seer via a gram-partitioned window — the
+    exploded gram table must shuffle exactly twice (gram window + doc
+    re-aggregate), with the join-back gone."""
+    from spark_streaming_testbed_spark.operators.prep import ngram_novelty
+
+    plan = plan_of(ngram_novelty(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -34,9 +34,16 @@ from spark_streaming_testbed_spark.operators.text import (  # noqa: E402
     winnow_fingerprints,
 )
 from spark_streaming_testbed_spark.operators import prep as P  # noqa: E402
+from spark_streaming_testbed_spark.operators import modeling as M  # noqa: E402
 from spark_streaming_testbed_spark.session import get_session  # noqa: E402
 
 TARGETS = [
+    ("zipf_token_slope", M.zipf_token_slope,
+     "token agg + TakeOrderedAndProject top-K; no global rank window"),
+    ("survival_km_curve", M.survival_km_curve,
+     "windows only over the tiny reduced gap table; integer fold"),
+    ("degree_assortativity", M.degree_assortativity,
+     "degree table broadcast twice; single reduce over edges"),
     ("batch_stats (A1 flagship)", R.batch_stats,
      "partial+final HashAggregate on (window, key); vectorized parquet scan"),
     ("tpch_q1", R.tpch_q1,
@@ -119,23 +126,37 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    out = [
-        "# PLANS — physical-plan audit of headline queries",
-        "",
-        "Generated by `python tools/plan_audit.py` (sf0.01). The shapes below are",
-        "pinned by `tests/test_plans.py`; this file is the human-readable copy.",
-        "",
-    ]
+    fresh: dict[str, list[str]] = {}
     for name, fn, why in TARGETS:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             fn(spark, sf).explain("formatted")
         head = buf.getvalue().split("\n\n")[0]
-        out += [f"## {name}", "", f"*Why this shape:* {why}", "",
-                "```", head.strip(), "```", ""]
+        fresh[name] = [f"## {name}", "", f"*Why this shape:* {why}", "",
+                       "```", head.strip(), "```", ""]
+    # PRESERVE sections appended by later rounds (PLANS.md carries more
+    # trees than TARGETS — see the round-4 skyline/funnel additions):
+    # refresh in place the sections TARGETS covers, keep everything
+    # else verbatim, and append TARGETS entries missing from the file.
+    with open("/root/repo/PLANS.md") as f:
+        existing = f.read()
+    blocks = existing.split("\n## ")
+    out = [blocks[0].rstrip(), ""]
+    seen = set()
+    for block in blocks[1:]:
+        name = block.split("\n", 1)[0].strip()
+        if name in fresh:
+            out += fresh[name]
+            seen.add(name)
+        else:
+            out += [f"## {block.rstrip()}", ""]
+    for name, _, _ in TARGETS:
+        if name not in seen:
+            out += fresh[name]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print("PLANS.md regenerated")
+    print(f"PLANS.md regenerated ({len(fresh)} refreshed, "
+          f"{len(blocks) - 1 - len(seen)} preserved)")
 
 
 if __name__ == "__main__":
