@@ -639,3 +639,538 @@ MODELING_ORACLES = {
     "degree_assortativity": DEGREE_ASSORTATIVITY_ORACLE,
     "discount_uplift_slope": DISCOUNT_UPLIFT_SLOPE_ORACLE,
 }
+
+
+# ===========================================================================
+# Round-5 batch 2: retrieval fusion, merchandising, audience analytics
+# ===========================================================================
+
+#: RRF constant (Cormack, Clarke & Buettcher 2009) and per-ranker depth
+RRF_K = 60
+RRF_DEPTH = 100
+
+#: query tokens for the fusion demo (match bm25-style retrieval over the
+#: synthetic corpus vocabulary)
+RRF_QUERY = ("data", "stream", "window")
+
+#: ABC classification cumulative-share cutoffs, in basis points
+ABC_A_BP = 8000
+ABC_B_BP = 9500
+
+#: also-bought: anchors and recommendations per anchor
+ALSO_BOUGHT_ANCHORS = 50
+ALSO_BOUGHT_N = 3
+
+#: burst detector: rolling window seconds and flag threshold
+BURST_WINDOW_S = 60
+BURST_MIN_EVENTS = 2
+
+#: order-batching gap (7 days)
+BATCH_GAP_MS = 7 * 86_400_000
+
+
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankers over the document
+    corpus: ranker A scores query-token occurrences, ranker B scores
+    vocabulary richness (distinct tokens), and the fused list is
+    RRF(d) = sum_i 1/(60 + rank_i(d)) over each ranker's top-100 — the
+    standard zero-tuning ensemble for heterogeneous rankers (Cormack et
+    al. 2009). Documents outside a ranker's top-100 contribute nothing,
+    which is the real deployment semantics (rankers return bounded
+    lists, not corpus-wide scores).
+
+    Scale shape: each ranker reduces the corpus to a per-doc scalar
+    (one agg), cuts to top-100 via TakeOrderedAndProject, and only the
+    two 100-row lists join (full-outer on doc_id) — corpus-size
+    independent fusion. Determinism: contributions are exact integers,
+    1e6 div (60 + rank)."""
+    toks = with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    score_a = (
+        toks.where(F.col("token").isin(*RRF_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sa"))
+    )
+    score_b = toks.groupBy("doc_id").agg(
+        F.countDistinct("token").alias("sb")
+    )
+
+    def top_ranks(df: DataFrame, score: str, out: str) -> DataFrame:
+        top = df.orderBy(
+            F.col(score).desc(), F.col("doc_id").asc()
+        ).limit(RRF_DEPTH)
+        return top.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col(score).desc(), F.col("doc_id").asc()))
+            .alias(out),
+        )
+
+    ra = top_ranks(score_a, "sa", "rank_a")
+    rb = top_ranks(score_b, "sb", "rank_b")
+    contrib = (
+        ra.join(rb, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+            F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+            (
+                F.when(
+                    F.col("rank_a").isNotNull(),
+                    F.expr(f"1000000 div ({RRF_K} + rank_a)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("rank_b").isNotNull(),
+                    F.expr(f"1000000 div ({RRF_K} + rank_b)"),
+                ).otherwise(F.lit(0))
+            ).alias("rrf_e6"),
+        )
+    )
+    return (
+        contrib.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id", "rank_a", "rank_b", "rrf_e6",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc()))
+            .alias("fused_rank"),
+        )
+    )
+
+
+_RRF_IN = ", ".join(f"'{t}'" for t in RRF_QUERY)
+
+RECIPROCAL_RANK_FUSION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
+sa AS (
+  SELECT doc_id, count(*) AS s FROM toks
+  WHERE token IN ({_RRF_IN}) GROUP BY doc_id),
+sb AS (
+  SELECT doc_id, count(DISTINCT token) AS s FROM toks GROUP BY doc_id),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_a
+  FROM sa QUALIFY rank_a <= {RRF_DEPTH}),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_b
+  FROM sb QUALIFY rank_b <= {RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(rank_a, 0) AS rank_a,
+         coalesce(rank_b, 0) AS rank_b,
+         CASE WHEN rank_a IS NULL THEN 0
+              ELSE 1000000 // ({RRF_K} + rank_a) END
+         + CASE WHEN rank_b IS NULL THEN 0
+                ELSE 1000000 // ({RRF_K} + rank_b) END AS rrf_e6
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank_a AS INTEGER) AS rank_a,
+       CAST(rank_b AS INTEGER) AS rank_b,
+       CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+            AS INTEGER) AS fused_rank
+FROM fused QUALIFY fused_rank <= 20 ORDER BY fused_rank
+"""
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts sorted by revenue, class A
+    while the running revenue share stays within 80%, B to 95%, C for
+    the tail — the merchandising triage behind stocking policy. Output
+    is the bounded 3-row class summary.
+
+    Scale shape: revenue reduces per part first (map-side combinable);
+    the cumulative window runs over the PART DIMENSION (bounded — same
+    documented ceiling as revenue_concentration). Exact integer cents
+    and basis points throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 100) "
+                "as bigint)"
+            )
+        ).alias("cents")
+    )
+    w_cum = W.orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(W.unboundedPreceding, 0)
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
+    classed = (
+        per_part.select(
+            "cents", F.sum("cents").over(w_cum).alias("cum_cents")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cents",
+            F.expr("cum_cents * 10000 div total_cents").alias("cum_bp"),
+        )
+        .select(
+            "cents",
+            F.when(F.col("cum_bp") <= ABC_A_BP, "A")
+            .when(F.col("cum_bp") <= ABC_B_BP, "B")
+            .otherwise("C").alias("abc_class"),
+        )
+    )
+    out = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "abc_class", "n_parts", "revenue_cents",
+            F.expr("revenue_cents * 10000 div total_cents")
+            .alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_CLASSIFICATION_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per_part),
+cum AS (
+  SELECT cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents
+  FROM per_part),
+classed AS (
+  SELECT cents,
+         CASE WHEN cum_cents * 10000 // t.total_cents <= {ABC_A_BP}
+                THEN 'A'
+              WHEN cum_cents * 10000 // t.total_cents <= {ABC_B_BP}
+                THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum CROSS JOIN total t)
+SELECT abc_class,
+       count(*) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(cents) AS BIGINT) * 10000 // t.total_cents AS share_bp
+FROM classed CROSS JOIN total t
+GROUP BY abc_class, t.total_cents ORDER BY abc_class
+"""
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of activity into NEW users (first ever seen that
+    day) vs RETURNING — the growth-accounting view every product
+    dashboard leads with.
+
+    Scale shape: first-seen day is one user-keyed min-aggregate; it
+    joins back to the per-(user, day) reduced activity (not raw
+    events), then a bounded per-day aggregate. Integers only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day")
+    )
+    user_days = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    first_day = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        user_days.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day") > F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+            F.sum(
+                F.when(
+                    F.col("day") == F.col("first_day"), F.col("n_events")
+                ).otherwise(F.lit(0))
+            ).alias("new_user_events"),
+            F.sum(
+                F.when(
+                    F.col("day") > F.col("first_day"), F.col("n_events")
+                ).otherwise(F.lit(0))
+            ).alias("returning_events"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_VS_RETURNING_ORACLE = """
+WITH user_days AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+first_day AS (
+  SELECT user_id, min(day) AS first_day FROM user_days GROUP BY user_id)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       CAST(sum(CASE WHEN day = first_day THEN n_events ELSE 0 END)
+            AS BIGINT) AS new_user_events,
+       CAST(sum(CASE WHEN day > first_day THEN n_events ELSE 0 END)
+            AS BIGINT) AS returning_events
+FROM user_days JOIN first_day USING (user_id)
+GROUP BY day ORDER BY day
+"""
+
+
+def user_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "whale curve": users bucketed into activity deciles (ntile
+    over per-user event counts), with each decile's share of total
+    activity in basis points — how top-heavy the audience is.
+
+    Scale shape: per-user counts reduce first; the ntile window runs
+    over the USER DIMENSION (node-cardinality, the documented bounded
+    window); output is 10 rows. Ties break on user_id so bucket
+    boundaries are deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = per_user.agg(F.sum("cnt").alias("total"))
+    deciled = per_user.select(
+        "cnt",
+        F.ntile(10)
+        .over(W.orderBy(F.col("cnt").desc(), F.col("user_id").asc()))
+        .alias("decile"),
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("events"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile", "n_users", "events",
+            F.expr("events * 10000 div total").alias("share_bp"),
+        )
+        .orderBy("decile")
+    )
+
+
+USER_DECILE_CURVE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM per_user),
+deciled AS (
+  SELECT cnt, ntile(10) OVER (ORDER BY cnt DESC, user_id) AS decile
+  FROM per_user)
+SELECT CAST(decile AS INTEGER) AS decile,
+       count(*) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS events,
+       CAST(sum(cnt) AS BIGINT) * 10000 // t.total AS share_bp
+FROM deciled CROSS JOIN total t
+GROUP BY decile, t.total ORDER BY decile
+"""
+
+
+def also_bought_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-purchase recommendations: for each of the 50
+    most-ordered parts, the top-3 parts that co-occur with it in the
+    same orders — the classic "customers also bought" primitive
+    (Linden, Smith & York 2003).
+
+    Scale shape: the pair join keys on o_orderkey, so pair counts are
+    bounded by (order size)^2 per order, never corpus^2; anchors cut to
+    a bounded set via TakeOrderedAndProject BEFORE the pair table
+    filters on them (broadcast semi-join); the per-anchor rank window
+    partitions on the anchor. Integers only."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    anchors = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("l_partkey").asc())
+        .limit(ALSO_BOUGHT_ANCHORS)
+        .select(F.col("l_partkey").alias("anchor"))
+    )
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("anchor"),
+            F.col("b.l_partkey").alias("reco"),
+        )
+        .join(F.broadcast(anchors), "anchor", "left_semi")
+        .groupBy("anchor", "reco")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    w_rank = W.partitionBy("anchor").orderBy(
+        F.col("n_both").desc(), F.col("reco").asc()
+    )
+    return (
+        pairs.select(
+            "anchor", "reco", "n_both",
+            F.row_number().over(w_rank).alias("rnk"),
+        )
+        .where(F.col("rnk") <= ALSO_BOUGHT_N)
+        .orderBy("anchor", "rnk")
+    )
+
+
+ALSO_BOUGHT_TOPN_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+anchors AS (
+  SELECT l_partkey AS anchor
+  FROM op GROUP BY l_partkey
+  ORDER BY count(*) DESC, l_partkey LIMIT {ALSO_BOUGHT_ANCHORS}),
+pairs AS (
+  SELECT a.l_partkey AS anchor, b.l_partkey AS reco,
+         count(*) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey IN (SELECT anchor FROM anchors)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT anchor, reco, n_both,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY n_both DESC, reco) AS rnk
+  FROM pairs)
+SELECT anchor, reco, CAST(n_both AS BIGINT) AS n_both,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {ALSO_BOUGHT_N} ORDER BY anchor, rnk
+"""
+
+
+def burst_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity anomaly flags: users whose event rate ever hit
+    >= BURST_MIN_EVENTS inside a rolling 60-second window — the
+    fraud/bot tripwire that inter-arrival averages (burstiness CV)
+    smooth away.
+
+    Scale shape: ONE user-partitioned RANGE window over event seconds
+    (each row counts its trailing 60 s), then a per-user max — no
+    self-join. RANGE frames on integer seconds behave identically in
+    both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_millis("ts") / 1000).cast("long").alias("sec"),
+    )
+    w_range = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(BURST_WINDOW_S - 1), 0)
+    )
+    rolled = ev.select(
+        "user_id", F.count(F.lit(1)).over(w_range).alias("in_window")
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(F.max("in_window").alias("max_in_60s"))
+        .where(F.col("max_in_60s") >= BURST_MIN_EVENTS)
+        .orderBy("user_id")
+    )
+
+
+BURST_VELOCITY_FLAGS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events),
+rolled AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN {BURST_WINDOW_S - 1} PRECEDING
+                        AND CURRENT ROW) AS in_window
+  FROM ev)
+SELECT user_id, CAST(max(in_window) AS BIGINT) AS max_in_60s
+FROM rolled GROUP BY user_id
+HAVING max(in_window) >= {BURST_MIN_EVENTS}
+ORDER BY user_id
+"""
+
+
+def order_batching_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-consolidation opportunity: per-customer order "batches"
+    (orders within 7 days of the previous one — ``session_window`` on
+    the order date), summarized as a batch-size histogram. Multi-order
+    batches are shipments that could have been consolidated.
+
+    Scale shape: one customer-keyed session_window over the ORDERS
+    table (far smaller than lineitem), then a bounded histogram.
+    Boundary convention: the gap-islands oracle splits strictly on
+    > 7 days, matching session_window's merge-at-exact-gap semantics
+    (pinned by tests/test_session_boundary.py)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ots")
+    )
+    batches = orders.groupBy(
+        F.session_window("ots", "7 days").alias("sw"), "o_custkey"
+    ).agg(F.count(F.lit(1)).alias("batch_size"))
+    total = batches.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        batches.groupBy("batch_size")
+        .agg(F.count(F.lit(1)).alias("n_batches"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "batch_size", "n_batches",
+            F.expr("n_batches * 10000 div total").alias("share_bp"),
+        )
+        .orderBy("batch_size")
+    )
+
+
+ORDER_BATCHING_WINDOWS_ORACLE = f"""
+WITH ordered AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS t,
+         CASE WHEN epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+              > {BATCH_GAP_MS}
+              OR lag(o_orderdate) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) IS NULL
+              THEN 1 ELSE 0 END AS new_batch
+  FROM orders),
+islands AS (
+  SELECT o_custkey,
+         sum(new_batch) OVER (PARTITION BY o_custkey ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS bid
+  FROM ordered),
+batches AS (
+  SELECT count(*) AS batch_size FROM islands GROUP BY o_custkey, bid),
+total AS (SELECT count(*) AS total FROM batches)
+SELECT CAST(batch_size AS BIGINT) AS batch_size,
+       count(*) AS n_batches,
+       count(*) * 10000 // t.total AS share_bp
+FROM batches CROSS JOIN total t
+GROUP BY batch_size, t.total ORDER BY batch_size
+"""
+
+
+MODELING_QUERIES.update({
+    "reciprocal_rank_fusion": reciprocal_rank_fusion,
+    "abc_classification": abc_classification,
+    "new_vs_returning": new_vs_returning,
+    "user_decile_curve": user_decile_curve,
+    "also_bought_topn": also_bought_topn,
+    "burst_velocity_flags": burst_velocity_flags,
+    "order_batching_windows": order_batching_windows,
+})
+
+MODELING_ORACLES.update({
+    "reciprocal_rank_fusion": RECIPROCAL_RANK_FUSION_ORACLE,
+    "abc_classification": ABC_CLASSIFICATION_ORACLE,
+    "new_vs_returning": NEW_VS_RETURNING_ORACLE,
+    "user_decile_curve": USER_DECILE_CURVE_ORACLE,
+    "also_bought_topn": ALSO_BOUGHT_TOPN_ORACLE,
+    "burst_velocity_flags": BURST_VELOCITY_FLAGS_ORACLE,
+    "order_batching_windows": ORDER_BATCHING_WINDOWS_ORACLE,
+})

@@ -194,3 +194,102 @@ def test_streaming_topk_equals_batch_topk(spark):
     )
     want = [(r.user_id, r.n_purchases, r.rnk) for r in batch.collect()]
     assert got == want
+
+
+# --- round-5 batch 2 ---------------------------------------------------
+
+
+def test_rrf_prefers_docs_ranked_by_both(spark):
+    rows = M.reciprocal_rank_fusion(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert [r.fused_rank for r in rows] == list(range(1, 21))
+    # a doc present in both lists must outrank a doc with only one
+    # equal-rank contribution
+    both = [r for r in rows if r.rank_a > 0 and r.rank_b > 0]
+    assert both, "no doc made both top-100 lists"
+    # rrf scores non-increasing down the fused list
+    scores = [r.rrf_e6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_abc_classes_partition_revenue(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = {r.abc_class: r for r in
+            M.abc_classification(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    n_parts = sum(r.n_parts for r in rows.values())
+    assert n_parts == (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    # A-class carries the bulk of revenue with the fewest parts
+    if "C" in rows:
+        assert rows["A"].share_bp > rows["C"].share_bp
+    assert sum(r.share_bp for r in rows.values()) <= 10000
+
+
+def test_new_vs_returning_accounting(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.new_vs_returning(spark, SF_SMOKE).collect()
+    total_new = sum(r.new_users for r in rows)
+    n_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct().count()
+    )
+    # every user is new exactly once
+    assert total_new == n_users
+    # day one has no returning users
+    assert rows[0].returning_users == 0
+
+
+def test_decile_curve_is_top_heavy_and_complete(spark):
+    rows = M.user_decile_curve(spark, SF_SMOKE).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # decile 1 (most active) has at least the share of decile 10
+    assert rows[0].share_bp >= rows[-1].share_bp
+    assert 9990 <= sum(r.share_bp for r in rows) <= 10000
+
+
+def test_also_bought_rank_contract(spark):
+    rows = M.also_bought_topn(spark, SF_SMOKE).collect()
+    assert rows
+    per_anchor: dict = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor, []).append(r)
+    assert len(per_anchor) <= M.ALSO_BOUGHT_ANCHORS
+    for recs in per_anchor.values():
+        assert len(recs) <= M.ALSO_BOUGHT_N
+        counts = [r.n_both for r in recs]
+        assert counts == sorted(counts, reverse=True)
+        assert all(r.reco != r.anchor for r in recs)
+
+
+def test_burst_flags_only_real_bursts(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.burst_velocity_flags(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.max_in_60s >= M.BURST_MIN_EVENTS
+    # verify one flagged user really has two events within 60 s
+    if rows:
+        u = rows[0].user_id
+        secs = sorted(
+            r.sec
+            for r in load_table(spark, SF_SMOKE, "events")
+            .where(F.col("user_id") == u)
+            .select((F.unix_millis("ts") / 1000).cast("long").alias("sec"))
+            .collect()
+        )
+        assert any(
+            b - a <= M.BURST_WINDOW_S - 1 for a, b in zip(secs, secs[1:])
+        )
+
+
+def test_order_batches_cover_all_orders(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.order_batching_windows(spark, SF_SMOKE).collect()
+    total_orders = sum(r.batch_size * r.n_batches for r in rows)
+    assert total_orders == load_table(spark, SF_SMOKE, "orders").count()
