@@ -47,14 +47,24 @@ SMOKE_OPS = [
     "lpa_communities",
 ]
 
-#: ops whose OUTPUT is expected to grow superlinearly under verbatim
-#: replication: every replica of a document is a true near-duplicate of
-#: its siblings, so the dup-pair/cluster row set grows ~quadratically in
-#: the replication factor by construction. For these, judge wall-ratio
-#: against rows_ratio (output growth), not against the data ratio.
+#: ops whose WORK grows superlinearly under verbatim replication by
+#: construction — every replica of a document is a true near-duplicate
+#: of its siblings, so the dup-PAIR set grows ~quadratically in the
+#: replication factor (C(10,2)+10 = 55x per original dup pair at 10x).
+#: For these, judge wall-ratio against the pair growth, not the data
+#: ratio: for ngram_jaccard_pairs the pair set IS the output
+#: (rows_ratio shows it); for dedup_clusters it is the edge input to
+#: the CC iteration while the output stays one row per doc.
 SUPERLINEAR_OUTPUT_OPS = {
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
+    "ngram_jaccard_pairs": (
+        "output IS the dup-pair set, which grows ~quadratically by "
+        "construction (verbatim replicas are true near-dups)"
+    ),
+    "dedup_clusters": (
+        "edge INPUT to the CC iteration grows ~quadratically by "
+        "construction (verbatim replicas are true near-dups); output "
+        "stays one row per doc"
+    ),
 }
 
 #: per-table id columns to shift per replica so keys grow with the data.
@@ -137,10 +147,7 @@ def main() -> None:
                 "rows_ratio": round(big_rows / max(base_rows, 1), 1),
             }
             if name in SUPERLINEAR_OUTPUT_OPS:
-                entry_row["note"] = (
-                    "output grows superlinearly by construction "
-                    "(verbatim replicas are true near-dups)"
-                )
+                entry_row["note"] = SUPERLINEAR_OUTPUT_OPS[name]
             result["ops"][name] = entry_row
             print(name, entry_row, flush=True)
     print(json.dumps(result))
