@@ -1946,3 +1946,93 @@ BLOCKING_RECALL_EVAL_ORACLE = _blocking_recall_oracle()
 
 DEDUP_QUERIES["blocking_recall_eval"] = blocking_recall_eval
 DEDUP_ORACLES["blocking_recall_eval"] = BLOCKING_RECALL_EVAL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy: signature-agreement Jaccard vs exact
+# ---------------------------------------------------------------------------
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality measurement for the MinHash family: for every
+    true near-dup pair, the Jaccard estimated from K-signature agreement
+    (share of agreeing minima — the unbiased MinHash estimator, Broder
+    1997) against the exact n-gram Jaccard, with the absolute error.
+    This is the calibration evidence behind choosing K: E[err] ~
+    sqrt(J(1-J)/K).
+
+    Scale shape: the pair set is the already-bounded near-dup output
+    (broadcast), signatures attach via two joins against the
+    doc-cardinality signature table; everything integer millionths."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.expr("cast(round(jaccard * 1000000) as bigint)")
+        .alias("true_milli"),
+    )
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(MINHASH_K)
+    )
+    return (
+        F.broadcast(pairs)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "true_milli",
+            (agree * 1_000_000 / MINHASH_K).cast("long")
+            .alias("est_milli"),
+        )
+        .select(
+            "doc_a", "doc_b", "true_milli", "est_milli",
+            F.abs(F.col("est_milli") - F.col("true_milli"))
+            .alias("abs_err_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_estimate_error_oracle() -> str:
+    pairs_body = NGRAM_JACCARD_ORACLE.strip().removesuffix(
+        "ORDER BY doc_a, doc_b"
+    )
+    base = MD5H_SQL_TEMPLATE.format(expr="s")
+    mh_defs = ",\n       ".join(
+        f"list_min(list_transform(hs, h -> {_mix_expr('h', j, 'duck')})) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+WITH truth AS ({pairs_body}),
+hb AS (SELECT doc_id, shingles,
+              list_transform(shingles, s -> {base}) AS hs
+       FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+             FROM (SELECT doc_id, {TOKENS_SQL} AS tokens
+                   FROM documents) tok) sh2),
+sig AS (SELECT doc_id, {mh_defs} FROM hb WHERE len(shingles) > 0)
+SELECT t.doc_a, t.doc_b,
+       CAST(round(t.jaccard * 1000000) AS BIGINT) AS true_milli,
+       CAST(({agree}) * 1000000 // {MINHASH_K} AS BIGINT) AS est_milli,
+       abs(CAST(({agree}) * 1000000 // {MINHASH_K} AS BIGINT)
+           - CAST(round(t.jaccard * 1000000) AS BIGINT)) AS abs_err_milli
+FROM truth t
+JOIN sig sa ON t.doc_a = sa.doc_id
+JOIN sig sb ON t.doc_b = sb.doc_id
+ORDER BY t.doc_a, t.doc_b
+"""
+
+
+MINHASH_ESTIMATE_ERROR_ORACLE = _minhash_estimate_error_oracle()
+
+DEDUP_QUERIES["minhash_estimate_error"] = minhash_estimate_error
+DEDUP_ORACLES["minhash_estimate_error"] = MINHASH_ESTIMATE_ERROR_ORACLE

@@ -1174,3 +1174,76 @@ MODELING_ORACLES.update({
     "burst_velocity_flags": BURST_VELOCITY_FLAGS_ORACLE,
     "order_batching_windows": ORDER_BATCHING_WINDOWS_ORACLE,
 })
+
+
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session conversion: the share of sessions (30-minute
+    gap, same topology as the rest of the session family) containing at
+    least one purchase — the revenue-side counterpart of bounce_rate.
+
+    Scale shape: one user-keyed session_window aggregate computing the
+    purchase flag with max(), then a bounded per-day rollup. Integer
+    basis points."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("converted")
+        )
+        .select(
+            F.unix_date(F.to_date(F.col("sw.start"))).alias("day"),
+            "converted",
+        )
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "day", "n_sessions", "n_converted",
+            F.expr("n_converted * 10000 div n_sessions")
+            .alias("conversion_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+SESSION_CONVERSION_RATE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MS}
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+sessions AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', min(ts)) AS DATE))
+              AS BIGINT) AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM islands GROUP BY user_id, sid)
+SELECT day,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) AS BIGINT) * 10000 // count(*)
+         AS conversion_bp
+FROM sessions GROUP BY day ORDER BY day
+"""
+
+
+MODELING_QUERIES["session_conversion_rate"] = session_conversion_rate
+MODELING_ORACLES["session_conversion_rate"] = SESSION_CONVERSION_RATE_ORACLE

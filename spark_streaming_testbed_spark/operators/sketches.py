@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .text import TOKENS_SQL, with_grams, with_tokens
+from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, with_grams, with_tokens
 
 #: heavy-hitter support threshold: report tokens with count > N / HH_K
 HH_K = 200
@@ -258,3 +258,128 @@ SKETCH_ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_ORACLE,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimates with a provable overcount
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_REPORT_K = 10
+
+
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over event user
+    ids: d=4 rows of w=256 counters, each row keyed by an independent
+    md5-derived hash; a key's estimate is the MIN over its d counters —
+    never an undercount. Reports estimate vs truth for the top-10 users,
+    the sketch-accuracy evidence for fixed-memory frequency counting at
+    stream scale.
+
+    Scale shape: the sketch build is ONE aggregate over (row, bucket) —
+    4 x 256 cells regardless of cardinality (broadcastable); truth for
+    the bounded report set is one user-keyed aggregate + top-k cut.
+    Determinism: the hash family is the portable md5 template, identical
+    in both engines."""
+    from pyspark.sql.window import Window as W
+
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j: int, dialect: str) -> str:
+        if dialect == "spark":
+            h = (
+                "cast(conv(substring(md5(concat(cast(user_id as string), "
+                f"'|{j}')), 1, 15), 16, 10) as bigint)"
+            )
+        else:
+            h = MD5H_SQL_TEMPLATE.format(
+                expr=f"user_id::VARCHAR || '|{j}'"
+            )
+        return f"({h}) % {CMS_WIDTH}"
+
+    cells = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.expr(bucket(j, "spark")).alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    sketch = cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(CMS_REPORT_K)
+    )
+    probes = truth.select(
+        "user_id", "true_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.expr(bucket(j, "spark")).alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("c"),
+    ).select("user_id", "true_cnt", "c.row", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "user_id", "true_cnt", "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+    )
+
+
+def _cms_oracle() -> str:
+    def bucket(j: int) -> str:
+        h = MD5H_SQL_TEMPLATE.format(expr=f"user_id::VARCHAR || '|{j}'")
+        return f"({h}) % {CMS_WIDTH}"
+
+    cell_selects = "\n  UNION ALL ".join(
+        f"SELECT {j} AS row, {bucket(j)} AS bucket FROM events"
+        for j in range(CMS_DEPTH)
+    )
+    probe_selects = "\n  UNION ALL ".join(
+        f"SELECT user_id, true_cnt, {j} AS row, {bucket(j)} AS bucket "
+        "FROM truth"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  {cell_selects}),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+truth AS (
+  SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id LIMIT {CMS_REPORT_K}),
+probes AS (
+  {probe_selects})
+SELECT p.user_id,
+       CAST(p.true_cnt AS BIGINT) AS true_cnt,
+       CAST(min(s.cnt) AS BIGINT) AS est_cnt,
+       CAST(min(s.cnt) AS BIGINT) - CAST(p.true_cnt AS BIGINT)
+         AS overcount
+FROM probes p JOIN sketch s USING (row, bucket)
+GROUP BY p.user_id, p.true_cnt
+ORDER BY true_cnt DESC, user_id
+"""
+
+
+CMS_FREQUENCY_ESTIMATES_ORACLE = _cms_oracle()
+
+SKETCH_QUERIES["cms_frequency_estimates"] = cms_frequency_estimates
+SKETCH_ORACLES["cms_frequency_estimates"] = CMS_FREQUENCY_ESTIMATES_ORACLE

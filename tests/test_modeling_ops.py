@@ -293,3 +293,43 @@ def test_order_batches_cover_all_orders(spark):
     rows = M.order_batching_windows(spark, SF_SMOKE).collect()
     total_orders = sum(r.batch_size * r.n_batches for r in rows)
     assert total_orders == load_table(spark, SF_SMOKE, "orders").count()
+
+
+# --- round-5 batch 3 ---------------------------------------------------
+
+
+def test_minhash_estimator_is_plausible(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_estimate_error,
+    )
+
+    rows = minhash_estimate_error(spark, SF_SMOKE).collect()
+    step = 1_000_000 // MINHASH_K
+    for r in rows:
+        # estimates land on the K-grid and stay in [0, 1]
+        assert r.est_milli % step == 0
+        assert 0 <= r.est_milli <= 1_000_000
+        assert r.abs_err_milli == abs(r.est_milli - r.true_milli)
+
+
+def test_cms_never_undercounts(spark):
+    from spark_streaming_testbed_spark.operators.sketches import (
+        CMS_REPORT_K,
+        cms_frequency_estimates,
+    )
+
+    rows = cms_frequency_estimates(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= CMS_REPORT_K
+    for r in rows:
+        # the count-min guarantee: estimate >= truth, always
+        assert r.overcount >= 0
+        assert r.est_cnt == r.true_cnt + r.overcount
+
+
+def test_session_conversion_consistent_with_sessions(spark):
+    rows = M.session_conversion_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_sessions
+        assert 0 <= r.conversion_bp <= 10000
