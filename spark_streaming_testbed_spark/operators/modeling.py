@@ -1247,3 +1247,82 @@ FROM sessions GROUP BY day ORDER BY day
 
 MODELING_QUERIES["session_conversion_rate"] = session_conversion_rate
 MODELING_ORACLES["session_conversion_rate"] = SESSION_CONVERSION_RATE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: order priority x order status
+# ---------------------------------------------------------------------------
+
+def chi2_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status — the standard contingency-table screen a feature
+    audit runs before treating two categoricals as independent signals
+    (Pearson 1900).
+
+    Exact integer arithmetic end to end, following the benford_audit
+    pattern (prep.py): with E = r*c/N, the cell statistic
+    (obs-E)^2/E == (N*obs - r*c)^2 / (N*r*c), so the micro-unit value
+    is one HUGEINT/DECIMAL(38) floor division per cell — no floats, no
+    transcendentals, both engines exact (the square times 1e6 stays
+    within 38 digits for N up to ~10^8 rows per cell pair; past that
+    you would drop the micro scaling, not the method).
+
+    Scale shape: ONE map-side-combinable count aggregate down to
+    |priorities| x |statuses| cells (15 here, bounded by category
+    cardinalities at any data size); the marginals are windows over
+    that tiny cell table. Nothing else shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    cell = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    cell = (
+        cell.withColumn(
+            "r_tot", F.sum("n_obs").over(W.partitionBy("o_orderpriority"))
+        )
+        .withColumn(
+            "c_tot", F.sum("n_obs").over(W.partitionBy("o_orderstatus"))
+        )
+        .withColumn("n", F.sum("n_obs").over(W.partitionBy()))
+    )
+    diff = (
+        "(cast(n as decimal(38,0)) * n_obs"
+        " - cast(r_tot as decimal(38,0)) * c_tot)"
+    )
+    return cell.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_obs",
+        F.expr(
+            "cast(1000000 * cast(r_tot as decimal(38,0)) * c_tot div n"
+            " as bigint)"
+        ).alias("exp_cnt_micro"),
+        F.expr(
+            f"cast(({diff} * {diff} * 1000000)"
+            " div (cast(n as decimal(38,0)) * r_tot * c_tot) as bigint)"
+        ).alias("chi2_micro"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+CHI2_INDEPENDENCE_AUDIT_ORACLE = """
+WITH cell AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2),
+w AS (
+  SELECT o_orderpriority, o_orderstatus, n_obs,
+         CAST(sum(n_obs) OVER (PARTITION BY o_orderpriority) AS HUGEINT)
+           AS r_tot,
+         CAST(sum(n_obs) OVER (PARTITION BY o_orderstatus) AS HUGEINT)
+           AS c_tot,
+         CAST(sum(n_obs) OVER () AS HUGEINT) AS n
+  FROM cell)
+SELECT o_orderpriority, o_orderstatus, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(1000000 * r_tot * c_tot // n AS BIGINT) AS exp_cnt_micro,
+       CAST(((n * n_obs - r_tot * c_tot) * (n * n_obs - r_tot * c_tot)
+             * 1000000) // (n * r_tot * c_tot) AS BIGINT) AS chi2_micro
+FROM w
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+MODELING_QUERIES["chi2_independence_audit"] = chi2_independence_audit
+MODELING_ORACLES["chi2_independence_audit"] = CHI2_INDEPENDENCE_AUDIT_ORACLE

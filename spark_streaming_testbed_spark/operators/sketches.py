@@ -130,14 +130,19 @@ ORDER BY cnt DESC, token
 # Bloom-prefiltered decontamination: 13-gram exact-match, sketch-pruned
 # ---------------------------------------------------------------------------
 
-def _grams13_sql() -> str:
-    n = DECONTAM_N
+def _grams_sql(n: int) -> str:
+    """DuckDB word-n-gram expression over a ``tokens`` list column,
+    matching ``with_grams`` (space-joined, duplicates kept)."""
     return (
         f"CASE WHEN len(tokens) >= {n} THEN "
         f"list_transform(range(1, len(tokens) - {n} + 2), "
         f"i -> array_to_string(tokens[i:i+{n - 1}], ' ')) "
         "ELSE [] END"
     )
+
+
+def _grams13_sql() -> str:
+    return _grams_sql(DECONTAM_N)
 
 
 def _bloom_build(hashes):
@@ -383,3 +388,409 @@ CMS_FREQUENCY_ESTIMATES_ORACLE = _cms_oracle()
 
 SKETCH_QUERIES["cms_frequency_estimates"] = cms_frequency_estimates
 SKETCH_ORACLES["cms_frequency_estimates"] = CMS_FREQUENCY_ESTIMATES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: distinct-shingle estimates with an exact oracle twin
+# ---------------------------------------------------------------------------
+
+#: HLL precision: p=6 -> m=64 registers. At ~1.2k distinct shingles per
+#: source that is ~20 keys/register — squarely in the raw-estimator
+#: regime (P(empty register) ~ e^-20), so no linear-counting branch is
+#: needed and the raw formula is reported as-is with the empty-register
+#: count alongside for honesty.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+#: alpha_64 = 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007, fig. 3),
+#: embedded as an integer ppm literal so both engines compute with the
+#: IDENTICAL constant and never evaluate the formula themselves.
+HLL_ALPHA_PPM = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+#: alpha * m^2 in ppm — ~2.9e9, exactly representable in a double.
+_HLL_ALPHA_M2 = HLL_ALPHA_PPM * HLL_M * HLL_M
+#: shingle width shared by the HLL and KMV estimators
+SKETCH_SHINGLE_N = 5
+#: the 60-bit md5 hash splits into p index bits (mod) and 60-p suffix
+#: bits; rho of an all-zero suffix is (60-p)+1.
+_HLL_RHO_MAX = 60 - HLL_P + 1
+
+_SPARK_MD5H = "cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def hll_shingle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet-Fuso-Gandouet-Meunier 2007)
+    estimate of distinct 5-gram shingles per document source, reported
+    against the exact distinct count.
+
+    Unlike ``approx_distinct_users``/``hll_user_overlap`` (Spark's
+    native Datasketches HLL, estimate bounded by a tolerance flag), this
+    one is built from portable SQL primitives — md5 hash, bin() bit
+    length, shifts — so the DuckDB oracle recomputes the IDENTICAL
+    sketch and the estimate itself hash-matches. The raw-estimator
+    arithmetic stays deterministic across engines: the only float ops
+    are one multiply by an exact power of two, one multiply, and one
+    divide — all IEEE-754 correctly rounded, no transcendentals (alpha
+    is an integer ppm literal; 2^R comes from an integer shift).
+
+    Scale shape: register build is ONE map-side-combinable aggregate to
+    (source x 64) cells — the classical mergeable sketch, constant
+    memory per source regardless of corpus size; at 100 TB only the
+    64-row-per-source register tables shuffle, never the shingles. The
+    exact count rides along for the accuracy report (at production
+    scale you would drop it — it is the expensive side)."""
+    from pyspark.sql.window import Window as W
+
+    docs = with_grams(
+        with_tokens(load_table(spark, sf_dir, "documents")),
+        SKETCH_SHINGLE_N,
+        "grams",
+    )
+    grams = (
+        docs.where(F.size("grams") > 0)
+        .select("source", F.explode("grams").alias("g"))
+        .select(
+            "source", F.expr(_SPARK_MD5H.format(expr="g")).alias("h")
+        )
+    )
+    obs = (
+        grams.select(
+            "source",
+            (F.col("h") % HLL_M).cast("int").alias("j"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "source",
+            "j",
+            F.expr(
+                f"cast(case when w = 0 then {_HLL_RHO_MAX} "
+                f"else {_HLL_RHO_MAX} - length(bin(w)) end as int)"
+            ).alias("rho"),
+        )
+        .groupBy("source", "j")
+        .agg(F.max("rho").alias("m_obs"))
+    )
+    # full register spine so empty registers contribute 2^0 exactly as
+    # the published estimator requires
+    spine = grams.select("source").distinct().crossJoin(
+        spark.range(HLL_M).select(F.col("id").cast("int").alias("j"))
+    )
+    regs = (
+        spine.join(obs, ["source", "j"], "left")
+        .select("source", F.coalesce("m_obs", F.lit(0)).alias("m"))
+        .withColumn("r", F.max("m").over(W.partitionBy("source")))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.max("m").alias("r_max"),
+        # sum of 2^(R - M_j): integer-exact (<= 64 * 2^55 < 2^62)
+        F.sum(F.expr("shiftleft(1L, r - m)")).alias("s"),
+        F.sum(F.expr("case when m = 0 then 1 else 0 end")).alias(
+            "zero_registers"
+        ),
+    )
+    exact = grams.groupBy("source").agg(
+        F.countDistinct("h").alias("n_exact")
+    )
+    return (
+        per_src.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            F.expr(
+                f"cast(floor(({_HLL_ALPHA_M2} * "
+                "cast(shiftleft(1L, r_max) as double)) "
+                "/ (1000000.0 * s)) as bigint)"
+            ).alias("hll_est"),
+            "zero_registers",
+        )
+        .withColumn(
+            "err_bp", F.expr("abs(hll_est - n_exact) * 10000 div n_exact")
+        )
+        .select("source", "n_exact", "hll_est", "err_bp", "zero_registers")
+        .orderBy("source")
+    )
+
+
+def _hll_oracle() -> str:
+    md5h = MD5H_SQL_TEMPLATE.format(expr="g")
+    return f"""
+WITH tok AS (SELECT source, {TOKENS_SQL} AS tokens FROM documents),
+g AS (SELECT source, unnest({_grams_sql(SKETCH_SHINGLE_N)}) AS g FROM tok),
+h AS (SELECT source, {md5h} AS h FROM g),
+obs AS (
+  SELECT source, h % {HLL_M} AS j,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO_MAX}
+             ELSE {_HLL_RHO_MAX} - length(bin(h // {HLL_M})) END) AS m_obs
+  FROM h GROUP BY 1, 2),
+spine AS (
+  SELECT s.source, r.j
+  FROM (SELECT DISTINCT source FROM h) s
+  CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) r),
+regs AS (
+  SELECT spine.source, coalesce(obs.m_obs, 0) AS m
+  FROM spine LEFT JOIN obs
+    ON spine.source = obs.source AND spine.j = obs.j),
+win AS (
+  SELECT source, m, max(m) OVER (PARTITION BY source) AS r FROM regs),
+per AS (
+  SELECT source, max(m) AS r_max,
+         CAST(sum(1::BIGINT << (r - m)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_registers
+  FROM win GROUP BY source),
+exact AS (
+  SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source),
+est AS (
+  SELECT p.source, e.n_exact,
+         CAST(floor(({_HLL_ALPHA_M2} * ((1::BIGINT << p.r_max)::DOUBLE))
+              / (1000000.0 * p.s)) AS BIGINT) AS hll_est,
+         p.zero_registers
+  FROM per p JOIN exact e ON p.source = e.source)
+SELECT source, n_exact, hll_est,
+       abs(hll_est - n_exact) * 10000 // n_exact AS err_bp,
+       zero_registers
+FROM est ORDER BY source
+"""
+
+
+HLL_SHINGLE_ESTIMATE_ORACLE = _hll_oracle()
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct estimator: the order-statistics twin of HLL
+# ---------------------------------------------------------------------------
+
+#: bottom-k size; every source carries >= 1k distinct shingles so the
+#: k-th order statistic always exists
+KMV_K = 128
+#: (k-1) * 2^60 as the nearest double, embedded as the SAME literal in
+#: both engines — one IEEE divide by the k-th hash gives the estimate.
+_KMV_NUM = repr(float((KMV_K - 1) * (1 << 60)))
+
+
+def kmv_shingle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimator (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 unbiased form (k-1)/t_k) for 5-gram shingles per
+    source, against the exact distinct count.
+
+    The k smallest hashes of a set are a mergeable summary (union =
+    merge + re-truncate), which is what makes bottom-k sketches work
+    across 1000 executors: each partition keeps its k smallest, the
+    merge touches k rows per partition. Here the k-th order statistic
+    comes from a per-source window rank over DISTINCT hashes — the
+    sort is per-source over ~1k rows, and the estimate is ONE IEEE
+    divide of identical literals, so the DuckDB twin hash-matches."""
+    from pyspark.sql.window import Window as W
+
+    docs = with_grams(
+        with_tokens(load_table(spark, sf_dir, "documents")),
+        SKETCH_SHINGLE_N,
+        "grams",
+    )
+    dist = (
+        docs.where(F.size("grams") > 0)
+        .select("source", F.explode("grams").alias("g"))
+        .select(
+            "source", F.expr(_SPARK_MD5H.format(expr="g")).alias("h")
+        )
+        .distinct()
+    )
+    kth = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("source").orderBy("h")),
+        )
+        .where(F.col("rn") == KMV_K)
+        .select("source", F.col("h").alias("h_k"))
+    )
+    exact = dist.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(kth, "source")
+        .select(
+            "source",
+            "n_exact",
+            F.expr(
+                f"cast(floor({_KMV_NUM} / cast(h_k as double)) as bigint)"
+            ).alias("kmv_est"),
+        )
+        .withColumn(
+            "err_bp", F.expr("abs(kmv_est - n_exact) * 10000 div n_exact")
+        )
+        .orderBy("source")
+    )
+
+
+def _kmv_oracle() -> str:
+    md5h = MD5H_SQL_TEMPLATE.format(expr="g")
+    return f"""
+WITH tok AS (SELECT source, {TOKENS_SQL} AS tokens FROM documents),
+g AS (SELECT source, unnest({_grams_sql(SKETCH_SHINGLE_N)}) AS g FROM tok),
+dist AS (SELECT DISTINCT source, {md5h} AS h FROM g),
+kth AS (
+  SELECT source, h AS h_k FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM dist) WHERE rn = {KMV_K}),
+exact AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+  FROM dist GROUP BY source),
+est AS (
+  SELECT e.source, e.n_exact,
+         CAST(floor({_KMV_NUM} / h_k::DOUBLE) AS BIGINT) AS kmv_est
+  FROM exact e JOIN kth k ON e.source = k.source)
+SELECT source, n_exact, kmv_est,
+       abs(kmv_est - n_exact) * 10000 // n_exact AS err_bp
+FROM est ORDER BY source
+"""
+
+
+KMV_SHINGLE_ESTIMATE_ORACLE = _kmv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join: runtime-filter audit with exact FP accounting
+# ---------------------------------------------------------------------------
+
+BLOOM_JOIN_BITS = 4096
+BLOOM_JOIN_HASHES = 6
+BLOOM_JOIN_SEGMENT = "BUILDING"
+
+
+def _bjoin_pos(key_expr: str, j: int, dialect: str) -> str:
+    if dialect == "spark":
+        h = _SPARK_MD5H.format(
+            expr=f"concat(cast({key_expr} as string), '|{j}')"
+        )
+    else:
+        h = MD5H_SQL_TEMPLATE.format(expr=f"{key_expr}::VARCHAR || '|{j}'")
+    return f"({h}) % {BLOOM_JOIN_BITS}"
+
+
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter audit: a Bloom filter built from the filtered
+    dimension side (customers in the BUILDING segment) pre-filters the
+    fact side (orders) before the real join — the semi-join-reduction
+    pattern Spark's own runtime row-group filters and Bloom-join
+    optimizations implement. Reports, per order priority: probe rows,
+    Bloom passes, true matches, and false positives — the exact cost of
+    the sketch's one-sided error.
+
+    The bit array is kept as a DISTINCT-positions relation (built with
+    the portable md5 double-hash family) rather than opaque packed
+    bytes, so the DuckDB oracle reconstructs the identical filter and
+    the pass/FP accounting hash-matches. Scale shape: positions and the
+    per-custkey verdicts are broadcast (bounded by the filtered dim and
+    the distinct-key count); the fact table never shuffles — exactly
+    why runtime filters matter at 100 TB: ~99% of probe rows die before
+    the shuffle join would have paid for them."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.where(
+        F.col("c_mktsegment") == BLOOM_JOIN_SEGMENT
+    ).select(F.col("c_custkey").alias("k"))
+    build_pos = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bjoin_pos("k", j, "spark"))
+                    for j in range(BLOOM_JOIN_HASHES)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probe_pos = probe.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bjoin_pos("k", j, "spark"))
+                    for j in range(BLOOM_JOIN_HASHES)
+                ]
+            )
+        ).alias("pos"),
+    )
+    flags = (
+        probe_pos.join(
+            F.broadcast(build_pos.withColumn("hit", F.lit(1))),
+            "pos",
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("pass_all"))
+    )
+    keyed = (
+        flags.join(
+            F.broadcast(build.withColumn("is_member", F.lit(1))),
+            "k",
+            "left",
+        )
+        .select(
+            "k", "pass_all", F.coalesce("is_member", F.lit(0)).alias("mem")
+        )
+    )
+    return (
+        orders.join(
+            F.broadcast(keyed), orders.o_custkey == keyed.k
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("pass_all").alias("bloom_pass"),
+            F.sum("mem").alias("true_match"),
+            F.sum(
+                F.expr(
+                    "case when pass_all = 1 and mem = 0 then 1 else 0 end"
+                )
+            ).alias("false_pos"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bloom_join_oracle() -> str:
+    build_selects = "\n  UNION ALL ".join(
+        f"SELECT {_bjoin_pos('k', j, 'duckdb')} AS pos FROM build"
+        for j in range(BLOOM_JOIN_HASHES)
+    )
+    probe_selects = "\n  UNION ALL ".join(
+        f"SELECT k, {_bjoin_pos('k', j, 'duckdb')} AS pos FROM probe"
+        for j in range(BLOOM_JOIN_HASHES)
+    )
+    return f"""
+WITH build AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_mktsegment = '{BLOOM_JOIN_SEGMENT}'),
+build_pos AS (
+  SELECT DISTINCT pos FROM ({build_selects})),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probe_pos AS (
+  {probe_selects}),
+flags AS (
+  SELECT pp.k,
+         min(CASE WHEN bp.pos IS NOT NULL THEN 1 ELSE 0 END) AS pass_all
+  FROM probe_pos pp LEFT JOIN build_pos bp ON pp.pos = bp.pos
+  GROUP BY pp.k),
+keyed AS (
+  SELECT f.k, f.pass_all,
+         CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS mem
+  FROM flags f LEFT JOIN build b ON f.k = b.k)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(pass_all) AS BIGINT) AS bloom_pass,
+       CAST(sum(mem) AS BIGINT) AS true_match,
+       CAST(sum(CASE WHEN pass_all = 1 AND mem = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_pos
+FROM orders o JOIN keyed ON o.o_custkey = keyed.k
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+BLOOM_JOIN_PREFILTER_ORACLE = _bloom_join_oracle()
+
+
+SKETCH_QUERIES["hll_shingle_estimate"] = hll_shingle_estimate
+SKETCH_ORACLES["hll_shingle_estimate"] = HLL_SHINGLE_ESTIMATE_ORACLE
+SKETCH_QUERIES["kmv_shingle_estimate"] = kmv_shingle_estimate
+SKETCH_ORACLES["kmv_shingle_estimate"] = KMV_SHINGLE_ESTIMATE_ORACLE
+SKETCH_QUERIES["bloom_join_prefilter"] = bloom_join_prefilter
+SKETCH_ORACLES["bloom_join_prefilter"] = BLOOM_JOIN_PREFILTER_ORACLE

@@ -333,3 +333,15 @@ def test_session_conversion_consistent_with_sessions(spark):
     for r in rows:
         assert 0 <= r.n_converted <= r.n_sessions
         assert 0 <= r.conversion_bp <= 10000
+
+
+def test_chi2_cells_cover_all_orders(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.chi2_independence_audit(spark, SF_SMOKE).collect()
+    assert sum(r.n_obs for r in rows) == load_table(
+        spark, SF_SMOKE, "orders"
+    ).count()
+    for r in rows:
+        assert r.exp_cnt_micro > 0
+        assert r.chi2_micro >= 0

@@ -487,3 +487,33 @@ def test_ngram_novelty_single_gram_shuffle(spark):
 
     plan = plan_of(ngram_novelty(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_join_fact_side_never_shuffles_before_join(spark):
+    """The runtime-filter audit's whole point: the orders scan joins a
+    BROADCAST verdict table (bounded by distinct custkeys); a
+    SortMergeJoin would shuffle the fact side the filter exists to
+    protect."""
+    from spark_streaming_testbed_spark.operators.sketches import (
+        bloom_join_prefilter,
+    )
+
+    plan = plan_of(bloom_join_prefilter(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_build_is_partial_aggregated(spark):
+    """The HLL register build must be a map-side-combinable aggregate
+    (partial HashAggregate before the Exchange) so at 100 TB only
+    (source x 64)-cell partials shuffle, never the shingle stream; the
+    only nested-loop join is the bounded source x 64 register spine."""
+    from spark_streaming_testbed_spark.operators.sketches import (
+        hll_shingle_estimate,
+    )
+
+    plan = plan_of(hll_shingle_estimate(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # partial-final pairs around every Exchange
+    assert plan.count("HashAggregate") >= plan.count("Exchange")

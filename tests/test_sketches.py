@@ -193,3 +193,53 @@ def test_qgram_count_filter_bound_property(data):
     ba, bb = _qgram_bag(s), _qgram_bag(t2)
     shared = sum(min(c, bb.get(g, 0)) for g, c in ba.items())
     assert shared >= (L - Q + 1) - Q * d
+
+
+# --- round-5: portable HLL / KMV / bloom-join prefilter -----------------
+
+
+def test_hll_estimate_within_theory_bounds(spark):
+    from spark_streaming_testbed_spark.operators.sketches import (
+        HLL_M,
+        hll_shingle_estimate,
+    )
+
+    rows = hll_shingle_estimate(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # ~20 keys/register at smoke scale: raw regime, no empty cells
+        assert r.zero_registers == 0
+        assert r.hll_est > 0
+        assert r.err_bp == abs(r.hll_est - r.n_exact) * 10000 // r.n_exact
+        # 1.04/sqrt(m) relative stderr; allow 4 sigma
+        assert r.err_bp <= int(4 * 1.04 / (HLL_M ** 0.5) * 10000)
+
+
+def test_kmv_estimate_within_theory_bounds(spark):
+    from spark_streaming_testbed_spark.operators.sketches import (
+        KMV_K,
+        kmv_shingle_estimate,
+    )
+
+    rows = kmv_shingle_estimate(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_exact >= KMV_K
+        # ~1/sqrt(k-2) relative stderr; allow 4 sigma
+        assert r.err_bp <= int(4 / ((KMV_K - 2) ** 0.5) * 10000)
+
+
+def test_bloom_join_has_no_false_negatives(spark):
+    from spark_streaming_testbed_spark.operators.sketches import (
+        bloom_join_prefilter,
+    )
+
+    rows = bloom_join_prefilter(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # Bloom one-sided error: every member passes, so the pass set
+        # is exactly the members plus the false positives
+        assert r.true_match <= r.bloom_pass <= r.n_orders
+        assert r.false_pos == r.bloom_pass - r.true_match
+        # and the filter is actually filtering (not saturated)
+        assert r.bloom_pass < r.n_orders
