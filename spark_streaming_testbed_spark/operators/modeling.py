@@ -1326,3 +1326,443 @@ ORDER BY o_orderpriority, o_orderstatus
 
 MODELING_QUERIES["chi2_independence_audit"] = chi2_independence_audit
 MODELING_ORACLES["chi2_independence_audit"] = CHI2_INDEPENDENCE_AUDIT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily order-count series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+_DAILY_ORDERS_SQL = (
+    "SELECT o_orderdate AS d, count(*) AS v FROM orders GROUP BY 1"
+)
+
+
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-count series (the
+    Box-Jenkins ACF, computed over observed days) — the first
+    diagnostic a forecasting pipeline runs to find weekly seasonality
+    and mean-reversion.
+
+    Determinism follows the degree_assortativity pattern: daily counts
+    are small integers, so every sum (including sums of products) is
+    EXACT in a double; the closed-form Pearson arithmetic performs
+    identical IEEE operations in both engines, sqrt is correctly
+    rounded per IEEE 754, and the output is floor-quantized to milli
+    units. Zero-variance lags are filtered on BOTH sides.
+
+    Scale shape: facts reduce to the per-day series with ONE
+    map-combinable aggregate; the lead windows and per-lag sums run
+    over the calendar-bounded daily table (a few thousand rows at ANY
+    data size), so the unpartitioned window is bounded by the calendar,
+    not the data."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "v",
+        *[
+            F.lead("v", k).over(w).alias(f"y{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, y{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    pairs = lagged.select(
+        F.col("v").alias("x"),
+        F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) as (lag, y)"),
+    ).where(F.col("y").isNotNull())
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return (
+        s.where(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "lag",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+                * F.lit(1000.0)
+            ).cast("long").alias("acf_milli"),
+        )
+        .orderBy("lag")
+    )
+
+
+def _acf_oracle() -> str:
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, v AS x, lead(v, {k}) OVER (ORDER BY d) AS y "
+        "FROM daily"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS ({_DAILY_ORDERS_SQL}),
+pairs AS (
+  SELECT lag, x, y FROM ({lag_selects}) WHERE y IS NOT NULL),
+s AS (
+  SELECT lag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  * 1000.0) AS BIGINT) AS acf_milli
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY lag
+"""
+
+
+ACF_DAILY_ORDERS_ORACLE = _acf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Single changepoint by binary segmentation over daily order counts
+# ---------------------------------------------------------------------------
+
+def changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection by binary segmentation (Scott &
+    Knott 1974): the split of the daily order-count series that
+    maximizes the between-segment SSE reduction — the first step of the
+    standard changepoint recursion.
+
+    Minimizing SSE_left + SSE_right is equivalent to maximizing
+    (sum_L)^2/n_L + (sum_R)^2/n_R, which needs only cumulative integer
+    sums — evaluated here in micro-units with one DECIMAL(38)/HUGEINT
+    floor division per candidate (both engines identical, no floats).
+    The reported gain is that score minus the no-split baseline
+    (sum^2/n), so gain_micro >= 0 always.
+
+    Scale shape: facts reduce to the calendar-bounded daily table
+    first; cumulative sums are one window pass over it, and the argmax
+    is a TakeOrdered(1) with a full deterministic tie-break (score
+    desc, earliest day)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = W.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.row_number().over(w).alias("i"),
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("s"),
+        F.sum("v").over(
+            W.orderBy("d").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("tot"),
+        F.count(F.lit(1)).over(
+            W.orderBy("d").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    ).where(F.col("i") < F.col("n"))
+    scored = cum.select(
+        "d",
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).alias("n_right"),
+        F.expr("s * 1000 div i").alias("left_mean_milli"),
+        F.expr("(tot - s) * 1000 div (n - i)").alias("right_mean_milli"),
+        F.expr(
+            "(cast(s as decimal(38,0)) * s * 1000000) div i"
+            " + (cast(tot - s as decimal(38,0)) * (tot - s) * 1000000)"
+            " div (n - i)"
+            " - (cast(tot as decimal(38,0)) * tot * 1000000) div n"
+        ).cast("long").alias("gain_micro"),
+    )
+    return scored.orderBy(
+        F.col("gain_micro").desc(), F.col("d").asc()
+    ).limit(1)
+
+
+CHANGEPOINT_DAILY_ORDERS_ORACLE = f"""
+WITH daily AS ({_DAILY_ORDERS_SQL}),
+cum AS (
+  SELECT d,
+         row_number() OVER (ORDER BY d) AS i,
+         CAST(sum(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS s,
+         CAST(sum(v) OVER () AS BIGINT) AS tot,
+         count(*) OVER () AS n
+  FROM daily),
+scored AS (
+  SELECT d, i AS n_left, n - i AS n_right,
+         s * 1000 // i AS left_mean_milli,
+         (tot - s) * 1000 // (n - i) AS right_mean_milli,
+         CAST((s::HUGEINT * s * 1000000) // i
+              + ((tot - s)::HUGEINT * (tot - s) * 1000000) // (n - i)
+              - (tot::HUGEINT * tot * 1000000) // n AS BIGINT)
+           AS gain_micro
+  FROM cum WHERE i < n)
+SELECT d, CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       left_mean_milli, right_mean_milli, gain_micro
+FROM scored
+ORDER BY gain_micro DESC, d ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population stability index: price-mix drift between time halves
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (the standard model-monitoring drift
+    score) of the order-price mix between the first and second half of
+    the order history: per equal-width price bin, the share in each
+    half and the PSI term (p - q) * ln(p / q), Laplace-smoothed.
+
+    Binning is integer-exact and anchor-based (global min/max cents as
+    a broadcast 1-row anchor), NOT a global ntile sort — the shape that
+    survives 100 TB. The only float op is one ln() per bin on a ratio
+    of exact-in-double integers; per the repo's ln rule it is
+    floor-quantized to micro-nats BEFORE the (integer) term product, so
+    the bin rows hash-match across engines. psi_term_e10 is in 1e-10
+    nats (bp share diff times micro-nats); sum(psi_term_e10)/1e10 is
+    the PSI."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ms"),
+    )
+    anchor = base.agg(
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        F.min("ms").alias("min_ms"),
+        F.max("ms").alias("max_ms"),
+    )
+    binned = base.crossJoin(F.broadcast(anchor)).select(
+        F.expr(
+            f"least({PSI_BINS - 1}, (cents - min_c) * {PSI_BINS}"
+            " div (max_c - min_c + 1))"
+        ).alias("bin"),
+        F.expr(
+            "case when ms <= (min_ms + max_ms) div 2 then 1 else 0 end"
+        ).alias("is_first"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_first").alias("n_first"),
+        F.sum(F.lit(1) - F.col("is_first")).alias("n_second"),
+    )
+    tot = cells.select(
+        F.sum("n_first").alias("np"), F.sum("n_second").alias("nq")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            F.expr(
+                f"(n_first + 1) * 10000 div (np + {PSI_BINS})"
+            ).alias("p_bp"),
+            F.expr(
+                f"(n_second + 1) * 10000 div (nq + {PSI_BINS})"
+            ).alias("q_bp"),
+            F.expr(
+                "cast(floor(ln("
+                f"(cast((n_first + 1) * (nq + {PSI_BINS}) as double))"
+                f" / (cast((n_second + 1) * (np + {PSI_BINS}) as double))"
+                ") * 1000000.0) as bigint)"
+            ).alias("ln_ratio_micro"),
+        )
+        .withColumn(
+            "psi_term_e10",
+            F.expr("(p_bp - q_bp) * ln_ratio_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+PSI_PRICE_DRIFT_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_ms(o_orderdate) AS ms
+  FROM orders),
+anchor AS (
+  SELECT min(cents) AS min_c, max(cents) AS max_c,
+         min(ms) AS min_ms, max(ms) AS max_ms
+  FROM base),
+binned AS (
+  SELECT least({PSI_BINS - 1},
+               (cents - min_c) * {PSI_BINS} // (max_c - min_c + 1)) AS bin,
+         CASE WHEN ms <= (min_ms + max_ms) // 2 THEN 1 ELSE 0 END
+           AS is_first
+  FROM base CROSS JOIN anchor),
+cells AS (
+  SELECT bin,
+         CAST(sum(is_first) AS BIGINT) AS n_first,
+         CAST(sum(1 - is_first) AS BIGINT) AS n_second
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT CAST(sum(n_first) AS BIGINT) AS np,
+         CAST(sum(n_second) AS BIGINT) AS nq
+  FROM cells),
+terms AS (
+  SELECT bin, n_first, n_second,
+         (n_first + 1) * 10000 // (np + {PSI_BINS}) AS p_bp,
+         (n_second + 1) * 10000 // (nq + {PSI_BINS}) AS q_bp,
+         CAST(floor(ln(
+           ((n_first + 1) * (nq + {PSI_BINS}))::DOUBLE
+           / ((n_second + 1) * (np + {PSI_BINS}))::DOUBLE
+         ) * 1000000.0) AS BIGINT) AS ln_ratio_micro
+  FROM cells CROSS JOIN tot)
+SELECT bin, n_first, n_second, p_bp, q_bp, ln_ratio_micro,
+       (p_bp - q_bp) * ln_ratio_micro AS psi_term_e10
+FROM terms ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores on the co-activity graph
+# ---------------------------------------------------------------------------
+
+#: wedge-join hub cap: nodes with degree above this are excluded as the
+#: SHARED neighbor (the wedge center) — the same superlinearity guard as
+#: the LSH hot-shingle df-cap; candidate pairs stay near sum(deg^2) over
+#: non-hub nodes instead of exploding on hubs.
+LP_HUB_CAP = 200
+LP_TOP_K = 20
+
+
+def link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    on the user co-activity graph: the top-20 NON-adjacent user pairs
+    by shared-neighbor count, with the neighborhood-Jaccard score in
+    basis points — the classic "users who should know each other"
+    recommender primitive.
+
+    Scale shape: candidates come from the wedge self-join through the
+    shared neighbor (edges joined on the center node), which is the
+    linear-in-sum(deg^2) shape — hubs above LP_HUB_CAP are excluded as
+    centers so one celebrity node cannot quadratically explode the
+    candidate set (df-cap analog). Existing edges leave via a broadcast
+    anti-join; endpoint degrees attach via broadcast; the final cut is
+    TakeOrdered(20) with a full deterministic tie-break. Integer
+    arithmetic end to end."""
+    ev = _t(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.where(F.col("deg") <= LP_HUB_CAP).select(
+        F.col("src").alias("w")
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        e1.join(F.broadcast(centers), "w")
+        .join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    cn = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+    non_adj = cn.join(
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        non_adj.join(
+            F.broadcast(
+                deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.expr("cn * 10000 div (deg_u + deg_v - cn)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(F.col("cn").desc(), "u", "v")
+        .limit(LP_TOP_K)
+    )
+
+
+LINK_PREDICTION_TOPK_ORACLE = f"""
+WITH cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+centers AS (SELECT src AS w FROM deg WHERE deg <= {LP_HUB_CAP}),
+wedges AS (
+  SELECT e1.src AS u, e2.src AS v
+  FROM edges e1
+  JOIN centers c ON e1.dst = c.w
+  JOIN edges e2 ON e2.dst = e1.dst
+  WHERE e1.src < e2.src),
+cn AS (SELECT u, v, count(*) AS cn FROM wedges GROUP BY u, v),
+non_adj AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN edges e ON cn.u = e.src AND cn.v = e.dst
+  WHERE e.src IS NULL)
+SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+       CAST(du.deg AS BIGINT) AS deg_u,
+       CAST(dv.deg AS BIGINT) AS deg_v,
+       n.cn * 10000 // (du.deg + dv.deg - n.cn) AS jaccard_bp
+FROM non_adj n
+JOIN deg du ON n.u = du.src
+JOIN deg dv ON n.v = dv.src
+ORDER BY cn DESC, u, v
+LIMIT {LP_TOP_K}
+"""
+
+
+MODELING_QUERIES.update(
+    {
+        "acf_daily_orders": acf_daily_orders,
+        "changepoint_daily_orders": changepoint_daily_orders,
+        "psi_price_drift": psi_price_drift,
+        "link_prediction_topk": link_prediction_topk,
+    }
+)
+MODELING_ORACLES.update(
+    {
+        "acf_daily_orders": ACF_DAILY_ORDERS_ORACLE,
+        "changepoint_daily_orders": CHANGEPOINT_DAILY_ORDERS_ORACLE,
+        "psi_price_drift": PSI_PRICE_DRIFT_ORACLE,
+        "link_prediction_topk": LINK_PREDICTION_TOPK_ORACLE,
+    }
+)

@@ -345,3 +345,69 @@ def test_chi2_cells_cover_all_orders(spark):
     for r in rows:
         assert r.exp_cnt_micro > 0
         assert r.chi2_micro >= 0
+
+
+# --- round-5: ACF / changepoint / PSI / link prediction ------------------
+
+
+def test_acf_is_bounded_and_lag_monotone_pairs(spark):
+    rows = M.acf_daily_orders(spark, SF_SMOKE).collect()
+    assert [r.lag for r in rows] == list(range(1, M.ACF_MAX_LAG + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs == b.n_pairs + 1  # one fewer pair per extra lag
+    for r in rows:
+        assert -1000 <= r.acf_milli <= 1000
+
+
+def test_changepoint_partitions_all_days(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    (row,) = M.changepoint_daily_orders(spark, SF_SMOKE).collect()
+    n_days = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert row.n_left + row.n_right == n_days
+    assert row.n_left >= 1 and row.n_right >= 1
+    # between-segment SSE reduction is non-negative by construction
+    assert row.gain_micro >= 0
+
+
+def test_psi_bins_cover_all_orders(spark):
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.psi_price_drift(spark, SF_SMOKE).collect()
+    assert len(rows) == M.PSI_BINS
+    covered = sum(r.n_first + r.n_second for r in rows)
+    assert covered == load_table(spark, SF_SMOKE, "orders").count()
+    # PSI is a sum of same-sign products; quantization can only push a
+    # term epsilon-negative at the zero boundary
+    assert sum(r.psi_term_e10 for r in rows) >= -10_000
+
+
+def test_link_prediction_pairs_are_non_adjacent(spark):
+    """Runs at sf0.01: the sf0.001 co-activity graph is empty (no two
+    users share a cell), which the oracle confirms as an empty result;
+    the invariants need actual wedges."""
+    from tests.conftest import SF_CORRECT
+
+    from spark_streaming_testbed_spark.operators.advanced import (
+        _coactivity_edges,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    rows = M.link_prediction_topk(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= M.LP_TOP_K
+    edges = {
+        (r.src, r.dst)
+        for r in _coactivity_edges(
+            load_table(spark, SF_CORRECT, "events")
+        ).collect()
+    }
+    for r in rows:
+        assert r.u < r.v
+        assert (r.u, r.v) not in edges
+        assert r.cn >= 1
+        assert 0 < r.jaccard_bp <= 10000

@@ -517,3 +517,17 @@ def test_hll_register_build_is_partial_aggregated(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # partial-final pairs around every Exchange
     assert plan.count("HashAggregate") >= plan.count("Exchange")
+
+
+def test_link_prediction_avoids_cartesian_and_broadcasts_degrees(spark):
+    """The wedge join must key on the shared-neighbor node (never a
+    cartesian pair enumeration), and endpoint degrees/hub caps attach
+    via broadcasts of the node-cardinality degree table."""
+    from spark_streaming_testbed_spark.operators.modeling import (
+        link_prediction_topk,
+    )
+
+    plan = plan_of(link_prediction_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
