@@ -1766,3 +1766,130 @@ MODELING_ORACLES.update(
         "link_prediction_topk": LINK_PREDICTION_TOPK_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank stability of part revenue across history halves
+# ---------------------------------------------------------------------------
+
+KENDALL_TOP_PARTS = 100
+
+
+def kendall_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank correlation between part revenue rankings in
+    the first vs second half of the shipment history — the assortment-
+    stability score a merchandiser reads before trusting last period's
+    ranking ("did the bestseller order actually persist?").
+
+    Kendall tau is the integer-native rank correlation: count
+    concordant and discordant pairs (no ties — both rankings tie-break
+    on partkey) and scale; no floats anywhere. Scale shape: revenue
+    reduces per (part, half) map-combinably; the pair enumeration runs
+    only over the broadcast top-{K} anchor set (bounded K^2/2 pairs,
+    never |parts|^2); the verdict is a 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "cast(floor(l_extendedprice * 100) as bigint)"
+        ).alias("cents"),
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ms"),
+    )
+    anchor = li.agg(
+        F.min("ms").alias("min_ms"), F.max("ms").alias("max_ms")
+    )
+    halved = li.crossJoin(F.broadcast(anchor)).select(
+        "l_partkey",
+        "cents",
+        F.expr(
+            "case when ms <= (min_ms + max_ms) div 2 then 1 else 0 end"
+        ).alias("h"),
+    )
+    per_part = halved.groupBy("l_partkey").agg(
+        F.sum(F.expr("case when h = 1 then cents else 0 end")).alias(
+            "rev1"
+        ),
+        F.sum(F.expr("case when h = 0 then cents else 0 end")).alias(
+            "rev2"
+        ),
+        F.sum("cents").alias("rev_total"),
+    )
+    top = per_part.orderBy(
+        F.col("rev_total").desc(), F.col("l_partkey")
+    ).limit(KENDALL_TOP_PARTS)
+    ranked = top.select(
+        "l_partkey",
+        F.row_number()
+        .over(W.orderBy(F.col("rev1").desc(), F.col("l_partkey")))
+        .alias("r1"),
+        F.row_number()
+        .over(W.orderBy(F.col("rev2").desc(), F.col("l_partkey")))
+        .alias("r2"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.l_partkey") < F.col("b.l_partkey")
+    ).select(
+        F.expr(
+            "case when (a.r1 - b.r1) * (a.r2 - b.r2) > 0"
+            " then 1 else 0 end"
+        ).alias("conc")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum(F.lit(1) - F.col("conc")).alias("discordant"),
+    ).select(
+        F.lit(KENDALL_TOP_PARTS).alias("n_parts"),
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "(concordant - discordant) * 1000 div n_pairs"
+        ).alias("tau_milli"),
+    )
+
+
+KENDALL_RANK_STABILITY_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         epoch_ms(l_shipdate) AS ms
+  FROM lineitem),
+anchor AS (SELECT min(ms) AS min_ms, max(ms) AS max_ms FROM li),
+halved AS (
+  SELECT l_partkey, cents,
+         CASE WHEN ms <= (min_ms + max_ms) // 2 THEN 1 ELSE 0 END AS h
+  FROM li CROSS JOIN anchor),
+per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CASE WHEN h = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS rev1,
+         CAST(sum(CASE WHEN h = 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS rev2,
+         CAST(sum(cents) AS BIGINT) AS rev_total
+  FROM halved GROUP BY l_partkey),
+top AS (
+  SELECT * FROM per_part
+  ORDER BY rev_total DESC, l_partkey LIMIT {KENDALL_TOP_PARTS}),
+ranked AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY rev1 DESC, l_partkey) AS r1,
+         row_number() OVER (ORDER BY rev2 DESC, l_partkey) AS r2
+  FROM top),
+pairs AS (
+  SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0 THEN 1 ELSE 0 END
+           AS conc
+  FROM ranked a JOIN ranked b ON a.l_partkey < b.l_partkey)
+SELECT CAST({KENDALL_TOP_PARTS} AS INT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(sum(1 - conc) AS BIGINT) AS discordant,
+       (CAST(sum(conc) AS BIGINT) - CAST(sum(1 - conc) AS BIGINT)) * 1000
+         // CAST(count(*) AS BIGINT) AS tau_milli
+FROM pairs
+"""
+
+
+MODELING_QUERIES["kendall_rank_stability"] = kendall_rank_stability
+MODELING_ORACLES["kendall_rank_stability"] = KENDALL_RANK_STABILITY_ORACLE

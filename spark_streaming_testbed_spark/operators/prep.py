@@ -3742,3 +3742,91 @@ PREP_ORACLES.update({
     "weekday_activity_profile": WEEKDAY_PROFILE_ORACLE,
     "repeat_purchase_gaps": REPEAT_PURCHASE_GAPS_ORACLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Partition-scheme advisor: skew/size statistics per candidate layout
+# ---------------------------------------------------------------------------
+
+def partition_scheme_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate candidate physical partitioning schemes for the events
+    table — by day, by hour, by event type, and by day x type — with
+    the statistics a warehouse layout decision actually needs:
+    partition count, largest partition, average partition, and the
+    skew ratio in basis points (10000 = perfectly balanced).
+
+    This is the design step BEFORE ``zorder_layout`` / ``compaction_
+    plan``: too few partitions starves parallelism, too many drowns the
+    planner in small files, and a skewed key (here: event_type, whose
+    hottest type dwarfs the rest at any scale) concentrates the shuffle.
+    Scale shape: one map-combinable count aggregate per scheme (the
+    per-partition row counts), reduced to a 1-row summary each — the
+    events table is scanned, never shuffled beyond the count partials.
+    Integer arithmetic end to end."""
+    ev = _t(spark, sf_dir, "events")
+
+    def scheme(name: str, key: F.Column) -> DataFrame:
+        parts = ev.select(key.alias("pk")).groupBy("pk").agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        return parts.agg(
+            F.lit(name).alias("scheme"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("rows").alias("total_rows"),
+            F.max("rows").alias("max_partition_rows"),
+        ).select(
+            "scheme",
+            "n_partitions",
+            "max_partition_rows",
+            F.expr("total_rows div n_partitions").alias(
+                "avg_partition_rows"
+            ),
+            F.expr(
+                "max_partition_rows * 10000"
+                " div (total_rows div n_partitions)"
+            ).alias("skew_bp"),
+        )
+
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hour = F.date_format("ts", "yyyy-MM-dd HH")
+    return (
+        scheme("day", day)
+        .unionByName(scheme("hour", hour))
+        .unionByName(scheme("type", F.col("event_type")))
+        .unionByName(
+            scheme("day_type", F.concat_ws("|", day, F.col("event_type")))
+        )
+        .orderBy("scheme")
+    )
+
+
+PARTITION_SCHEME_ADVISOR_ORACLE = """
+WITH schemes AS (
+  SELECT 'day' AS scheme, strftime(ts, '%Y-%m-%d') AS pk FROM events
+  UNION ALL
+  SELECT 'hour', strftime(ts, '%Y-%m-%d %H') FROM events
+  UNION ALL
+  SELECT 'type', event_type FROM events
+  UNION ALL
+  SELECT 'day_type', strftime(ts, '%Y-%m-%d') || '|' || event_type
+  FROM events),
+parts AS (
+  SELECT scheme, pk, count(*) AS rows_ FROM schemes GROUP BY 1, 2),
+summ AS (
+  SELECT scheme,
+         CAST(count(*) AS BIGINT) AS n_partitions,
+         CAST(sum(rows_) AS BIGINT) AS total_rows,
+         CAST(max(rows_) AS BIGINT) AS max_partition_rows
+  FROM parts GROUP BY scheme)
+SELECT scheme, n_partitions, max_partition_rows,
+       total_rows // n_partitions AS avg_partition_rows,
+       max_partition_rows * 10000 // (total_rows // n_partitions)
+         AS skew_bp
+FROM summ ORDER BY scheme
+"""
+
+
+PREP_QUERIES.update({"partition_scheme_advisor": partition_scheme_advisor})
+PREP_ORACLES.update(
+    {"partition_scheme_advisor": PARTITION_SCHEME_ADVISOR_ORACLE}
+)

@@ -1966,3 +1966,85 @@ LANG_ID_CONFUSION_ORACLE = _lang_id_confusion_oracle()
 
 TEXT_QUERIES["lang_id_confusion"] = lang_id_confusion
 TEXT_ORACLES["lang_id_confusion"] = LANG_ID_CONFUSION_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: corpus coverage of frequency-ranked vocab
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_RANKS = [1, 2, 4, 8, 16, 32, 64]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-token coverage of the frequency-ranked
+    vocabulary at doubling rank checkpoints — the curve a tokenizer /
+    vocab-truncation decision reads ("the top 4k entries cover 97% of
+    tokens"). The complement of ``zipf_token_slope``'s fit: same ranked
+    vocab, cumulative-mass view.
+
+    Scale shape: ONE token-keyed map-combinable count aggregate, a
+    rank+cumsum window over the vocab-bounded table, then a bounded
+    cross join against the 7 checkpoint literals with a conditional
+    re-aggregate. Deterministic ordering (count desc, token) and
+    integer basis points."""
+    from pyspark.sql.window import Window as W
+
+    toks = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        F.explode("tokens").alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(
+            W.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ).alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy(F.lit(1)).rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in VOCAB_COVERAGE_RANKS], "k_rank int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("rn") <= F.col("k_rank"))
+        .groupBy("k_rank")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_used"),
+            F.expr("sum(cnt) * 10000 div max(total)").alias("coverage_bp"),
+        )
+        .orderBy("k_rank")
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in VOCAB_COVERAGE_RANKS)
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM vocab),
+ks(k_rank) AS (VALUES {ks})
+SELECT k_rank,
+       CAST(count(*) AS BIGINT) AS vocab_used,
+       CAST(sum(cnt) AS BIGINT) * 10000 // max(total) AS coverage_bp
+FROM ranked CROSS JOIN ks
+WHERE rn <= k_rank
+GROUP BY k_rank ORDER BY k_rank
+"""
+
+
+VOCAB_COVERAGE_CURVE_ORACLE = _vocab_coverage_oracle()
+
+TEXT_QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+TEXT_ORACLES["vocab_coverage_curve"] = VOCAB_COVERAGE_CURVE_ORACLE

@@ -979,3 +979,34 @@ def test_payload_dedup_groups_are_real(spark):
     for r in rows:
         assert r.n_assets > 1
         assert r.keeper_doc_id >= 0
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    from spark_streaming_testbed_spark.operators.text import (
+        VOCAB_COVERAGE_RANKS,
+        vocab_coverage_curve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = vocab_coverage_curve(spark, SF_SMOKE).collect()
+    assert [r.k_rank for r in rows] == VOCAB_COVERAGE_RANKS
+    for r in rows:
+        assert r.vocab_used <= r.k_rank
+        assert 0 < r.coverage_bp <= 10000
+    for a, b in zip(rows, rows[1:]):
+        assert b.coverage_bp >= a.coverage_bp
+
+
+def test_knn_label_agreement_accounting(spark):
+    from spark_streaming_testbed_spark.operators.similarity import (
+        knn_graph,
+        knn_label_agreement,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_label_agreement(spark, SF_SMOKE).collect()
+    n_edges_graph = knn_graph(spark, SF_SMOKE).count()
+    assert sum(r.n_edges for r in rows) == n_edges_graph
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_edges
+        assert 0 <= r.agreement_bp <= 10000

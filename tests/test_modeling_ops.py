@@ -411,3 +411,11 @@ def test_link_prediction_pairs_are_non_adjacent(spark):
         assert (r.u, r.v) not in edges
         assert r.cn >= 1
         assert 0 < r.jaccard_bp <= 10000
+
+
+def test_kendall_pair_accounting(spark):
+    (row,) = M.kendall_rank_stability(spark, SF_SMOKE).collect()
+    k = M.KENDALL_TOP_PARTS
+    assert row.n_pairs == k * (k - 1) // 2
+    assert row.concordant + row.discordant == row.n_pairs
+    assert -1000 <= row.tau_milli <= 1000

@@ -708,3 +708,22 @@ def test_repeat_purchase_gaps_positive(spark):
     for r in rows:
         assert r.gap_days >= 1  # distinct days => gaps of at least a day
         assert r.n_gaps > 0
+
+
+def test_partition_scheme_advisor_invariants(spark):
+    from spark_streaming_testbed_spark.operators.prep import (
+        partition_scheme_advisor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.scheme: r
+        for r in partition_scheme_advisor(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"day", "hour", "type", "day_type"}
+    for r in rows.values():
+        assert r.max_partition_rows >= r.avg_partition_rows
+        assert r.skew_bp >= 10000  # max/avg is at least balanced
+    # finer keys mean at least as many partitions
+    assert rows["day_type"].n_partitions >= rows["day"].n_partitions
+    assert rows["hour"].n_partitions >= rows["day"].n_partitions
