@@ -1865,3 +1865,114 @@ ORDER BY channel
 
 ADVANCED_QUERIES["attribution_report"] = attribution_report
 ADVANCED_ORACLES["attribution_report"] = ATTRIBUTION_REPORT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the co-activity graph
+# ---------------------------------------------------------------------------
+
+KCORE_KS = [2, 3]
+#: peel-round bound; the loop exits on fixpoint long before, but both
+#: engines pin the SAME bound so an unconverged pathological graph
+#: still produces identical output
+KCORE_MAX_ITERS = 64
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core sizes of the user co-activity graph (Seidman 1983): for
+    k in {2, 3}, iteratively peel nodes of degree < k until the
+    fixpoint and report the surviving core's node and (undirected) edge
+    counts — the standard cohesion ladder above ``triangle_count``
+    (every triangle lives in the 2-core) and the cheap spam/bot screen
+    (cores that survive high k are tightly coordinated subgraphs).
+
+    Scale shape: each peel round is one edges-vs-alive semi-join pair
+    plus a degree aggregate — the Pregel shape shared with
+    ``lpa_communities`` — with ``localCheckpoint`` cutting lineage and
+    a 1-row count as the convergence scalar (the dedup_clusters
+    convention). Rounds are bounded by the peel depth (here single
+    digits; pathological chains are capped at KCORE_MAX_ITERS with the
+    oracle pinned to the same cap). The oracle runs the identical peel
+    as a DuckDB recursive CTE over the adjacency map."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = _coactivity_edges(ev).localCheckpoint(eager=True)
+    out_rows = []
+    for k in KCORE_KS:
+        alive = edges.select(F.col("src").alias("node")).distinct()
+        prev_n = alive.count()
+        for _ in range(KCORE_MAX_ITERS):
+            deg = (
+                edges.join(
+                    alive.select(F.col("node").alias("src")), "src"
+                )
+                .join(alive.select(F.col("node").alias("dst")), "dst")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            alive = (
+                deg.where(F.col("cnt") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            n = alive.count()
+            if n == prev_n:
+                break  # peel removed nothing: fixpoint reached
+            prev_n = n
+        n_edges = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .count()
+        )
+        out_rows.append((k, prev_n, n_edges // 2))
+    return spark.createDataFrame(
+        out_rows, "k int, core_nodes long, core_edges long"
+    ).orderBy("k")
+
+
+def _kcore_oracle() -> str:
+    its = []
+    finals = []
+    for k in KCORE_KS:
+        its.append(f"""
+it{k}(i, alive) AS (
+  SELECT 0, (SELECT nodes FROM base)
+  UNION ALL
+  SELECT i + 1,
+         list_filter(alive, u -> len(list_filter(
+             coalesce(map_extract(am.m, u)[1], []),
+             v -> list_contains(alive, v))) >= {k})
+  FROM it{k}, am WHERE i < {KCORE_MAX_ITERS})""")
+        finals.append(f"""
+SELECT {k} AS k,
+       CAST(len(alive) AS BIGINT) AS core_nodes,
+       CAST((SELECT count(*) FROM edges e
+             WHERE list_contains(f.alive, e.src)
+               AND list_contains(f.alive, e.dst)) // 2 AS BIGINT)
+         AS core_edges
+FROM (SELECT alive FROM it{k} WHERE i = {KCORE_MAX_ITERS}) f""")
+    return f"""
+WITH RECURSIVE cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS minute,
+         user_id
+  FROM events),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM cells a JOIN cells b
+    ON a.event_type = b.event_type AND a.minute = b.minute
+   AND a.user_id <> b.user_id),
+adj AS (SELECT src, list(dst) AS ns FROM edges GROUP BY src),
+am AS (SELECT map(coalesce(list(src), []), coalesce(list(ns), [])) AS m
+       FROM adj),
+base AS (
+  SELECT coalesce(list(DISTINCT src ORDER BY src), []) AS nodes
+  FROM edges),{",".join(its)}
+{" UNION ALL ".join(finals)}
+ORDER BY k
+"""
+
+
+KCORE_DECOMPOSITION_ORACLE = _kcore_oracle()
+
+ADVANCED_QUERIES["kcore_decomposition"] = kcore_decomposition
+ADVANCED_ORACLES["kcore_decomposition"] = KCORE_DECOMPOSITION_ORACLE

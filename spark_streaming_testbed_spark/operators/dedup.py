@@ -2036,3 +2036,67 @@ MINHASH_ESTIMATE_ERROR_ORACLE = _minhash_estimate_error_oracle()
 
 DEDUP_QUERIES["minhash_estimate_error"] = minhash_estimate_error
 DEDUP_ORACLES["minhash_estimate_error"] = MINHASH_ESTIMATE_ERROR_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Template/boilerplate shingles: high source-spread n-grams
+# ---------------------------------------------------------------------------
+
+#: a shingle counts as template text when it appears in at least this
+#: many distinct sources (the synthetic corpus's 4-gram spread tops out
+#: at 4 of the 20 sources; real web corpora see hundreds)
+TEMPLATE_MIN_SOURCES = 3
+TEMPLATE_TOP_K = 50
+
+
+def template_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: the 4-gram shingles with the widest
+    SOURCE spread — text repeated across many independent sources is
+    template/boilerplate (nav chrome, license headers, scraper
+    artifacts), the stuff corpus curation strips before near-dup
+    scoring (CCNet/RefinedWeb-style line-dedup generalized to
+    shingles). Complements the within-corpus df-cap
+    (:data:`MAX_SHINGLE_DF` in the LSH path): that cap bounds join
+    fan-out, this op REPORTS the offenders with their spread.
+
+    Scale shape: one explode to the (doc, shingle) inverted index, one
+    shingle-keyed aggregate with two distinct counts (map-side
+    partial), a threshold filter, and a TakeOrdered(50) cut — the
+    linear inverted-index shape, no pairwise anything."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    inv = docs.select(
+        "doc_id", "source", F.explode("shingles").alias("s")
+    )
+    stats = inv.groupBy("s").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        stats.where(F.col("n_sources") >= TEMPLATE_MIN_SOURCES)
+        .select(F.col("s").alias("shingle"), "n_sources", "n_docs")
+        .orderBy(
+            F.col("n_sources").desc(), F.col("n_docs").desc(), "shingle"
+        )
+        .limit(TEMPLATE_TOP_K)
+    )
+
+
+TEMPLATE_SHINGLES_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, {TOKENS_SQL} AS tokens
+             FROM documents),
+sh AS (SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM tok),
+inv AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+stats AS (
+  SELECT s AS shingle,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM inv GROUP BY s)
+SELECT shingle, n_sources, n_docs
+FROM stats WHERE n_sources >= {TEMPLATE_MIN_SOURCES}
+ORDER BY n_sources DESC, n_docs DESC, shingle
+LIMIT {TEMPLATE_TOP_K}
+"""
+
+
+DEDUP_QUERIES["template_shingles"] = template_shingles
+DEDUP_ORACLES["template_shingles"] = TEMPLATE_SHINGLES_ORACLE

@@ -3830,3 +3830,155 @@ PREP_QUERIES.update({"partition_scheme_advisor": partition_scheme_advisor})
 PREP_ORACLES.update(
     {"partition_scheme_advisor": PARTITION_SCHEME_ADVISOR_ORACLE}
 )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit: the third leg of the privacy trio
+# ---------------------------------------------------------------------------
+
+#: a QI class violates t-closeness when its EMD from the type-level
+#: sensitive distribution exceeds this (basis points of the bucket span)
+T_CLOSENESS_BP = 2500
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) completing
+    the privacy trio with :func:`k_anonymity_audit` and
+    :func:`l_diversity_audit`: a QI class can be k-anonymous AND
+    l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    diverges from the population's. Per event type: equivalence classes
+    on (day, hour) whose earth-mover distance from the type-level
+    value-bucket distribution exceeds t.
+
+    For an ordered attribute with the equal-distance ground metric,
+    EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i| — and with counts over a
+    common denominator that is pure integer arithmetic:
+    |cum_p*N - cum_q*n_c| summed, scaled by 10000 over
+    ((m-1)*n_c*N) in DECIMAL(38)/HUGEINT. No floats anywhere.
+
+    Scale shape: one aggregate to (QI, bucket) cells, a bounded
+    class x type-bucket spine join, two cumulative windows partitioned
+    by class/type, and a per-type rollup — everything bounded by
+    QI-class x bucket cardinality, never raw-event shaped."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(JH_BUCKET_WIDTH))
+        .cast("int").alias("sbucket"),
+    )
+    cb = ev.groupBy("event_type", "day", "hod", "sbucket").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    ct = cb.groupBy("event_type", "day", "hod").agg(
+        F.sum("nc").alias("n_c")
+    )
+    wt = W.partitionBy("event_type")
+    tb = (
+        cb.groupBy("event_type", "sbucket")
+        .agg(F.sum("nc").alias("g"))
+        .select(
+            "event_type",
+            "sbucket",
+            F.sum("g").over(wt.orderBy("sbucket")).alias("cum_g"),
+            F.sum("g").over(wt).alias("n_t"),
+            F.count(F.lit(1)).over(wt).alias("m_t"),
+        )
+    )
+    spine = (
+        ct.join(tb, "event_type")
+        .join(cb, ["event_type", "day", "hod", "sbucket"], "left")
+        .select(
+            "event_type", "day", "hod", "sbucket", "n_c", "cum_g",
+            "n_t", "m_t", F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    wc = W.partitionBy("event_type", "day", "hod").orderBy("sbucket")
+    per_class = (
+        spine.withColumn("cum_p", F.sum("nc").over(wc))
+        .groupBy("event_type", "day", "hod", "n_c", "n_t", "m_t")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_p") * F.col("n_t")
+                      - F.col("cum_g") * F.col("n_c"))
+            ).alias("t_num")
+        )
+        .where(F.col("m_t") > 1)
+        .select(
+            "event_type",
+            F.expr(
+                "cast((cast(t_num as decimal(38,0)) * 10000)"
+                " div ((m_t - 1) * n_c * n_t) as bigint)"
+            ).alias("t_bp"),
+        )
+    )
+    return (
+        per_class.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.max("t_bp").alias("max_t_bp"),
+            F.sum(
+                (F.col("t_bp") >= T_CLOSENESS_BP).cast("long")
+            ).alias("n_violations"),
+        )
+        .select(
+            "event_type", "n_classes", "max_t_bp", "n_violations",
+            F.expr("n_violations * 10000 div n_classes").alias(
+                "violation_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(floor(value / {JH_BUCKET_WIDTH}) AS INTEGER) AS sbucket
+  FROM events),
+cb AS (
+  SELECT event_type, day, hod, sbucket, count(*) AS nc
+  FROM ev GROUP BY 1, 2, 3, 4),
+ct AS (
+  SELECT event_type, day, hod, CAST(sum(nc) AS BIGINT) AS n_c
+  FROM cb GROUP BY 1, 2, 3),
+tb AS (
+  SELECT event_type, sbucket,
+         CAST(sum(sum(nc)) OVER (PARTITION BY event_type
+                                 ORDER BY sbucket) AS BIGINT) AS cum_g,
+         CAST(sum(sum(nc)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_t,
+         count(*) OVER (PARTITION BY event_type) AS m_t
+  FROM cb GROUP BY event_type, sbucket),
+spine AS (
+  SELECT ct.event_type, ct.day, ct.hod, tb.sbucket, ct.n_c,
+         tb.cum_g, tb.n_t, tb.m_t, coalesce(cb.nc, 0) AS nc
+  FROM ct JOIN tb ON ct.event_type = tb.event_type
+  LEFT JOIN cb ON cb.event_type = ct.event_type AND cb.day = ct.day
+              AND cb.hod = ct.hod AND cb.sbucket = tb.sbucket),
+cum AS (
+  SELECT event_type, day, hod, n_c, n_t, m_t, cum_g,
+         CAST(sum(nc) OVER (PARTITION BY event_type, day, hod
+                            ORDER BY sbucket) AS BIGINT) AS cum_p
+  FROM spine),
+per_class AS (
+  SELECT event_type,
+         CAST((CAST(sum(abs(cum_p * n_t - cum_g * n_c)) AS HUGEINT)
+               * 10000) // ((m_t - 1) * n_c * n_t) AS BIGINT) AS t_bp
+  FROM cum WHERE m_t > 1
+  GROUP BY event_type, day, hod, n_c, n_t, m_t)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       max(t_bp) AS max_t_bp,
+       CAST(sum(CASE WHEN t_bp >= {T_CLOSENESS_BP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(sum(CASE WHEN t_bp >= {T_CLOSENESS_BP} THEN 1 ELSE 0 END)
+            AS BIGINT) * 10000 // count(*) AS violation_bp
+FROM per_class GROUP BY event_type ORDER BY event_type
+"""
+
+
+PREP_QUERIES.update({"t_closeness_audit": t_closeness_audit})
+PREP_ORACLES.update({"t_closeness_audit": T_CLOSENESS_ORACLE})

@@ -485,6 +485,18 @@ def _streaming_group_sample_query(spark, sf_dir):
     return streaming_group_sample(spark, sf_dir)
 
 
+def _streaming_kmv_distinct_query(spark, sf_dir):
+    from .stateful import streaming_kmv_distinct
+
+    return streaming_kmv_distinct(spark, sf_dir)
+
+
+def _streaming_kmv_distinct_oracle() -> str:
+    from .stateful import STREAMING_KMV_DISTINCT_ORACLE
+
+    return STREAMING_KMV_DISTINCT_ORACLE
+
+
 def _streaming_group_sample_oracle() -> str:
     from ..operators.prep import GROUP_SAMPLE_ORACLE
 
@@ -603,6 +615,7 @@ STREAMING_QUERIES = {
     "streaming_heavy_hitters": _streaming_hh_query,
     "streaming_ewma": _streaming_ewma_query,
     "streaming_group_sample": _streaming_group_sample_query,
+    "streaming_kmv_distinct": _streaming_kmv_distinct_query,
     "streaming_late_data": _streaming_late_query,
     "streaming_upsert": _streaming_upsert_query,
     "streaming_sessionize": _streaming_sessionize_query,
@@ -627,6 +640,7 @@ STREAMING_ORACLES = {
     # batch==stream equality: k-smallest-hash is an order statistic, so
     # chunked folding equals the batch sample exactly — shared oracle
     "streaming_group_sample": _streaming_group_sample_oracle(),
+    "streaming_kmv_distinct": _streaming_kmv_distinct_oracle(),
     # batch==stream equality: chunked state folding is bitwise identical
     # to the one-shot batch fold, so the stream shares ewma_smooth's oracle
     "streaming_ewma": _streaming_ewma_oracle(),

@@ -1274,3 +1274,147 @@ ranked AS (
 SELECT user_id, n_purchases, CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= {TOPK_USERS_K} ORDER BY rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct estimator: bounded-state cardinality per group
+# ---------------------------------------------------------------------------
+
+SKMV_K = 8
+#: (k-1) * 2^60 as the nearest double — same one-divide estimator as
+#: the batch sketches.kmv_shingle_estimate
+_SKMV_NUM = repr(float((SKMV_K - 1) * (1 << 60)))
+
+SKMV_OUTPUT_SCHEMA = "event_type string, n_seen long, h_k long"
+SKMV_STATE_SCHEMA = "hs array<long>, n_seen long"
+
+
+def _update_kmv(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's user-id hashes into the k-smallest-distinct
+    set. Bottom-k over distinct hashes is a set order statistic —
+    order-independent and duplicate-insensitive — so the state after
+    the last trigger equals the batch sketch EXACTLY, with k longs of
+    state per group forever. A hash above the current k-th smallest
+    can never enter the bottom-k, so discarding it is lossless."""
+    if state.exists:
+        hs, n_seen = state.get
+        cur = set(int(x) for x in hs)
+    else:
+        cur, n_seen = set(), 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        cur.update(int(x) for x in pdf["h"])
+    kept = sorted(cur)[:SKMV_K]
+    state.update((kept, int(n_seen)))
+    h_k = int(kept[SKMV_K - 1]) if len(kept) >= SKMV_K else None
+    yield pd.DataFrame(
+        {
+            "event_type": [str(key[0])],
+            "n_seen": [int(n_seen)],
+            "h_k": [h_k],
+        }
+    )
+
+
+def streaming_kmv_distinct(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED streaming distinct-user estimator: events replay
+    as a time-ordered multi-trigger file stream; each type's state is
+    the K smallest distinct 60-bit user-id hashes (the KMV bottom-k
+    sketch, Bar-Yossef et al. 2002), and after the last trigger the
+    k-th order statistic — hence the (k-1)/t_k estimate — equals the
+    batch sketch bit for bit, because bottom-k over distinct hashes is
+    a set function of the input. Live cardinality tracking with k longs
+    of state per group and no history re-scan; the mergeable twin of
+    ``sketches.kmv_shingle_estimate`` and the streaming answer to
+    "how many distinct users has each type seen so far".
+
+    Scale shape: hashes are computed JVM-side before Python sees rows;
+    per-trigger work is one bounded-key shuffle into the stateful
+    operator."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.text import md5h
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id"
+    )
+    with tempfile.TemporaryDirectory(prefix="skmv_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .select(
+                    "event_type",
+                    md5h("cast(user_id as string)").alias("h"),
+                )
+            )
+            updates = stream.groupBy("event_type").applyInPandasWithState(
+                _update_kmv,
+                outputStructType=SKMV_OUTPUT_SCHEMA,
+                stateStructType=SKMV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"skmv_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_type")
+        return (
+            spark.table(name)
+            .withColumn("_max_seen", F.max("n_seen").over(w))
+            .where(F.col("n_seen") == F.col("_max_seen"))
+            .select(
+                "event_type",
+                "n_seen",
+                "h_k",
+                F.expr(
+                    f"cast(floor({_SKMV_NUM} / cast(h_k as double))"
+                    " as bigint)"
+                ).alias("kmv_est"),
+            )
+            .orderBy("event_type")
+        )
+
+
+STREAMING_KMV_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15)) AS BIGINT)
+           AS h
+  FROM events),
+kth AS (
+  SELECT event_type, h AS h_k FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h) WHERE rn = {SKMV_K}),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+  FROM events GROUP BY event_type)
+SELECT n.event_type, n.n_seen, k.h_k,
+       CAST(floor({_SKMV_NUM} / k.h_k::DOUBLE) AS BIGINT) AS kmv_est
+FROM n JOIN kth k ON n.event_type = k.event_type
+ORDER BY 1
+"""

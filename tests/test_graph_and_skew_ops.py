@@ -542,3 +542,21 @@ def test_revenue_concentration_bounds(spark):
     assert 0.0 <= r.gini < 1.0
     # the top 20% of parts must hold at least 20% of revenue
     assert 0.2 <= r.top20_share <= 1.0
+
+
+def test_kcore_monotone_and_consistent(spark):
+    """Cores shrink as k grows; runs at sf0.01 because the sf0.001
+    co-activity graph is empty (cores of size 0 are the correct
+    degenerate answer there, pinned by the oracle)."""
+    from spark_streaming_testbed_spark.operators.advanced import (
+        kcore_decomposition,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = {r.k: r for r in kcore_decomposition(spark, SF_CORRECT).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[3].core_nodes <= rows[2].core_nodes
+    assert rows[3].core_edges <= rows[2].core_edges
+    for r in rows.values():
+        # a k-core node has >= k neighbors, so edges >= nodes*k/2
+        assert 2 * r.core_edges >= r.k * r.core_nodes

@@ -1010,3 +1010,20 @@ def test_knn_label_agreement_accounting(spark):
     for r in rows:
         assert 0 <= r.n_agree <= r.n_edges
         assert 0 <= r.agreement_bp <= 10000
+
+
+def test_template_shingles_are_widely_spread(spark):
+    from spark_streaming_testbed_spark.operators.dedup import (
+        TEMPLATE_MIN_SOURCES,
+        TEMPLATE_TOP_K,
+        template_shingles,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = template_shingles(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= TEMPLATE_TOP_K
+    spreads = [r.n_sources for r in rows]
+    assert spreads == sorted(spreads, reverse=True)
+    for r in rows:
+        assert r.n_sources >= TEMPLATE_MIN_SOURCES
+        assert r.n_docs >= r.n_sources  # a source needs >= 1 doc

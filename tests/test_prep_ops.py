@@ -727,3 +727,18 @@ def test_partition_scheme_advisor_invariants(spark):
     # finer keys mean at least as many partitions
     assert rows["day_type"].n_partitions >= rows["day"].n_partitions
     assert rows["hour"].n_partitions >= rows["day"].n_partitions
+
+
+def test_t_closeness_rollup_invariants(spark):
+    from spark_streaming_testbed_spark.operators.prep import (
+        t_closeness_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = t_closeness_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_classes
+        assert 0 <= r.violation_bp <= 10000
+        # EMD in bp of the bucket span can never exceed the span
+        assert 0 <= r.max_t_bp <= 10000

@@ -128,3 +128,26 @@ def test_streaming_group_sample_matches_batch_and_bounds_state(spark):
     for t, rn, *_ in stream_rows:
         per_type[t] = max(per_type.get(t, 0), rn)
     assert all(v <= GROUP_SAMPLE_K for v in per_type.values())
+
+
+def test_streaming_kmv_matches_batch_counts(spark):
+    from spark_streaming_testbed_spark.session import load_table
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        SKMV_K,
+        streaming_kmv_distinct,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = streaming_kmv_distinct(spark, SF_SMOKE).collect()
+    per_type = {
+        r.event_type: r.cnt
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert r.n_seen == per_type[r.event_type]  # every row folded in
+        assert r.h_k > 0
+        assert r.kmv_est >= SKMV_K - 1  # k-th hash exists => n >= k
