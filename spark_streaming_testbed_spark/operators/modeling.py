@@ -1893,3 +1893,199 @@ FROM pairs
 
 MODELING_QUERIES["kendall_rank_stability"] = kendall_rank_stability
 MODELING_ORACLES["kendall_rank_stability"] = KENDALL_RANK_STABILITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline backtest: MAE of the standard naive forecasters
+# ---------------------------------------------------------------------------
+
+FORECAST_EVAL_DAYS = 28
+FORECAST_MEAN_WINDOW = 28
+
+
+def forecast_baseline_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the three standard baseline forecasters on the daily
+    order-count series — naive (yesterday), seasonal-naive (7 observed
+    days back), and the trailing 28-day mean — scored by MAE and mean
+    bias over the last 28 observed days. The honesty floor every real
+    forecasting effort must beat (Hyndman & Athanasopoulos, 'Forecasting:
+    Principles and Practice', ch. 5); pairs with ``acf_daily_orders``
+    (which says WHETHER there is structure) and ``holt_trend``.
+
+    Integer arithmetic end to end: forecasts are lagged integers (the
+    trailing mean uses integer division), errors are exact, MAE/bias
+    are milli-quantized integer divisions. Scale shape: facts reduce to
+    the calendar-bounded daily table; everything after is windows over
+    it."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = W.orderBy("d")
+    feat = daily.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            W.orderBy("d").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+        F.lag("v", 1).over(w).alias("naive1"),
+        F.lag("v", 7).over(w).alias("naive7"),
+        F.expr(
+            f"sum(v) over (order by d rows between {FORECAST_MEAN_WINDOW}"
+            f" preceding and 1 preceding) div {FORECAST_MEAN_WINDOW}"
+        ).alias("mean28"),
+    )
+    ev = feat.where(
+        (F.col("i") > F.col("n") - FORECAST_EVAL_DAYS)
+        & (F.col("i") > FORECAST_MEAN_WINDOW)
+    )
+    stacked = ev.select(
+        "v",
+        F.expr(
+            "stack(3, 'mean28', mean28, 'naive1', naive1,"
+            " 'naive7', naive7) as (method, f)"
+        ),
+    )
+    return (
+        stacked.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.abs(F.col("v") - F.col("f"))).alias("abs_err"),
+            F.sum(F.col("v") - F.col("f")).alias("err"),
+        )
+        .select(
+            "method",
+            "n_eval",
+            F.expr("abs_err * 1000 div n_eval").alias("mae_milli"),
+            F.expr("err * 1000 div n_eval").alias("bias_milli"),
+        )
+        .orderBy("method")
+    )
+
+
+FORECAST_BASELINE_MAE_ORACLE = f"""
+WITH daily AS ({_DAILY_ORDERS_SQL}),
+feat AS (
+  SELECT v,
+         row_number() OVER (ORDER BY d) AS i,
+         count(*) OVER () AS n,
+         lag(v, 1) OVER (ORDER BY d) AS naive1,
+         lag(v, 7) OVER (ORDER BY d) AS naive7,
+         CAST(sum(v) OVER (ORDER BY d
+              ROWS BETWEEN {FORECAST_MEAN_WINDOW} PRECEDING
+              AND 1 PRECEDING) AS BIGINT) // {FORECAST_MEAN_WINDOW}
+           AS mean28
+  FROM daily),
+ev AS (
+  SELECT * FROM feat
+  WHERE i > n - {FORECAST_EVAL_DAYS} AND i > {FORECAST_MEAN_WINDOW}),
+stacked AS (
+  SELECT 'naive1' AS method, v, naive1 AS f FROM ev
+  UNION ALL SELECT 'naive7', v, naive7 FROM ev
+  UNION ALL SELECT 'mean28', v, mean28 FROM ev)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(abs(v - f)) AS BIGINT) * 1000 // count(*) AS mae_milli,
+       CAST(sum(v - f) AS BIGINT) * 1000 // count(*) AS bias_milli
+FROM stacked GROUP BY method ORDER BY method
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recommendation-quality audit: coverage and diversity of also-bought
+# ---------------------------------------------------------------------------
+
+def recs_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender audit (Ge, Delgado & Jannach 2010)
+    of the ``also_bought_topn`` lists: catalog coverage (share of the
+    part catalog that appears in ANY list — low coverage means the
+    recommender only ever shows bestsellers) and mean intra-list brand
+    diversity (distinct brands per list).
+
+    Scale shape: the rec lists are anchor-bounded by construction;
+    both metrics are one aggregate over them plus a broadcast join to
+    the part dimension for brands and a 1-row catalog count. Integer
+    basis points."""
+    recs = also_bought_topn(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    with_brand = recs.join(
+        F.broadcast(part),
+        recs.reco == part.p_partkey,
+    )
+    per_anchor = with_brand.groupBy("anchor").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.countDistinct("p_brand").alias("n_brands"),
+    )
+    catalog = part.agg(F.count(F.lit(1)).alias("n_catalog"))
+    summary = per_anchor.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum("n_recs").alias("n_recs_total"),
+        F.sum(F.expr("n_brands * 10000 div n_recs")).alias(
+            "div_bp_sum"
+        ),
+    )
+    distinct_recs = recs.select("reco").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_recs")
+    )
+    return (
+        summary.crossJoin(F.broadcast(distinct_recs))
+        .crossJoin(F.broadcast(catalog))
+        .select(
+            "n_anchors",
+            "n_recs_total",
+            "n_distinct_recs",
+            F.expr("n_distinct_recs * 10000 div n_catalog").alias(
+                "catalog_coverage_bp"
+            ),
+            F.expr("div_bp_sum div n_anchors").alias(
+                "mean_brand_diversity_bp"
+            ),
+        )
+    )
+
+
+def _recs_coverage_oracle() -> str:
+    return f"""
+WITH recs AS ({MODELING_ORACLES["also_bought_topn"]}),
+with_brand AS (
+  SELECT r.anchor, r.reco, p.p_brand
+  FROM recs r JOIN part p ON r.reco = p.p_partkey),
+per_anchor AS (
+  SELECT anchor,
+         CAST(count(*) AS BIGINT) AS n_recs,
+         CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+  FROM with_brand GROUP BY anchor),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(sum(n_recs) AS BIGINT) AS n_recs_total,
+         CAST(sum(n_brands * 10000 // n_recs) AS BIGINT) AS div_bp_sum
+  FROM per_anchor),
+dr AS (SELECT CAST(count(DISTINCT reco) AS BIGINT)
+         AS n_distinct_recs FROM recs),
+cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part)
+SELECT n_anchors, n_recs_total, n_distinct_recs,
+       n_distinct_recs * 10000 // n_catalog AS catalog_coverage_bp,
+       div_bp_sum // n_anchors AS mean_brand_diversity_bp
+FROM summary, dr, cat
+"""
+
+
+RECS_COVERAGE_DIVERSITY_ORACLE = _recs_coverage_oracle()
+
+
+MODELING_QUERIES.update(
+    {
+        "forecast_baseline_mae": forecast_baseline_mae,
+        "recs_coverage_diversity": recs_coverage_diversity,
+    }
+)
+MODELING_ORACLES.update(
+    {
+        "forecast_baseline_mae": FORECAST_BASELINE_MAE_ORACLE,
+        "recs_coverage_diversity": RECS_COVERAGE_DIVERSITY_ORACLE,
+    }
+)
