@@ -181,65 +181,70 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-5 window: the 50 round-4 operators that have never had
-    # a driver CORRECTNESS row (all green under the local
-    # tools/check_oracle.py replica and the judge's independent re-run).
-    # After this round every registry entry is driver-verified. ---
-    "lsh_param_sweep",
-    "multimodal_payload_dedup",
-    "streaming_group_sample",
-    "file_skipping_audit",
-    "class_balance_weights",
-    "feature_hashing",
-    "ngram_novelty",
-    "benford_audit",
-    "mad_outliers",
-    "gap_fill_locf",
-    "cusum_drift",
-    "embedding_threshold_sweep",
-    "percentile_rank_features",
-    "quantile_normalize_embeddings",
-    "group_sample_topk",
-    "cross_split_leakage",
-    "dataset_card_report",
-    "holt_trend",
-    "cohort_ltv",
-    "containment_pairs",
-    "readability_scores",
-    "matryoshka_fidelity",
-    "funnel_time_bounded",
-    "embedding_outliers",
-    "referential_integrity_audit",
-    "seasonal_anomaly_alerts",
-    "oov_rate",
-    "label_noise_audit",
-    "joint_histogram",
-    "l_diversity_audit",
-    "dedup_consensus",
-    "bounce_rate",
-    "skyline_parts",
-    "sla_compliance",
+    # --- round-6 window: the 37 registry entries with no driver
+    # CORRECTNESS row in rounds 1-5 (36 round-5 ops that passed the
+    # local tools/check_oracle.py replica, plus cluster_canonicals,
+    # which was a driver checker error in r5 — its array<bigint>
+    # output column is now a comma-joined string per the registry
+    # convention). After this round the r1-r6 union covers every
+    # registry entry. ---
     "cluster_canonicals",
-    "rolling_active_users",
-    "source_vocab_overlap",
-    "dedup_savings_curve",
-    "dup_graph_degrees",
-    "jaccard_histogram",
-    "session_depth_dist",
-    "session_cooccurrence_lift",
-    "part_growth_movers",
-    "uniform_negatives",
-    "temporal_split_audit",
-    "ts_feature_table",
-    "fulfillment_lag_hist",
-    "segment_migration",
-    "weekday_activity_profile",
-    "repeat_purchase_gaps",
+    "vocab_coverage_curve",
+    "minhash_estimate_error",
+    "template_shingles",
+    "knn_label_agreement",
+    "streaming_kmv_distinct",
+    "streaming_topk_users",
+    "kcore_decomposition",
+    "cms_frequency_estimates",
+    "hll_shingle_estimate",
+    "kmv_shingle_estimate",
+    "bloom_join_prefilter",
+    "partition_scheme_advisor",
+    "t_closeness_audit",
+    "zipf_token_slope",
+    "heaps_vocab_curve",
+    "concurrent_sessions_timeline",
+    "incremental_agg_merge",
+    "survival_km_curve",
+    "degree_assortativity",
+    "discount_uplift_slope",
+    "reciprocal_rank_fusion",
+    "abc_classification",
+    "new_vs_returning",
+    "user_decile_curve",
+    "also_bought_topn",
+    "burst_velocity_flags",
+    "order_batching_windows",
+    "session_conversion_rate",
+    "chi2_independence_audit",
+    "acf_daily_orders",
+    "changepoint_daily_orders",
+    "psi_price_drift",
+    "link_prediction_topk",
+    "kendall_rank_stability",
+    "forecast_baseline_mae",
+    "recs_coverage_diversity",
+    # --- 10 family-flagship regression re-checks (drift guard; each
+    # was driver-green in an earlier round) ---
+    "batch_stats",
+    "tpch_q1",
+    "dedup_clusters",
+    "cosine_topk",
+    "streaming_profile_stats",
+    "profile_fixed_ramp",
+    "loglake_execution_roundtrip",
+    "congestion_drop_accounting",
+    "streaming_ewma",
+    "target_encoding",
+    # --- 3 re-checks tied to this round's perf/scale work ---
+    "tpch_q21",
+    "lsh_near_dup_pairs",
+    "ann_ivf_topk",
 ]
-# Rotation policy from round 6 onward: blend ~40 slots of new /
-# never-driver-checked operators with ~10 family-flagship REGRESSION
-# re-checks as a drift guard. Reserved flagship re-check set:
-# batch_stats, tpch_q1, dedup_clusters, cosine_topk,
+# Rotation policy: ~40 slots of new / never-driver-checked operators
+# plus ~10 family-flagship regression re-checks each round. Flagship
+# set: batch_stats, tpch_q1, dedup_clusters, cosine_topk,
 # streaming_profile_stats, profile_fixed_ramp, loglake_execution_roundtrip,
 # congestion_drop_accounting, streaming_ewma, target_encoding
 # (one per family: relational, TPC-H, dedup graph, similarity, streaming

@@ -1835,18 +1835,33 @@ def kendall_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end"
         ).alias("conc")
     )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("conc").alias("concordant"),
-        F.sum(F.lit(1) - F.col("conc")).alias("discordant"),
-    ).select(
-        F.lit(KENDALL_TOP_PARTS).alias("n_parts"),
-        "n_pairs",
-        "concordant",
-        "discordant",
-        F.expr(
-            "(concordant - discordant) * 1000 div n_pairs"
-        ).alias("tau_milli"),
+    # actual anchor-set size, not the LIMIT constant — a catalog with
+    # fewer than KENDALL_TOP_PARTS parts must report what it ranked
+    n_parts = ranked.agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts")
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(F.sum("conc"), F.lit(0)).alias("concordant"),
+            F.coalesce(
+                F.sum(F.lit(1) - F.col("conc")), F.lit(0)
+            ).alias("discordant"),
+        )
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "n_parts",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            # <2 parts => 0 pairs: tau undefined, report NULL not a
+            # divide-by-zero
+            F.expr(
+                "case when n_pairs > 0 then"
+                " (concordant - discordant) * 1000 div n_pairs"
+                " else null end"
+            ).alias("tau_milli"),
+        )
     )
 
 
@@ -1881,12 +1896,14 @@ pairs AS (
   SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0 THEN 1 ELSE 0 END
            AS conc
   FROM ranked a JOIN ranked b ON a.l_partkey < b.l_partkey)
-SELECT CAST({KENDALL_TOP_PARTS} AS INT) AS n_parts,
+SELECT CAST((SELECT count(*) FROM ranked) AS INT) AS n_parts,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(conc) AS BIGINT) AS concordant,
-       CAST(sum(1 - conc) AS BIGINT) AS discordant,
-       (CAST(sum(conc) AS BIGINT) - CAST(sum(1 - conc) AS BIGINT)) * 1000
-         // CAST(count(*) AS BIGINT) AS tau_milli
+       CAST(coalesce(sum(conc), 0) AS BIGINT) AS concordant,
+       CAST(coalesce(sum(1 - conc), 0) AS BIGINT) AS discordant,
+       CASE WHEN count(*) > 0 THEN
+         (CAST(sum(conc) AS BIGINT) - CAST(sum(1 - conc) AS BIGINT)) * 1000
+           // CAST(count(*) AS BIGINT)
+       ELSE NULL END AS tau_milli
 FROM pairs
 """
 

@@ -2613,7 +2613,16 @@ def cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_win"),
             F.sum("n_chars").alias("total_chars"),
-            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+            # comma-joined string, not array<bigint>: the driver's pandas
+            # canonicalizer cannot sort list cells (registry convention,
+            # cf. dedup.py span_dedup_clean)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
         )
         .select(
             "cluster_id",
@@ -2644,7 +2653,7 @@ SELECT cluster_id,
        CAST(max(n_chars) AS BIGINT) AS canonical_chars,
        count(*) AS n_members,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM members
 GROUP BY cluster_id
 ORDER BY cluster_id

@@ -1386,6 +1386,9 @@ def streaming_kmv_distinct(spark, sf_dir: str) -> DataFrame:
             spark.table(name)
             .withColumn("_max_seen", F.max("n_seen").over(w))
             .where(F.col("n_seen") == F.col("_max_seen"))
+            # a type with < K distinct users has no k-th order statistic;
+            # the oracle's inner join on `kth` drops it, so we must too
+            .where(F.col("h_k").isNotNull())
             .select(
                 "event_type",
                 "n_seen",

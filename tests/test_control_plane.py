@@ -84,6 +84,18 @@ def test_post_plan_edge_cases():
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # bad route: 404 on both verbs (reference ApplicationSpec.scala:18-28
+        # asserts "send 404 on a bad request"; index render covered above)
+        try:
+            _post(f"{base}/boum", "x")
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        try:
+            urllib.request.urlopen(f"{base}/boum", timeout=5)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
     finally:
         server.close()
 

@@ -416,6 +416,7 @@ def test_link_prediction_pairs_are_non_adjacent(spark):
 def test_kendall_pair_accounting(spark):
     (row,) = M.kendall_rank_stability(spark, SF_SMOKE).collect()
     k = M.KENDALL_TOP_PARTS
-    assert row.n_pairs == k * (k - 1) // 2
+    assert 0 < row.n_parts <= k  # actual anchor count, not the LIMIT
+    assert row.n_pairs == row.n_parts * (row.n_parts - 1) // 2
     assert row.concordant + row.discordant == row.n_pairs
     assert -1000 <= row.tau_milli <= 1000

@@ -62,6 +62,40 @@ def test_ngram_novelty_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_novelty_hash_collision_free_on_corpus(spark):
+    # ngram_novelty shuffles xxhash64(gram) codes while the DuckDB
+    # oracle keys on the exact gram string; cross-engine parity is
+    # therefore conditional on zero 64-bit collisions among the
+    # corpus's distinct grams (P ~ n^2/2^64). Assert that condition
+    # holds on the fixture corpus so a collision would fail loudly
+    # here instead of as a silent oracle hash mismatch.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.operators.prep import (
+        NOVELTY_N,
+        _t,
+        with_grams,
+        with_tokens,
+    )
+
+    grams = (
+        with_grams(
+            with_tokens(_t(spark, SF_SMOKE, "documents")),
+            NOVELTY_N,
+            "grams",
+        )
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    n_grams, n_hashes = (
+        grams.agg(
+            F.count(F.lit(1)),
+            F.countDistinct(F.xxhash64("gram")),
+        ).first()
+    )
+    assert n_grams == n_hashes
+
+
 def test_cusum_reduces_before_python(spark):
     # the sequential recursion runs over the per-type DAILY series, not
     # the raw facts: the pandas stage must sit above an aggregate
@@ -541,9 +575,11 @@ def test_sla_rates_bounded(spark):
 def test_cluster_canonicals_election_rules(spark):
     rows = P.cluster_canonicals(spark, SF_SMOKE).collect()
     for r in rows:
+        member_ids = [int(x) for x in r.member_ids.split(",")]
+        assert member_ids == sorted(member_ids)  # numeric sort order
         assert r.n_members > 1
-        assert r.canonical_doc in r.member_ids
-        assert r.cluster_id == min(r.member_ids)
+        assert r.canonical_doc in member_ids
+        assert r.cluster_id == min(member_ids)
         assert r.canonical_chars <= r.total_chars
 
 
