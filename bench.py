@@ -143,7 +143,7 @@ def scenario2_trigger_latency(spark) -> dict[str, float]:
     }
 
 
-def scenario2_pid_recovery(spark) -> dict[str, float]:
+def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
     """Scenario-2 closed-loop variant: a 4× ingest spike hits the live
     ``rate_profile`` source (pushback admission). Controller OFF admits
     the whole spike into one trigger; controller ON (PID estimates
@@ -239,9 +239,20 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
     # BOTH arms run twice and report their better run (symmetric
     # best-of-2, per ADVICE r4)
     out: dict[str, float] = {}
+    # both raw samples per arm go to BENCH_DETAILS (VERDICT r5 item 4):
+    # best-of-2 absorbs a GC stall, but publishing the losing run keeps
+    # the noise magnitude visible instead of silently swallowed
+    detail: dict[str, list[float]] = {
+        "scenario2_pid_off_max_trigger_runs": [],
+        "scenario2_pid_on_max_trigger_runs": [],
+        "scenario2_pid_recovery_sec_runs": [],
+    }
     best_off = None
     for _ in range(2):
         durs_off, _ = run(controlled=False)
+        if durs_off:
+            detail["scenario2_pid_off_max_trigger_runs"].append(
+                round(max(durs_off), 3))
         if durs_off and (best_off is None or max(durs_off) < best_off):
             best_off = max(durs_off)
     if best_off is not None:
@@ -254,6 +265,9 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
         backlog = sum(
             d for d, r in zip(durs_on, recs_on) if r.get("queued", 0) > 0
         )
+        detail["scenario2_pid_on_max_trigger_runs"].append(
+            round(max(durs_on), 3))
+        detail["scenario2_pid_recovery_sec_runs"].append(round(backlog, 3))
         if best_recovery is None or backlog < best_recovery:
             best_recovery, best_max = backlog, max(durs_on)
     if best_max is not None:
@@ -262,7 +276,7 @@ def scenario2_pid_recovery(spark) -> dict[str, float]:
         # omitted entirely when no controlled run produced triggers —
         # a missing measurement must not read as a 0 s (perfect) recovery
         out["scenario2_pid_recovery_sec"] = round(best_recovery, 3)
-    return out
+    return out, detail
 
 
 def scenario3_reactive_rows_per_sec(spark) -> float:
@@ -371,7 +385,8 @@ def main() -> None:
     n_rows = SCENARIO1_RATE * SCENARIO1_SECONDS
     timings["scenario1_ingest"] = round(n_rows / rows_per_sec, 3)
     timings.update(scenario2_trigger_latency(spark))
-    timings.update(scenario2_pid_recovery(spark))
+    pid_out, pid_runs = scenario2_pid_recovery(spark)
+    timings.update(pid_out)
     timings["scenario3_reactive_rows_per_sec"] = round(
         scenario3_reactive_rows_per_sec(spark), 1)
     timings["scenario4_ramp_rows_per_sec"] = round(
@@ -402,6 +417,7 @@ def main() -> None:
     # long notes pushed the JSON line past that, so BENCH_r03.json
     # recorded parsed=null. The printed line must stay small.
     details = dict(out)
+    details.update(pid_runs)
     details["value_spread"] = {
         "min": round(runs[0], 1),
         "median": round(runs[1], 1),

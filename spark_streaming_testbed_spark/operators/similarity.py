@@ -145,13 +145,21 @@ FROM embeddings ORDER BY vec_id
 """
 
 
-def _lsh_signature_col() -> F.Column:
+def _lsh_signature_col(
+    n_planes: int = LSH_PLANES, seed: int = LSH_SEED
+) -> F.Column:
     """Sign-bit signature against seeded random hyperplanes (driver-side
-    constants folded into the plan — no UDF, no broadcast variable)."""
-    rng = np.random.RandomState(LSH_SEED)
-    planes = rng.randn(LSH_PLANES, DIM)
+    constants folded into the plan — no UDF, no broadcast variable).
+
+    ``n_planes``/``seed`` parameterize the table for scale: expected
+    in-bucket candidate pairs are n²/2^planes, so the plane count must
+    grow with log2(n) to keep candidate generation linear in the corpus
+    (and independent seeds give independent tables for recall). The
+    defaults match the static DuckDB oracle."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, DIM)
     sig = None
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         coeffs = ", ".join(repr(float(c)) for c in planes[p])
         dot = F.expr(
             f"aggregate(zip_with(embedding, array({coeffs}), "
@@ -864,7 +872,12 @@ SIMILARITY_ORACLES["embedding_covariance"] = EMBEDDING_COVARIANCE_ORACLE
 KNN_K = 5
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = LSH_PLANES,
+    n_tables: int = 1,
+) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole embedding
     corpus: each vector's top-``KNN_K`` cosine neighbors among the
     vectors sharing its hyperplane-LSH bucket — the all-pairs upgrade
@@ -879,29 +892,43 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides); the join key is the 8-bit signature computed row-locally
     from plane literals folded into the plan (no UDF, no model state).
     Ranking uses the ROUNDED cosine so the cross-engine order is
-    bitwise stable."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _lsh_signature_col()
-    )
-    a = emb.select(
-        F.col("vec_id").alias("v_id"),
-        F.col("embedding").alias("v_emb"),
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("n_emb"),
-        "bucket",
-    )
-    scored = (
-        a.join(b, "bucket")
-        .where(F.col("v_id") != F.col("nn_id"))
-        .select(
-            "v_id",
-            "nn_id",
-            F.round(_cosine("v_emb", "n_emb"), 6).alias("cosine"),
+    bitwise stable.
+
+    ``n_planes``/``n_tables`` are the scale knobs (defaults match the
+    static DuckDB oracle): expected candidate pairs are
+    n_tables · n²/2^planes, so at 10× the corpus the operator should run
+    with ~3-4 more planes (same expected per-vector candidates, linear
+    total work) and 2+ independent tables to hold recall — the standard
+    multi-table hyperplane-LSH tradeoff. tools/sf1_smoke.py measures
+    exactly this configuration at 10× distinct vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_table = []
+    for t in range(n_tables):
+        bucketed = emb.withColumn(
+            "bucket", _lsh_signature_col(n_planes, LSH_SEED + 7 * t)
         )
-    )
+        a = bucketed.select(
+            F.col("vec_id").alias("v_id"),
+            F.col("embedding").alias("v_emb"),
+            "bucket",
+        )
+        b = bucketed.select(
+            F.col("vec_id").alias("nn_id"),
+            F.col("embedding").alias("n_emb"),
+            "bucket",
+        )
+        per_table.append(
+            a.join(b, "bucket")
+            .where(F.col("v_id") != F.col("nn_id"))
+            .select("v_id", "nn_id",
+                    F.round(_cosine("v_emb", "n_emb"), 6).alias("cosine"))
+        )
+    scored = per_table[0]
+    for extra in per_table[1:]:
+        scored = scored.unionByName(extra)
+    if n_tables > 1:
+        # a pair found by several tables must rank once
+        scored = scored.dropDuplicates(["v_id", "nn_id"])
     w = W.partitionBy("v_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -1370,7 +1397,12 @@ SIMILARITY_ORACLES["ann_recall_eval"] = ANN_RECALL_EVAL_ORACLE
 # ---------------------------------------------------------------------------
 
 
-def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_label_agreement(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = LSH_PLANES,
+    n_tables: int = 1,
+) -> DataFrame:
     """Per-label kNN label-agreement rate over the ``knn_graph`` edge
     set: the share of each anchor's bucket-local top-5 cosine neighbors
     that carry the anchor's label — the standard embedding-quality
@@ -1388,7 +1420,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label"
     )
-    edges = knn_graph(spark, sf_dir)
+    edges = knn_graph(spark, sf_dir, n_planes=n_planes, n_tables=n_tables)
     labeled = (
         edges.join(
             F.broadcast(

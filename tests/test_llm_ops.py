@@ -1012,6 +1012,29 @@ def test_knn_label_agreement_accounting(spark):
         assert 0 <= r.agreement_bp <= 10000
 
 
+def test_knn_graph_multi_table_only_improves_neighbors(spark):
+    """The multi-table scale knob (planes ~ log2(n), extra independent
+    tables for recall) must be quality-monotone: with MORE candidate
+    tables at the SAME plane count, each vector's k-th best cosine can
+    only rise — a second table adds candidates, never removes them."""
+    from spark_streaming_testbed_spark.operators.similarity import knn_graph
+
+    one = knn_graph(spark, SF_SMOKE, n_tables=1).collect()
+    two = knn_graph(spark, SF_SMOKE, n_tables=2).collect()
+    best_one: dict[tuple[int, int], float] = {
+        (r.v_id, r.rk): r.cosine for r in one
+    }
+    improved = 0
+    for r in two:
+        base = best_one.get((r.v_id, r.rk))
+        if base is not None:
+            assert r.cosine >= base - 1e-9
+            if r.cosine > base + 1e-9:
+                improved = 1
+    # table-2 buckets differ from table-1's, so SOME rank must improve
+    assert improved or len(two) > len(one)
+
+
 def test_template_shingles_are_widely_spread(spark):
     from spark_streaming_testbed_spark.operators.dedup import (
         TEMPLATE_MIN_SOURCES,
