@@ -34,7 +34,7 @@ def main(out_path: str) -> None:
     rec_runs, on_max_runs = [], []
     for _ in range(4):
         s1_runs.append(round(n_rows / bench.scenario1_rows_per_sec(spark)[0], 3))
-        lat = bench.scenario2_trigger_latency(spark)
+        lat, _lat_detail = bench.scenario2_trigger_latency(spark)
         p50_runs.append(lat["scenario2_trigger_p50"])
         pmax_runs.append(lat["scenario2_trigger_max"])
         pid, pid_detail = bench.scenario2_pid_recovery(spark)
