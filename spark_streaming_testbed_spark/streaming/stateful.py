@@ -60,6 +60,72 @@ def running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when Spark 4's arbitrary-state v2 (`transformWithStateInPandas`)
+    can actually run here: its state server speaks protobuf to the Python
+    worker, so the `google.protobuf` package must be importable. This
+    container lacks it (documented in COVERAGE.md T9); the probe lets the
+    v2 twin below — and its test — activate automatically the moment the
+    environment gains the dependency, with zero code change."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """`running_totals` on the arbitrary-state v2 API
+    (`transformWithStateInPandas`, SPARK-49564): same per-value cumulative
+    (count, sum, batches) semantics, state held in a ValueState handle
+    instead of the GroupState tuple. Kept as the forward-looking twin of
+    the v1 operator — v2 adds state TTL, multiple typed state variables,
+    and operator-metadata evolution, none of which the v1 API offers.
+    Raises RuntimeError where the protobuf state server can't run (see
+    ``tws_available``)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks; use running_totals (applyInPandasWithState)"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total, batches = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            new = 0
+            for pdf in rows:
+                new += len(pdf)
+            cnt += new
+            total += new * int(key[0])
+            batches += 1
+            self._state.update((cnt, total, batches))
+            yield pd.DataFrame(
+                {
+                    "value": [int(key[0])],
+                    "total_cnt": [cnt],
+                    "total_sum": [total],
+                    "n_batches": [batches],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("value").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
     """ORACLE-CHECKED stateful streaming query: replay a cycle profile as
     a multi-trigger file stream through ``applyInPandasWithState`` and

@@ -52,6 +52,43 @@ def test_stateful_running_totals_accumulate_across_batches(spark):
     assert max(r.n_batches for r in rows) >= 2
 
 
+def test_transform_with_state_twin_or_documented_gate(spark):
+    """T9 v2: where the container has protobuf, the arbitrary-state v2
+    twin must reproduce the v1 finals bit for bit; where it doesn't, the
+    gate must fail loudly with the documented reason rather than half-run.
+    The probe makes this test upgrade itself the moment the environment
+    gains the dependency."""
+    import pytest
+
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    plan = parse_plan(PLAN)
+    if not tws_available():
+        with tempfile.TemporaryDirectory() as tmp:
+            stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+            with pytest.raises(RuntimeError, match="protobuf"):
+                running_totals_tws(stream)
+        return
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
+        v1 = spark.table(_run(running_totals(stream))).collect()
+        stream2 = profile_stream(spark, plan, tmp + "/b", seconds_per_file=2)
+        v2 = spark.table(_run(running_totals_tws(stream2))).collect()
+
+    def finals(rows):
+        out = {}
+        for r in rows:
+            cur = out.get(r.value)
+            if cur is None or r.n_batches > cur.n_batches:
+                out[r.value] = r
+        return {k: (r.total_cnt, r.total_sum) for k, r in out.items()}
+
+    assert finals(v1) == finals(v2)
+
+
 def test_watermark_semantics_documented_divergence(spark):
     """T5: the reference never drops late data; a watermarked streaming
     aggregation does. Assert both behaviors explicitly."""
