@@ -19,6 +19,7 @@ from spark_streaming_testbed_spark.operators.dedup import (  # noqa: E402
 from spark_streaming_testbed_spark.operators.similarity import (  # noqa: E402
     ann_ivf_topk,
     cosine_topk,
+    knn_graph,
     project_embeddings,
     semantic_dup_pairs,
 )
@@ -119,6 +120,11 @@ TARGETS = [
     ("embedding_threshold_sweep", P.embedding_threshold_sweep,
      "pairs materialize once at the loosest threshold within IVF "
      "clusters; each tighter threshold is an explode+re-aggregate"),
+    ("knn_graph", knn_graph,
+     "bucketed corpus SELF-join on the hyperplane signature (equi-join, "
+     "no broadcast of either side); candidates are n_tables*n^2/2^planes "
+     "— the plane count is the log2(n) scale knob, extra tables hold "
+     "recall (defaults pinned to the static oracle)"),
 ]
 
 

@@ -127,8 +127,12 @@ def main() -> None:
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 
     from spark_streaming_testbed_spark.operators.dedup import (
+        dedup_clusters,
+        duplicate_spans,
         lsh_near_dup_pairs,
+        minhash_signatures,
         ngram_jaccard_pairs,
+        simhash,
     )
     from spark_streaming_testbed_spark.operators.similarity import (
         ann_ivf_topk,
@@ -143,6 +147,10 @@ def main() -> None:
     ops = {
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "lsh_near_dup_pairs": lsh_near_dup_pairs,
+        "minhash_signatures": minhash_signatures,
+        "simhash": simhash,
+        "dedup_clusters": dedup_clusters,
+        "duplicate_spans": duplicate_spans,
         "knn_label_agreement": knn_label_agreement,
         "cosine_topk": cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
