@@ -8,7 +8,10 @@ the stdlib HTTP server:
 - ``POST /postPlan`` — body is a plan in HOCON *or* JSON; parsed with
   the same :func:`..plans.phases.parse_plan`, installed as the current
   plan, and answered with the reference's ``all clear``.
-- ``GET /`` — liveness + current plan summary (the Play index page).
+- ``GET /`` — liveness + current plan summary as JSON, or, when the
+  client asks for ``text/html``, the browser form the Play index page
+  renders (textarea + submit posting the raw body to ``postPlan``,
+  testbed/app/views/index.scala.html).
 
 The installed plan feeds whatever generator the caller wires in:
 ``on_plan`` receives each parsed :class:`TestPlan` (e.g. start a
@@ -24,6 +27,29 @@ from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..plans.phases import TestPlan, parse_plan
+
+#: The Play index page's behavior re-expressed (a textarea whose raw
+#: contents POST to /postPlan as text/plain — reference
+#: testbed/app/views/index.scala.html): submit a HOCON or JSON plan from
+#: a browser. Served on GET / when the client prefers text/html.
+INDEX_HTML = """<!DOCTYPE html>
+<html>
+<head><title>spark streaming test bed</title></head>
+<body>
+  <script>
+    function sendPlan() {
+      var xhr = new XMLHttpRequest();
+      xhr.open("POST", "postPlan", true);
+      xhr.setRequestHeader("Content-type", "text/plain");
+      xhr.send(document.getElementById("plan").value);
+    }
+  </script>
+  <h1>Your test plan:</h1>
+  <div><textarea cols="60" rows="40" id="plan"></textarea></div>
+  <div><button onclick="sendPlan()">Submit</button></div>
+</body>
+</html>
+"""
 
 
 def plan_spec(obj) -> dict:
@@ -63,10 +89,13 @@ class ControlPlaneServer:
             def log_message(self, *args) -> None:  # quiet test runs
                 pass
 
-            def _reply(self, code: int, body: str) -> None:
+            def _reply(
+                self, code: int, body: str,
+                content_type: str = "text/plain; charset=utf-8",
+            ) -> None:
                 payload = body.encode()
                 self.send_response(code)
-                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
@@ -74,6 +103,10 @@ class ControlPlaneServer:
             def do_GET(self) -> None:  # noqa: N802
                 if self.path != "/":
                     self._reply(404, "not found")
+                    return
+                if "text/html" in self.headers.get("Accept", ""):
+                    self._reply(200, INDEX_HTML,
+                                content_type="text/html; charset=utf-8")
                     return
                 plan = outer.current_plan
                 summary = {

@@ -96,6 +96,15 @@ def test_post_plan_edge_cases():
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # browser index render (reference index.scala.html: a textarea
+        # posting its raw contents to postPlan) via content negotiation
+        req = urllib.request.Request(
+            base + "/", headers={"Accept": "text/html"})
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode()
+        assert "Your test plan:" in html
+        assert "postPlan" in html and "textarea" in html
     finally:
         server.close()
 
