@@ -91,20 +91,24 @@ def type_mismatches(sdf, arrow_table):
 
 
 def normalize(rows, cols):
-    """Sort columns by name, then rows; normalize floats/None."""
+    """Sort columns by name, then rows; normalize floats/None.
+
+    List cells canonicalize to tuples so array-valued columns sort and
+    hash (the driver's pandas canonicalizer dies on them — registry
+    convention is to emit comma-joined strings instead — but the local
+    gate should report a value diff, not crash, if one slips in)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        return v
+
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
-            vals.append(repr(v))
-        out.append(tuple(vals))
+        out.append(tuple(repr(canon(r[i])) for i in order))
     out.sort()
     return [cols[i] for i in order], out
 
