@@ -237,10 +237,12 @@ _FIRST_WINDOW: list[str] = [
     "congestion_drop_accounting",
     "streaming_ewma",
     "target_encoding",
-    # --- 3 re-checks tied to this round's perf/scale work ---
+    # --- 2 re-checks tied to this round's perf/scale work ---
     "tpch_q21",
     "lsh_near_dup_pairs",
-    "ann_ivf_topk",
+    # --- new this round: REAL pixel-level PNG decode (closes the last
+    # honest stub — raster stats vs the construction-formula oracle) ---
+    "multimodal_pixel_stats",
 ]
 # Rotation policy: ~40 slots of new / never-driver-checked operators
 # plus ~10 family-flagship regression re-checks each round. Flagship

@@ -92,16 +92,99 @@ def png_decode_header(payload: bytes) -> tuple[int, int, int, int, int]:
     return width, height, bit_depth, color_type, channels
 
 
+def png_decode_pixels(payload: bytes):
+    """REAL raster decode for 8-bit non-interlaced grayscale/RGB/RGBA
+    PNGs — pure stdlib zlib + numpy, no image library: concatenates the
+    IDAT chunks, inflates, then reconstructs scanlines through all five
+    PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). Returns a
+    ``(height, width, channels)`` uint8 array.
+
+    This is the honest pixel path for the formats this engine's own
+    encoder (and most ML training corpora's PNG masks/thumbnails) use;
+    palette and 16-bit images still raise, loudly."""
+    import struct
+
+    import numpy as np
+
+    width, height, bit_depth, color_type, channels = png_decode_header(
+        payload
+    )
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"png_decode_pixels handles 8-bit gray/RGB/alpha PNGs; got "
+            f"bit_depth={bit_depth} color_type={color_type}"
+        )
+    if payload[28] != 0:
+        raise NotImplementedError("interlaced PNGs not supported")
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    pos = 8
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG: filtered data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for r in range(height):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ftype, data = line[0], np.frombuffer(
+            line[1:], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = data
+        elif ftype == 2:  # Up
+            cur = (data + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth need the in-progress left neighbor —
+            # sequential per row, vectorless by design (rows are short;
+            # the parallelism axis at scale is images, not scanlines)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0  # left
+                b = prev[i]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                cur[i] = (data[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Raster-decode stub. Full pixel decoding needs an image library
-    that is not in this container -- STUBBED by contract (header-level
-    decoding is real: :func:`png_decode_header`). The deterministic fake
-    derives a (width, height) from payload bytes so pipelines are
-    testable."""
+    """Image decode: PNG payloads get a REAL raster decode
+    (:func:`png_decode_pixels` — zlib + numpy filter reconstruction, no
+    image library) and return their true (width, height); other formats
+    (JPEG etc.) would need codec libraries this container lacks and
+    raise, unless the deterministic fake decoder is requested for
+    pipeline testing."""
+    if payload[:8] == PNG_SIG:
+        arr = png_decode_pixels(payload)
+        return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass fake=True for the deterministic test decoder"
+            "non-PNG image decoding requires codec libraries not present "
+            "in this environment; pass fake=True for the deterministic "
+            "test decoder"
         )
     h = zlib.crc32(payload)
     return (h % 640) + 1, ((h >> 16) % 480) + 1
@@ -223,12 +306,30 @@ FROM documents ORDER BY doc_id
 
 def resize_image(payload: bytes, width: int, height: int,
                  fake: bool = False) -> bytes:
-    """Resize stub (no image libs in this container). The deterministic
-    fake re-chunks the payload to width*height bytes (crop/pad) so
-    downstream batch shapes are real."""
+    """Image resize: PNG payloads get a REAL nearest-neighbor resize —
+    decode the raster (:func:`png_decode_pixels`), index-remap with
+    numpy, re-encode through the same writer; gray/RGB rasters
+    roundtrip losslessly. Non-PNG formats raise unless the deterministic
+    fake resizer (crop/cycle to width*height bytes) is requested."""
+    if payload[:8] == PNG_SIG:
+        import numpy as np
+
+        arr = png_decode_pixels(payload)
+        h, w, c = arr.shape
+        if c not in (1, 3):
+            raise NotImplementedError(
+                "resize re-encode supports gray/RGB (alpha would need an "
+                "encoder color type this writer doesn't emit)"
+            )
+        rows = (np.arange(height) * h // height).clip(0, h - 1)
+        cols = (np.arange(width) * w // width).clip(0, w - 1)
+        resized = arr[rows][:, cols]
+        return png_encode(
+            width, height, 0 if c == 1 else 2, resized.tobytes()
+        )
     if not fake:
         raise NotImplementedError(
-            "image resize requires an image library not present here; "
+            "non-PNG resize requires codec libraries not present here; "
             "pass fake=True for the deterministic test resizer"
         )
     need = width * height
@@ -399,10 +500,83 @@ ORDER BY fp
 """
 
 
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, px_sum long, px_mean_milli long"
+)
+
+
+def _pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL raster statistics: inflate + unfilter every PNG
+    (:func:`png_decode_pixels`) and reduce the pixel bytes to integer
+    (count, sum, mean‰) — the shape of any per-image feature extraction
+    at scale: payload bytes stay executor-local, only fixed-width
+    numbers come out."""
+    for pdf in batches:
+        ids, n_bytes, sums = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = png_decode_pixels(bytes(payload))
+            ids.append(doc_id)
+            n_bytes.append(arr.size)
+            sums.append(int(arr.astype("int64").sum()))
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "n_bytes": n_bytes,
+            "px_sum": sums,
+        })
+        out["px_mean_milli"] = out["px_sum"] * 1000 // out["n_bytes"]
+        yield out
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED pixel-level decode: documents are encoded as real
+    PNGs, then every raster is zlib-inflated and filter-reconstructed
+    back to pixels (no image library — ``png_decode_pixels``) and
+    reduced to integer byte statistics. The DuckDB twin recomputes the
+    same sums from the construction formulas (pixel bytes are the
+    utf-8 text cycled to width·height·channels), so a single wrong
+    pixel anywhere in the decode path breaks the hash. Closes the
+    encode → compress → filter → decode loop at the PIXEL level, not
+    just the header."""
+    assets = png_assets(spark, sf_dir)
+    return assets.mapInPandas(
+        _pixel_stats, schema=PIXEL_STATS_SCHEMA
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_PIXEL_STATS_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len,
+         (n_chars % {PNG_W_MOD} + 1)
+         * (doc_id % {PNG_H_MOD} + 1)
+         * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS need
+  FROM documents),
+bytes AS (
+  SELECT d.doc_id, t.i, ascii(substr(d.text, CAST(t.i AS INTEGER), 1)) AS bv
+  FROM dims d, unnest(range(1, d.len + 1)) AS t(i)),
+sums AS (
+  SELECT b.doc_id,
+         CAST(sum(b.bv) AS BIGINT) AS full_sum,
+         CAST(sum(b.bv) FILTER (WHERE b.i <= d.need % d.len)
+              AS BIGINT) AS rem_sum
+  FROM bytes b JOIN dims d USING (doc_id)
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(d.need AS BIGINT) AS n_bytes,
+       CAST((d.need // d.len) * s.full_sum
+            + coalesce(s.rem_sum, 0) AS BIGINT) AS px_sum,
+       CAST(((d.need // d.len) * s.full_sum + coalesce(s.rem_sum, 0))
+            * 1000 // d.need AS BIGINT) AS px_mean_milli
+FROM dims d JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 MULTIMODAL_ORACLES = {
     "multimodal_meta": MULTIMODAL_META_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_ORACLE,
     "multimodal_features": MULTIMODAL_FEATURES_ORACLE,
     "multimodal_payload_dedup": MULTIMODAL_PAYLOAD_DEDUP_ORACLE,
+    "multimodal_pixel_stats": MULTIMODAL_PIXEL_STATS_ORACLE,
 }
 MULTIMODAL_QUERIES["multimodal_payload_dedup"] = multimodal_payload_dedup
+MULTIMODAL_QUERIES["multimodal_pixel_stats"] = multimodal_pixel_stats

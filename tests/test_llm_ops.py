@@ -79,11 +79,75 @@ def test_ivf_fit_is_deterministic(spark):
 
 
 def test_decode_image_stub_contract():
+    # non-PNG payloads still gate on codec availability
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     w, h = decode_image(b"abc", fake=True)
     assert 1 <= w <= 640 and 1 <= h <= 480
     assert (w, h) == decode_image(b"abc", fake=True)  # deterministic
+
+
+def test_png_pixel_decode_roundtrip():
+    """REAL raster decode: encode → decode must reproduce the exact
+    pixel bytes for gray and RGB, and all five PNG filter types must
+    reconstruct (hand-built filtered streams with known rasters)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_image,
+        png_decode_pixels,
+        png_encode,
+    )
+
+    for w, h, ct, c in [(5, 3, 2, 3), (1, 1, 0, 1), (17, 9, 0, 1)]:
+        src = bytes(range(40)) * 20
+        b = png_encode(w, h, ct, src)
+        arr = png_decode_pixels(b)
+        assert arr.shape == (h, w, c)
+        need = w * h * c
+        expect = ((src) * (need // len(src) + 1))[:need]
+        assert arr.tobytes() == expect
+        assert decode_image(b) == (w, h)  # real, no fake flag
+
+    # every filter type against a known 2x3 RGB raster
+    raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    for ftype in (0, 1, 2, 3, 4):
+        rows = []
+        prev = np.zeros(9, dtype=np.int32)
+        for r in range(2):
+            cur = raster[r].reshape(-1).astype(np.int32)
+            filt = np.zeros(9, dtype=np.int32)
+            for i in range(9):
+                a = cur[i - 3] if i >= 3 else 0
+                bb = prev[i]
+                cc = prev[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = bb
+                elif ftype == 3:
+                    pred = (a + bb) // 2
+                else:
+                    p = a + bb - cc
+                    pa, pb2, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if pa <= pb2 and pa <= pc else (
+                        bb if pb2 <= pc else cc)
+                filt[i] = (cur[i] - pred) & 0xFF
+            rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", _z.compress(b"".join(rows)))
+                   + _png_chunk(b"IEND", b""))
+        out = png_decode_pixels(payload)
+        assert np.array_equal(out, raster), f"filter {ftype}"
 
 
 def test_png_writer_parser_roundtrip():
@@ -125,8 +189,31 @@ def test_resize_and_frame_sample(spark):
     )
 
     with pytest.raises(NotImplementedError):
-        resize_image(b"xy", 4, 4)
+        resize_image(b"xy", 4, 4)  # non-PNG still gates on codecs
     assert len(resize_image(b"xy", 4, 4, fake=True)) == 16
+
+    # PNG payloads resize for REAL: nearest-neighbor downscale of a
+    # known raster, verified pixel-by-pixel after re-decode
+    import numpy as np
+
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode,
+    )
+
+    src = bytes(range(256)) * 3
+    big = png_encode(8, 6, 2, src)
+    small = resize_image(big, 4, 3)
+    arr_big = png_decode_pixels(big)
+    arr_small = png_decode_pixels(small)
+    assert arr_small.shape == (3, 4, 3)
+    rows = (np.arange(3) * 6 // 3).clip(0, 5)
+    cols = (np.arange(4) * 8 // 4).clip(0, 7)
+    assert np.array_equal(arr_small, arr_big[rows][:, cols])
+    # identity resize roundtrips losslessly
+    assert np.array_equal(
+        png_decode_pixels(resize_image(big, 8, 6)), arr_big
+    )
 
     frames = multimodal_frame_sample(spark, SF_SMOKE).collect()
     docs = {r.doc_id for r in frames}
