@@ -531,3 +531,20 @@ def test_link_prediction_avoids_cartesian_and_broadcasts_degrees(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pixel_stats_is_two_chained_pandas_maps_no_shuffle(spark):
+    """Pixel statistics must be a straight pipeline: columnar scan →
+    encode mapInPandas → decode/reduce mapInPandas → sort. Payload bytes
+    must never cross a shuffle — the only Exchange allowed is the final
+    orderBy's range partitioning on the tiny stats rows."""
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        multimodal_pixel_stats,
+    )
+
+    plan = plan_of(multimodal_pixel_stats(spark, SF_SMOKE))
+    tree = plan.split("(1) Scan")[0]  # formatted output repeats nodes
+    assert tree.count("MapInPandas") == 2
+    assert "Join" not in plan and "HashAggregate" not in plan
+    # exactly the one sort exchange, nothing upstream of the maps
+    assert tree.count("Exchange") <= 1

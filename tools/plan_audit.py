@@ -29,6 +29,9 @@ from spark_streaming_testbed_spark.sources.warehouse import (  # noqa: E402
 from spark_streaming_testbed_spark.operators.advanced import (  # noqa: E402
     event_funnel,
 )
+from spark_streaming_testbed_spark.operators.multimodal import (  # noqa: E402
+    multimodal_pixel_stats,
+)
 from spark_streaming_testbed_spark.operators.text import (  # noqa: E402
     entropy_signals,
     lang_id_ngram,
@@ -125,6 +128,10 @@ TARGETS = [
      "no broadcast of either side); candidates are n_tables*n^2/2^planes "
      "— the plane count is the log2(n) scale knob, extra tables hold "
      "recall (defaults pinned to the static oracle)"),
+    ("multimodal_pixel_stats", multimodal_pixel_stats,
+     "columnar scan -> encode mapInPandas -> decode/reduce mapInPandas "
+     "-> sort: payload bytes never cross a shuffle, only fixed-width "
+     "integer stats reach the exchange"),
 ]
 
 
