@@ -2673,30 +2673,38 @@ ROLLING_WINDOW_DAYS = 7
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per day (WAU-by-day) plus
     the same-day count — the engagement trendline. Distinct-over-range
-    windows don't exist in either engine, so the rolling distinct is an
-    explicit (user, day) de-dup joined to a bounded day spine over the
-    7-day interval — the standard scale shape (the join side is
-    |users|·|days| AFTER per-day dedup, never raw events).
+    windows don't exist in either engine, so each de-duped (user, day)
+    row is exploded into the ≤WINDOW spine days it contributes to and
+    hash-aggregated per day — linear in the data, no range join.
 
     Scale shape: events reduce to distinct (user, day) first (one hash
-    aggregate); the spine join multiplies by at most WINDOW days."""
+    aggregate); ``explode(sequence(day, day+WINDOW-1))`` multiplies by
+    at most WINDOW rows, then an equality broadcast join against the
+    tiny observed-day spine drops padding days past the horizon. This
+    replaces the former days×user_days nested-loop band join (O(|days|·
+    |user_days|) comparisons) with an O(WINDOW·|user_days|) explode +
+    hash join — the shape that survives 100 TB."""
     events = _t(spark, sf_dir, "events")
     user_days = events.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
     days = user_days.select("day").distinct()
-    joined = days.alias("d").join(
-        user_days.alias("u"),
-        (F.col("u.day") <= F.col("d.day"))
-        & (F.col("u.day") >= F.date_sub(
-            F.col("d.day"), ROLLING_WINDOW_DAYS - 1)),
+    covers = user_days.select(
+        "user_id",
+        F.col("day").alias("u_day"),
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_WINDOW_DAYS - 1}))"
+            )
+        ).alias("day"),
     )
     return (
-        joined.groupBy(F.col("d.day").alias("day"))
+        covers.join(F.broadcast(days), "day")
+        .groupBy("day")
         .agg(
-            F.countDistinct("u.user_id").alias("wau"),
+            F.countDistinct("user_id").alias("wau"),
             F.countDistinct(
-                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+                F.when(F.col("u_day") == F.col("day"), F.col("user_id"))
             ).alias("dau"),
         )
         .select(
