@@ -414,11 +414,19 @@ def main() -> None:
     timings["scenario4_ramp_rows_per_sec"] = round(
         scenario4_ramp_rows_per_sec(spark), 1)
 
+    # best-of-2 like the trigger/PID stats: one GC stall or cold page
+    # cache doubles a single sub-second sample; both runs are published
+    # in the details side file so the noise stays visible.
+    headline_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            samples.append(round(time.perf_counter() - t0, 3))
+        headline_runs[name] = samples
+        timings[name] = min(samples)
 
     from spark_streaming_testbed_spark.functions.hanoi import (
         burn_us_per_record,
@@ -441,6 +449,7 @@ def main() -> None:
     details = dict(out)
     details.update(lat_runs)
     details.update(pid_runs)
+    details["headline_runs"] = headline_runs
     details["value_spread"] = {
         "min": round(runs[0], 1),
         "median": round(runs[1], 1),
