@@ -170,3 +170,23 @@ def test_tree_parser_children_and_labels():
 
 def test_missing_tree_is_conservative():
     assert plan_sweep._classify_bnlj("no plan here") == "unbounded"
+
+
+def test_signature_counts_nodes_not_substrings():
+    sig = plan_sweep._signature(KEYED_AGG_OVER_TOPK)
+    # one shuffle-less plan: Sort must not double-count SortMergeJoin
+    # or TakeOrderedAndProject; Scan parquet counted by label prefix
+    assert sig == {
+        "nested_loop_joins": 1,
+        "parquet_scans": 2,
+        "sorts": 1,
+        "windows": 1,
+    }
+
+
+def test_signature_separates_exchange_kinds():
+    # BroadcastExchange is not a data shuffle: 'exchanges' counts only
+    # plain Exchange nodes
+    sig = plan_sweep._signature(SCALAR_ANCHOR)
+    assert "exchanges" not in sig
+    assert sig["nested_loop_joins"] == 1

@@ -30,11 +30,18 @@ It also inventories every Python boundary (ArrowEvalPython,
 MapInPandas, FlatMapGroupsInPandas[WithState]) so the artifact shows
 exactly which of the registry plans leave the JVM.
 
+Each plan also gets a compact structural signature (exchange / join /
+scan / window node counts). Passing a previous round's artifact as the
+third argument reports per-query signature drift — the radar for silent
+plan regressions (a broadcast join degrading to sort-merge, an extra
+shuffle appearing) that are not anti-patterns per se and would
+otherwise go unnoticed.
+
 tests/test_plans.py pins these shapes per-query for the headline set;
 this sweep is the registry-wide completeness check behind the claim
 "no scale-killers anywhere". Output: PLAN_SWEEP_r{N}.json.
 
-Usage: python tools/plan_sweep.py [sf_dir] [out.json]
+Usage: python tools/plan_sweep.py [sf_dir] [out.json] [prev_artifact.json]
 """
 
 from __future__ import annotations
@@ -234,6 +241,39 @@ def _find(node: _Node, name: str, acc: list[_Node]) -> None:
         _find(c, name, acc)
 
 
+_SIGNATURE_NODES = (
+    # shuffle + join + scan inventory: enough to catch silent plan
+    # drift (broadcast degrading to sort-merge, an extra exchange,
+    # a new Python boundary) by diffing artifacts round-over-round.
+    ("exchanges", "Exchange"),
+    ("broadcast_hash_joins", "BroadcastHashJoin"),
+    ("sort_merge_joins", "SortMergeJoin"),
+    ("shuffled_hash_joins", "ShuffledHashJoin"),
+    ("nested_loop_joins", "BroadcastNestedLoopJoin"),
+    ("parquet_scans", "Scan parquet"),
+    ("sorts", "Sort"),
+    ("windows", "Window"),
+    ("generates", "Generate"),
+)
+
+
+def _signature(plan: str) -> dict[str, int]:
+    """Compact structural fingerprint of a physical plan, counted over
+    tree nodes (not raw substrings, so 'Sort' does not double-count
+    'SortMergeJoin' or 'SortAggregate')."""
+    roots, by_id = _parse_tree(plan)
+    sig = {key: 0 for key, _ in _SIGNATURE_NODES}
+    for node in by_id.values():
+        for key, name in _SIGNATURE_NODES:
+            if name == "Scan parquet":
+                if node.label.startswith("Scan parquet"):
+                    sig[key] += 1
+            elif node.name == name:
+                sig[key] += 1
+    # BroadcastExchange is not a shuffle; count only data exchanges.
+    return {k: v for k, v in sig.items() if v}
+
+
 def _classify_bnlj(plan: str) -> str:
     """Classify every BroadcastNestedLoopJoin in the plan.
 
@@ -269,6 +309,7 @@ def main() -> None:
     bounded_build: list[str] = []
     allowlisted: dict[str, dict[str, str]] = {}
     python_boundary: dict[str, list[str]] = {}
+    signatures: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(qs.items(), 1):
@@ -300,6 +341,7 @@ def main() -> None:
             marks = [m for m in marks if m != "FlatMapGroupsInPandas"]
         if marks:
             python_boundary[name] = marks
+        signatures[name] = _signature(plan)
         if i % 50 == 0:
             print(f"  {i}/{len(qs)} plans scanned "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -316,6 +358,7 @@ def main() -> None:
         "allowlisted": allowlisted,
         "python_boundary": python_boundary,
         "python_boundary_count": len(python_boundary),
+        "signatures": signatures,
         "errors": errors,
         "elapsed_sec": round(time.time() - t0, 1),
         "note": "flagged = CartesianProduct / BroadcastNestedLoopJoin / "
@@ -326,6 +369,21 @@ def main() -> None:
         "python_boundary = plans that leave the JVM (all Arrow-batched "
         "unless BatchEvalPython is listed).",
     }
+    prev_path = sys.argv[3] if len(sys.argv) > 3 else None
+    if prev_path:
+        with open(prev_path) as f:
+            prev_sigs = json.load(f).get("signatures", {})
+        drift = {
+            name: {"was": prev_sigs[name], "now": sig}
+            for name, sig in signatures.items()
+            if name in prev_sigs and prev_sigs[name] != sig
+        }
+        result["signature_drift_vs"] = prev_path
+        result["signature_drift"] = drift
+        print(f"signature drift vs {prev_path}: {len(drift)} queries")
+        for name, d in sorted(drift.items()):
+            print(f"  {name}: {d['was']} -> {d['now']}")
+
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"total={result['total']} scanned={result['scanned']} "
