@@ -190,3 +190,22 @@ def test_signature_separates_exchange_kinds():
     sig = plan_sweep._signature(SCALAR_ANCHOR)
     assert "exchanges" not in sig
     assert sig["nested_loop_joins"] == 1
+
+
+def test_committed_sweep_artifact_is_clean():
+    """The latest committed PLAN_SWEEP artifact must be a passing run:
+    a regenerated-but-flagged artifact cannot land silently."""
+    import glob
+    import json
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    paths = sorted(glob.glob(str(repo / "PLAN_SWEEP_r*.json")))
+    assert paths, "no PLAN_SWEEP artifact committed"
+    latest = json.load(open(paths[-1]))
+    assert latest["flagged"] == {}
+    assert latest["errors"] == {}
+    assert latest["scanned"] == latest["total"] > 0
+    # every allowlist entry carries a written rationale
+    for query, hits in latest["allowlisted"].items():
+        for reason in hits.values():
+            assert len(reason) > 20, (query, reason)
