@@ -192,6 +192,39 @@ def test_signature_separates_exchange_kinds():
     assert sig["nested_loop_joins"] == 1
 
 
+def _real_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_prover_against_live_spark_plans(spark):
+    """Canned plans can drift from the running Spark version's actual
+    explain('formatted') layout; this pins the parser + rules against
+    live output: a scalar-anchor cross join must auto-prove, a
+    table-by-table cross join must stay flagged."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    anchor = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    good = _real_plan(docs.crossJoin(anchor))
+    assert "BroadcastNestedLoopJoin" in good
+    assert plan_sweep._classify_bnlj(good) == "bounded_build"
+
+    other = docs.select(F.col("doc_id").alias("d2"))
+    bad = _real_plan(docs.crossJoin(other))
+    assert plan_sweep._classify_bnlj(bad) == "unbounded"
+
+    grid = spark.range(7).select(F.col("id").alias("offset"))
+    literal = _real_plan(docs.crossJoin(grid))
+    assert plan_sweep._classify_bnlj(literal) == "bounded_build"
+
+
 def test_committed_sweep_artifact_is_clean():
     """The latest committed PLAN_SWEEP artifact must be a passing run:
     a regenerated-but-flagged artifact cannot land silently."""
