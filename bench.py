@@ -100,11 +100,12 @@ def scenario2_trigger_latency(spark) -> tuple[dict[str, float], dict]:
     execution-time stats in seconds (the reference's deadline was the
     5000 ms batch interval).
 
-    Best-of-2 with both runs published to BENCH_DETAILS, symmetric with
-    the PID arms: a single GC/compile stall inside the ~20 s window can
-    double a single run's p50 (observed 2.5 s vs a clean n=4 median of
-    0.97 s), and a one-sample latency stat on a shared warm JVM reads
-    as a code regression when it is machine noise."""
+    Median-of-3 with all runs published to BENCH_DETAILS, symmetric
+    with the PID arms (VERDICT r6 item 6): a single GC/compile stall
+    inside the ~20 s window can double a single run's p50 (observed
+    2.5 s vs a clean n=4 median of 0.97 s), and with best-of-2 one
+    clean run hides a bimodal distribution; the median of three is
+    robust to one stall while still reporting a typical run."""
     import statistics
     import tempfile
 
@@ -148,20 +149,20 @@ def scenario2_trigger_latency(spark) -> tuple[dict[str, float], dict]:
         "scenario2_trigger_p50_runs": [],
         "scenario2_trigger_max_runs": [],
     }
-    best: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         durs = run_once()
         if not durs:
             continue
-        p50 = round(statistics.median(durs), 3)
-        detail["scenario2_trigger_p50_runs"].append(p50)
+        detail["scenario2_trigger_p50_runs"].append(
+            round(statistics.median(durs), 3))
         detail["scenario2_trigger_max_runs"].append(round(max(durs), 3))
-        if not best or p50 < best["scenario2_trigger_p50"]:
-            best = {
-                "scenario2_trigger_p50": p50,
-                "scenario2_trigger_max": round(max(durs), 3),
-            }
-    return best, detail
+    out: dict[str, float] = {}
+    if detail["scenario2_trigger_p50_runs"]:
+        out["scenario2_trigger_p50"] = round(
+            statistics.median(detail["scenario2_trigger_p50_runs"]), 3)
+        out["scenario2_trigger_max"] = round(
+            statistics.median(detail["scenario2_trigger_max_runs"]), 3)
+    return out, detail
 
 
 def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
@@ -257,29 +258,30 @@ def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
     # the live loop shares a JVM with 20+ warm query plans; a single GC
     # or compile stall inside the 15 s window can dominate the backlog
     # sum (observed 129 s once vs 4-10 s across isolated reruns), so
-    # BOTH arms run twice and report their better run (symmetric
-    # best-of-2, per ADVICE r4)
+    # BOTH arms run 3x and report their MEDIAN (VERDICT r6 item 6:
+    # best-of-2 absorbed too much for a recovery stat whose samples
+    # spread 5.3/12.6 within one bench run)
+    import statistics
+
     out: dict[str, float] = {}
-    # both raw samples per arm go to BENCH_DETAILS (VERDICT r5 item 4):
-    # best-of-2 absorbs a GC stall, but publishing the losing run keeps
-    # the noise magnitude visible instead of silently swallowed
+    # every raw sample per arm goes to BENCH_DETAILS (VERDICT r5 item
+    # 4): the median is robust to one stall, and publishing all runs
+    # keeps the noise magnitude visible instead of silently swallowed
     detail: dict[str, list[float]] = {
         "scenario2_pid_off_max_trigger_runs": [],
         "scenario2_pid_on_max_trigger_runs": [],
         "scenario2_pid_recovery_sec_runs": [],
     }
-    best_off = None
-    for _ in range(2):
+    for _ in range(3):
         durs_off, _ = run(controlled=False)
         if durs_off:
             detail["scenario2_pid_off_max_trigger_runs"].append(
                 round(max(durs_off), 3))
-        if durs_off and (best_off is None or max(durs_off) < best_off):
-            best_off = max(durs_off)
-    if best_off is not None:
-        out["scenario2_pid_off_max_trigger"] = round(best_off, 3)
-    best_recovery, best_max = None, None
-    for _ in range(2):
+    if detail["scenario2_pid_off_max_trigger_runs"]:
+        out["scenario2_pid_off_max_trigger"] = round(
+            statistics.median(detail["scenario2_pid_off_max_trigger_runs"]),
+            3)
+    for _ in range(3):
         durs_on, recs_on = run(controlled=True)
         if not durs_on:
             continue
@@ -289,14 +291,15 @@ def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
         detail["scenario2_pid_on_max_trigger_runs"].append(
             round(max(durs_on), 3))
         detail["scenario2_pid_recovery_sec_runs"].append(round(backlog, 3))
-        if best_recovery is None or backlog < best_recovery:
-            best_recovery, best_max = backlog, max(durs_on)
-    if best_max is not None:
-        out["scenario2_pid_on_max_trigger"] = round(best_max, 3)
-    if best_recovery is not None:
+    if detail["scenario2_pid_on_max_trigger_runs"]:
+        out["scenario2_pid_on_max_trigger"] = round(
+            statistics.median(detail["scenario2_pid_on_max_trigger_runs"]),
+            3)
+    if detail["scenario2_pid_recovery_sec_runs"]:
         # omitted entirely when no controlled run produced triggers —
         # a missing measurement must not read as a 0 s (perfect) recovery
-        out["scenario2_pid_recovery_sec"] = round(best_recovery, 3)
+        out["scenario2_pid_recovery_sec"] = round(
+            statistics.median(detail["scenario2_pid_recovery_sec_runs"]), 3)
     return out, detail
 
 
@@ -434,10 +437,11 @@ def main() -> None:
 
     # measured per-record burn cost, comparable to the reference's
     # 0.031 ms at n=7 (BASELINE.md:28) — proves the rows/s above is
-    # earned against an honest kernel, not a cheap one. On the main
-    # line (not just details) because the raw rows/s scales inversely
-    # with host speed: a run on a 30% slower host reads 30% lower with
-    # identical code, and the calibration is what normalizes that.
+    # earned against an honest kernel, not a cheap one. The MEASURED
+    # cost stays on the main line; the cross-host normalization
+    # (rows/s scaled by kernel-cost ratio) is a DERIVED figure and
+    # lives only in BENCH_DETAILS (ADVICE r6: never publish a number
+    # higher than anything measured on the main throughput line).
     burn_n7 = round(min(burn_us_per_record(7) for _ in range(7)), 2)
     out = {
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "
@@ -446,8 +450,6 @@ def main() -> None:
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "kernel_us_per_record_n7": burn_n7,
-        "kernel_adjusted_rows_per_sec": round(
-            rows_per_sec * burn_n7 / 31.0, 1),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
@@ -469,9 +471,11 @@ def main() -> None:
     # kernel_cost_ratio > 1 means OUR kernel burns MORE per record than
     # the reference's 31 us, so the measured rows/s under-credits the
     # engine by exactly this factor; the kernel-adjusted figure is the
-    # apples-to-apples baseline comparison (VERDICT r4 item 7)
+    # apples-to-apples baseline comparison (VERDICT r4 item 7). It is
+    # DERIVED (local measurement x a cross-host reference constant),
+    # not measured, which is why it lives here and not on the main line.
     details["kernel_cost_ratio"] = round(burn_n7 / 31.0, 3)
-    details["scenario1_rows_per_sec_kernel_adjusted"] = round(
+    details["kernel_adjusted_rows_per_sec_DERIVED"] = round(
         rows_per_sec * burn_n7 / 31.0, 1)
     details.update(round_over_round_deltas(timings))
     here = os.path.dirname(os.path.abspath(__file__))

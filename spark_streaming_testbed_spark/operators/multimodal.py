@@ -545,7 +545,20 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_PIXEL_STATS_ORACLE = f"""
 WITH dims AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS len,
+  SELECT doc_id, text,
+         -- guard (ADVICE r6): the bytes CTE below walks CHARACTER
+         -- positions with ascii(substr(..)) up to the OCTET length and
+         -- inner-joins the sums, which silently diverges from the
+         -- engine on multibyte or empty text; the committed corpora
+         -- are all-ASCII and non-empty, and this makes a future
+         -- generator change fail LOUDLY instead of hash-mismatching
+         CASE WHEN octet_length(encode(text)) = length(text)
+                   AND length(text) > 0
+              THEN octet_length(encode(text))
+              ELSE CAST(error('pixel-stats oracle requires non-empty '
+                              || 'ASCII text (doc_id ' || doc_id || ')')
+                        AS BIGINT)
+         END AS len,
          (n_chars % {PNG_W_MOD} + 1)
          * (doc_id % {PNG_H_MOD} + 1)
          * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS need

@@ -1111,15 +1111,15 @@ def test_knn_graph_multi_table_only_improves_neighbors(spark):
     best_one: dict[tuple[int, int], float] = {
         (r.v_id, r.rk): r.cosine for r in one
     }
-    improved = 0
     for r in two:
         base = best_one.get((r.v_id, r.rk))
         if base is not None:
             assert r.cosine >= base - 1e-9
-            if r.cosine > base + 1e-9:
-                improved = 1
-    # table-2 buckets differ from table-1's, so SOME rank must improve
-    assert improved or len(two) > len(one)
+    # a second table adds candidates, never removes them, so no vector
+    # loses edges (strict improvement is NOT guaranteed — the extra
+    # table may contribute no new pairs on a given corpus; asserting it
+    # would be fixture-brittle, ADVICE r6)
+    assert len(two) >= len(one)
 
 
 def test_template_shingles_are_widely_spread(spark):
