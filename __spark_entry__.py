@@ -181,52 +181,14 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-6 window: the 37 registry entries with no driver
-    # CORRECTNESS row in rounds 1-5 (36 round-5 ops that passed the
-    # local tools/check_oracle.py replica, plus cluster_canonicals,
-    # which was a driver checker error in r5 — its array<bigint>
-    # output column is now a comma-joined string per the registry
-    # convention). After this round the r1-r6 union covers every
-    # registry entry. ---
-    "cluster_canonicals",
-    "vocab_coverage_curve",
-    "minhash_estimate_error",
-    "template_shingles",
-    "knn_label_agreement",
-    "streaming_kmv_distinct",
-    "streaming_topk_users",
-    "kcore_decomposition",
-    "cms_frequency_estimates",
-    "hll_shingle_estimate",
-    "kmv_shingle_estimate",
-    "bloom_join_prefilter",
-    "partition_scheme_advisor",
-    "t_closeness_audit",
-    "zipf_token_slope",
-    "heaps_vocab_curve",
-    "concurrent_sessions_timeline",
-    "incremental_agg_merge",
-    "survival_km_curve",
-    "degree_assortativity",
-    "discount_uplift_slope",
-    "reciprocal_rank_fusion",
-    "abc_classification",
-    "new_vs_returning",
-    "user_decile_curve",
-    "also_bought_topn",
-    "burst_velocity_flags",
-    "order_batching_windows",
-    "session_conversion_rate",
-    "chi2_independence_audit",
-    "acf_daily_orders",
-    "changepoint_daily_orders",
-    "psi_price_drift",
-    "link_prediction_topk",
-    "kendall_rank_stability",
-    "forecast_baseline_mae",
-    "recs_coverage_diversity",
-    # --- 10 family-flagship regression re-checks (drift guard; each
-    # was driver-green in an earlier round) ---
+    # --- round-7 window: the registry is FROZEN at 285 (VERDICT r6
+    # item 7) and every entry's latest driver row is green, so this
+    # round's 50 slots are all regression re-checks: the 17 family
+    # flagships, the 10 operators round 7 touched (LSH/IVF auto scale
+    # knobs, perf-watch suspects, advice fixes), and a 23-wide
+    # cross-family spread. Every displaced entry keeps its green row
+    # in the r1-r6 CORRECTNESS union. ---
+    # family flagships
     "batch_stats",
     "tpch_q1",
     "dedup_clusters",
@@ -237,15 +199,56 @@ _FIRST_WINDOW: list[str] = [
     "congestion_drop_accounting",
     "streaming_ewma",
     "target_encoding",
-    # --- 2 re-checks tied to this round's perf/scale work ---
-    "tpch_q21",
-    "lsh_near_dup_pairs",
-    # --- new this round: REAL pixel-level PNG decode (closes the last
-    # honest stub — raster stats vs the construction-formula oracle) ---
+    "semantic_dup_pairs",
+    "lang_id",
+    "multimodal_features",
+    "loglake_execution_dedup",
+    "rs_tcp_roundtrip",
+    "bucketed_join_stats",
+    "heavy_hitters",
+    # round-7-touched operators (the LSH/IVF auto scale-knob defaults
+    # must not move gate-SF results: the auto-config resolves to the
+    # pinned oracle config at every driver corpus size)
+    "knn_graph",
+    "knn_label_agreement",
+    "ann_ivf_topk",
     "multimodal_pixel_stats",
+    "dedup_clusters_star",
+    "tpch_q21",
+    "streaming_funnel",
+    "streaming_kmv_distinct",
+    "streaming_heavy_hitters",
+    "lsh_near_dup_pairs",
+    # cross-family drift guard
+    "tpch_q3",
+    "star_join",
+    "cumulative_counts",
+    "pivot_counts",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "token_stats",
+    "duplicate_spans",
+    "doc_chunks",
+    "loglake_stacked_pivot",
+    "streaming_stateful_totals",
+    "rolling_active_users",
+    "cluster_canonicals",
+    "wire_format_batches",
+    "hanoi_load_stats",
+    "value_histogram",
+    "dedup_first",
+    "minmax_union",
+    "kmv_shingle_estimate",
+    "cms_frequency_estimates",
+    "hll_shingle_estimate",
+    "ann_lsh_topk",
 ]
-# Rotation policy: ~40 slots of new / never-driver-checked operators
-# plus ~10 family-flagship regression re-checks each round. Flagship
+# Rotation policy: while the registry grew, ~40 slots went to new /
+# never-driver-checked operators plus ~10 family-flagship re-checks.
+# Since round 7 the registry is frozen (285, all driver-green), so the
+# window is pure regression guard: family flagships + the operators the
+# current round touched + a rotating cross-family spread. Flagship
 # set: batch_stats, tpch_q1, dedup_clusters, cosine_topk,
 # streaming_profile_stats, profile_fixed_ramp, loglake_execution_roundtrip,
 # congestion_drop_accounting, streaming_ewma, target_encoding

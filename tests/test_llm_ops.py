@@ -1099,6 +1099,33 @@ def test_knn_label_agreement_accounting(spark):
         assert 0 <= r.agreement_bp <= 10000
 
 
+def test_auto_scale_knobs_pin_gate_and_scale_with_log2():
+    """VERDICT r6 items 3-4: every oracle-checked corpus size (500 at
+    sf0.001/0.01, 2000 at sf0.1) must resolve to the PINNED configs the
+    static DuckDB oracles encode, and larger corpora must land on the
+    measured scale configs (12 planes + 2 tables and nprobe=4 at the
+    sf1 smoke's 20k vectors; planes keep growing with log2(n))."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        GATE_MAX_VECS,
+        IVF_NPROBE,
+        LSH_PLANES,
+        _auto_lsh_config,
+        _auto_nprobe,
+    )
+
+    for n in (500, 2000, GATE_MAX_VECS):
+        assert _auto_lsh_config(n) == (LSH_PLANES, 1)
+        assert _auto_nprobe(n) == IVF_NPROBE
+    assert _auto_lsh_config(20_000) == (12, 2)  # r6 sf1 measurement
+    assert _auto_nprobe(20_000) == 4
+    assert _auto_lsh_config(2_000_000) == (18, 2)  # ~8 cands/vec/table
+    # per-vector candidate expectation n/2^planes stays bounded
+    for n in (5_000, 50_000, 500_000, 5_000_000):
+        planes, tables = _auto_lsh_config(n)
+        assert 4 <= n / (1 << planes) <= 16
+        assert tables == 2
+
+
 def test_knn_graph_multi_table_only_improves_neighbors(spark):
     """The multi-table scale knob (planes ~ log2(n), extra independent
     tables for recall) must be quality-monotone: with MORE candidate

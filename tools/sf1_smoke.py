@@ -122,6 +122,33 @@ def generate(out_dir: str, n_docs: int, n_vecs: int) -> dict:
     }
 
 
+def generate_events(out_dir: str, n_events: int, n_users: int) -> dict:
+    """Distinct-corpus events table, in-distribution with the driver's
+    sf0.1 generator (measured: 100k rows, 1500 users, 5 uniform event
+    types, ts uniform over 2024-01, value ~ Exp(mean 50) rounded 2dp,
+    props = {"k": small int}) — the input the stateful streaming family
+    replays. 10x rows AND 10x distinct users, so per-user state growth
+    is driven by genuinely new keys, not replayed ones."""
+    rng = np.random.default_rng(SEED + 1)
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base_us + rng.integers(0, span_us, n_events)
+    events = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(
+            [str(t) for t in types[rng.integers(0, 5, n_events)]]),
+        "value": pa.array(
+            np.round(rng.exponential(50.0, n_events), 2), pa.float64()),
+        "props": pa.array(
+            [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)]),
+    })
+    pq.write_table(events, os.path.join(out_dir, "events.parquet"))
+    return {"n_events": n_events, "n_users": n_users}
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -174,29 +201,40 @@ def main() -> None:
             print(name, timings[name], flush=True)
         result["ops"] = timings
 
-        # The fixed-plane kNN graph is n²/2^planes — quadratic at fixed
-        # planes, which the default-config row above shows. The scale
-        # path adds planes with log2(n) (same expected per-vector
-        # candidates) and holds recall with a second independent table;
-        # this block measures that configuration plus its agreement
-        # parity with the default config.
+        # Since VERDICT r6 item 3 the log2(n)-scaled LSH config IS the
+        # default above GATE_MAX_VECS, so the knn_label_agreement row
+        # above already times the scaled path (auto: 12 planes + 2
+        # tables at 20k vectors) against the pinned path at sf0.1 —
+        # its "ratio" is the headline scale number (guard: <= ~5x at
+        # 10x vectors). This block re-runs the PINNED config at sf1 to
+        # assert the scaled path's agreement parity (guard: max label
+        # delta <= 100 bp, VERDICT r6 item 3).
         t0 = time.perf_counter()
-        scaled = knn_label_agreement(spark, tmp, n_planes=12, n_tables=2)
-        scaled_rows = scaled.collect()
-        scaled_s = time.perf_counter() - t0
-        base_rows = {r.label: r.agreement_bp
-                     for r in knn_label_agreement(spark, tmp).collect()}
+        pinned_rows = knn_label_agreement(
+            spark, tmp, n_planes=8, n_tables=1).collect()
+        pinned_s = time.perf_counter() - t0
+        scaled_rows = knn_label_agreement(spark, tmp).collect()
+        pinned = {r.label: r.agreement_bp for r in pinned_rows}
+        max_delta = max(
+            (abs(r.agreement_bp - pinned.get(r.label, 0))
+             for r in scaled_rows), default=None)
+        knn_ratio = timings["knn_label_agreement"]["ratio"]
         result["knn_scaled_config"] = {
-            "config": "n_planes=12 (4096 buckets), n_tables=2",
-            "sf1_s": round(scaled_s, 2),
-            "sf1_s_default_config": timings["knn_label_agreement"]["sf1_s"],
-            "agreement_bp_max_delta_vs_default": max(
-                (abs(r.agreement_bp - base_rows.get(r.label, 0))
-                 for r in scaled_rows), default=None),
+            "default_config_at_sf1": "auto: n_planes=12 (4096 buckets), "
+                                     "n_tables=2 (_auto_lsh_config)",
+            "sf1_s_default_scaled": timings["knn_label_agreement"]["sf1_s"],
+            "sf1_s_pinned_8planes_1table": round(pinned_s, 2),
+            "scaled_vs_pinned_ratio_at_10x_vecs": knn_ratio,
+            "agreement_bp_max_delta_vs_pinned": max_delta,
+            "guard": "ratio <= 5 at 10x vectors AND max delta <= 100 bp",
+            "pass": bool(
+                knn_ratio <= 5 and max_delta is not None
+                and max_delta <= 100),
             "note": (
                 "expected candidate pairs: tables*n^2/2^planes — the "
-                "plane count is the log2(n) scale knob; defaults stay "
-                "pinned to the static DuckDB oracle at gate SF"),
+                "plane count is the log2(n) scale knob; the pinned "
+                "config stays the default at gate SFs where the static "
+                "DuckDB oracle requires it"),
         }
         print("knn_scaled_config", result["knn_scaled_config"], flush=True)
 
@@ -216,13 +254,22 @@ def main() -> None:
         }
         exact_nn = {(r.q_id, r.c_id)
                     for r in cosine_topk(spark, tmp).collect()}
+        # default nprobe is auto-scaled (4 of 8 above GATE_MAX_VECS,
+        # VERDICT r6 item 4); the pinned nprobe=2 run shows what the
+        # gate-SF oracle config would have scored at this scale
         ivf = {(r.q_id, r.c_id) for r in ann_ivf_topk(spark, tmp).collect()}
+        ivf_pinned = {(r.q_id, r.c_id)
+                      for r in ann_ivf_topk(spark, tmp, nprobe=2).collect()}
         result["ivf_recall"] = {
             "exact_pairs": len(exact_nn),
             "ivf_pairs": len(ivf),
             "recall": round(len(ivf & exact_nn) / max(len(exact_nn), 1), 4),
-            "guard": ">= 0.2 (random vectors scatter; nprobe=2 of 8)",
-            "pass": len(ivf & exact_nn) / max(len(exact_nn), 1) >= 0.2,
+            "recall_pinned_nprobe2": round(
+                len(ivf_pinned & exact_nn) / max(len(exact_nn), 1), 4),
+            "guard": ">= 0.7 with auto nprobe=4 of 8 (random vectors "
+                     "scatter; the pinned nprobe=2 stays the oracle "
+                     "config at gate SFs)",
+            "pass": len(ivf & exact_nn) / max(len(exact_nn), 1) >= 0.7,
         }
         print(json.dumps(result, indent=1))
 
