@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -45,16 +46,18 @@ GATE_MAX_VECS = 4096
 def _auto_lsh_config(n_vecs: int) -> tuple[int, int]:
     """Scale-derived (n_planes, n_tables) for the kNN-graph family.
 
-    planes ~ ceil(log2(n)) - 3 keeps expected per-vector candidates
-    (n / 2^planes) near 8 per table at ANY corpus size — constant
-    per-vector work, linear total — and a second independent table
-    holds recall (the standard multi-table hyperplane-LSH tradeoff).
-    Measured at 20k distinct vectors (tools/sf1_smoke.py, round 6):
-    12 planes + 2 tables = 2.5x faster than the pinned 8/1 with label
-    agreement within 72 bp."""
+    planes ~ ceil(log2(n)) - 2 keeps expected per-vector candidates
+    (n_tables * n / 2^planes ~ 2 x 2-4 = 4-8) at the pinned gate
+    config's own per-vector budget (sf0.1: 2000/256 ~ 7.8) at ANY
+    corpus size — constant per-vector work, linear total — and the
+    second independent table diversifies recall (the standard
+    multi-table hyperplane-LSH tradeoff). Measured at 20k distinct
+    vectors (tools/sf1_smoke.py): 13 planes + 2 tables ~ 3.3x faster
+    than the pinned 8/1 with pooled label agreement within the
+    binomial noise floor."""
     if n_vecs <= GATE_MAX_VECS:
         return LSH_PLANES, 1
-    return max(LSH_PLANES, math.ceil(math.log2(n_vecs)) - 3), 2
+    return max(LSH_PLANES, math.ceil(math.log2(n_vecs)) - 2), 2
 
 
 def _auto_nprobe(n_vecs: int) -> int:
@@ -72,7 +75,19 @@ def _as_double(col: str) -> F.Column:
 
 
 def _cosine(a: str, b: str) -> F.Column:
-    """Sequential-fold cosine in double — bit-matched by the DuckDB twin."""
+    """Sequential-fold cosine in double — bit-matched by the DuckDB twin.
+
+    Stays a JVM higher-order-function fold on purpose: its consumers
+    score BOUNDED candidate sets (20 queries x probed lists, top-k
+    windows), where the interpreted-lambda cost is negligible and the
+    plan carries zero Python (the `ann_ivf` plan test pins that). Two
+    measured dead ends, so nobody retries them: (1) unrolling the 64
+    dims into a multiply-add chain blows Janino's 64 KB method limit
+    once it shares a stage with anything else, and the FAILED compile
+    is paid per stage execution (~1-3 s, uncached) — it slowed the
+    gate-SF queries 2-4x; (2) a pandas-UDF cosine here only helps when
+    pair volume scales with the corpus, which is the kNN graph's case —
+    see :func:`_cosine_arrow`."""
     dot = F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0 as double), (acc, v) -> acc + v)"
@@ -84,6 +99,36 @@ def _cosine(a: str, b: str) -> F.Column:
         f"sqrt(aggregate({b}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
     return dot / (na * nb)
+
+
+def _cosine_arrow(a: str, b: str) -> F.Column:
+    """Arrow-vectorized twin of :func:`_cosine` for operators whose
+    candidate volume scales with the corpus (the kNN graph family:
+    n_tables * n^2 / 2^planes pairs). The accumulation is an explicit
+    64-step left fold over float64 numpy columns — the EXACT evaluation
+    order of the SQL fold and of DuckDB's list_dot_product — so the
+    result is bit-identical and every oracle hash is unchanged
+    (verified pairwise at gate SFs). Why not JVM-side: Catalyst
+    interprets HOF lambdas per element (~0.35 us/element in a join
+    stage, measured — 10+ s at 10x vectors), and unrolled arithmetic
+    blows the codegen method limit; a batched numpy fold does the same
+    flops in vectorized C."""
+
+    @F.pandas_udf("double")
+    def _cos(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        A = np.stack(xa.to_numpy()).astype(np.float64)
+        B = np.stack(xb.to_numpy()).astype(np.float64)
+        n = len(A)
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(A.shape[1]):
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos(a, b)
 
 
 UNIT_EXPR = (
@@ -182,8 +227,10 @@ FROM embeddings ORDER BY vec_id
 def _lsh_signature_col(
     n_planes: int = LSH_PLANES, seed: int = LSH_SEED
 ) -> F.Column:
-    """Sign-bit signature against seeded random hyperplanes (driver-side
-    constants folded into the plan — no UDF, no broadcast variable).
+    """Sign-bit signature against seeded random hyperplanes, computed by
+    an Arrow-batched kernel (the seeded plane matrix lives in the UDF
+    closure — a few KB shipped with the task, no broadcast variable, no
+    model state server).
 
     ``n_planes``/``seed`` parameterize the table for scale: expected
     in-bucket candidate pairs are n²/2^planes, so the plane count must
@@ -192,16 +239,31 @@ def _lsh_signature_col(
     defaults match the static DuckDB oracle."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, DIM)
-    sig = None
-    for p in range(n_planes):
-        coeffs = ", ".join(repr(float(c)) for c in planes[p])
-        dot = F.expr(
-            f"aggregate(zip_with(embedding, array({coeffs}), "
-            "(x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return sig.alias("bucket")
+
+    # Arrow-vectorized: the sign bits come from an explicit 64-step
+    # left fold over float64 numpy columns — the EXACT evaluation order
+    # of the previous SQL aggregate fold and of the DuckDB twin's
+    # list_dot_product, so bucket values are bit-identical (verified
+    # all three ways at 20k vectors). Why not a JVM expression: the
+    # HOF fold costs ~0.35 us per interpreted lambda element inside a
+    # join stage (13 s for 20k rows x 13 planes, measured), and the
+    # unrolled multiply-add chain blows Janino's 64 KB method limit,
+    # paying an UNCACHED failed compile per stage execution. The plane
+    # matrix rides inside the UDF closure (a few KB — the same "fold
+    # the model into the plan" contract as before, just Arrow-side).
+    @F.pandas_udf("long")
+    def _sig(emb: pd.Series) -> pd.Series:
+        A = np.stack(emb.to_numpy()).astype(np.float64)
+        out = np.zeros(len(A), dtype=np.int64)
+        for p in range(n_planes):
+            acc = np.zeros(len(A))
+            row = planes[p]
+            for d in range(A.shape[1]):
+                acc += A[:, d] * row[d]
+            out |= (acc > 0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return _sig("embedding").alias("bucket")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,8 +993,12 @@ def knn_graph(
     generation is an equi-join whose fan-out is bucket-local (expected
     n²/2^planes pairs, not n²), then a per-vector top-k window over
     candidates only. Neither side broadcasts (the corpus IS both
-    sides); the join key is the 8-bit signature computed row-locally
-    from plane literals folded into the plan (no UDF, no model state).
+    sides); the join key is the hyperplane signature computed
+    row-locally by an Arrow-batched kernel with the plane matrix in
+    the UDF closure (no broadcast variable, no model state server —
+    see :func:`_lsh_signature_col` for why this beats the JVM
+    expression forms), and pair scoring is the Arrow twin
+    :func:`_cosine_arrow` because pair volume scales with the corpus.
     Ranking uses the ROUNDED cosine so the cross-engine order is
     bitwise stable.
 
@@ -968,8 +1034,13 @@ def knn_graph(
         per_table.append(
             a.join(b, "bucket")
             .where(F.col("v_id") != F.col("nn_id"))
+            # Arrow-vectorized scoring: pair volume scales with the
+            # corpus here (unlike the bounded-query ANN ops), so the
+            # per-pair fold runs as a batched numpy kernel — same bits,
+            # see _cosine_arrow
             .select("v_id", "nn_id",
-                    F.round(_cosine("v_emb", "n_emb"), 6).alias("cosine"))
+                    F.round(_cosine_arrow("v_emb", "n_emb"), 6)
+                    .alias("cosine"))
         )
     scored = per_table[0]
     for extra in per_table[1:]:

@@ -1116,13 +1116,14 @@ def test_auto_scale_knobs_pin_gate_and_scale_with_log2():
     for n in (500, 2000, GATE_MAX_VECS):
         assert _auto_lsh_config(n) == (LSH_PLANES, 1)
         assert _auto_nprobe(n) == IVF_NPROBE
-    assert _auto_lsh_config(20_000) == (12, 2)  # r6 sf1 measurement
+    assert _auto_lsh_config(20_000) == (13, 2)  # r7 sf1 measurement
     assert _auto_nprobe(20_000) == 4
-    assert _auto_lsh_config(2_000_000) == (18, 2)  # ~8 cands/vec/table
-    # per-vector candidate expectation n/2^planes stays bounded
+    assert _auto_lsh_config(2_000_000) == (19, 2)
+    # per-vector candidate expectation tables*n/2^planes stays pinned
+    # to the gate config's own budget (sf0.1: 2000/256 ~ 7.8)
     for n in (5_000, 50_000, 500_000, 5_000_000):
         planes, tables = _auto_lsh_config(n)
-        assert 4 <= n / (1 << planes) <= 16
+        assert 2 <= n / (1 << planes) <= 8
         assert tables == 2
 
 

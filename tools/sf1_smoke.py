@@ -202,34 +202,60 @@ def main() -> None:
         result["ops"] = timings
 
         # Since VERDICT r6 item 3 the log2(n)-scaled LSH config IS the
-        # default above GATE_MAX_VECS, so the knn_label_agreement row
-        # above already times the scaled path (auto: 12 planes + 2
-        # tables at 20k vectors) against the pinned path at sf0.1 —
-        # its "ratio" is the headline scale number (guard: <= ~5x at
-        # 10x vectors). This block re-runs the PINNED config at sf1 to
-        # assert the scaled path's agreement parity (guard: max label
-        # delta <= 100 bp, VERDICT r6 item 3).
+        # default above GATE_MAX_VECS (auto: 13 planes + 2 tables at
+        # 20k vectors — per-vector candidate budget pinned to the gate
+        # config's own ~8). Guards:
+        # - wall ratio <= 5 at 10x vectors, on BEST-OF-2 runs at both
+        #   scales (single-run ratios mixed 2.2 s and 3.9 s baselines
+        #   for identical code — too noisy to gate on);
+        # - POOLED agreement delta vs the pinned config <= 50 bp.
+        #   Labels are random, so per-label agreement ~ Binomial(n~1e4,
+        #   0.1) has sigma ~ 30 bp PER CONFIG and the max-over-10-labels
+        #   delta regularly lands 70-160 bp on identical-quality
+        #   configs; the pooled rate (n ~ 1e5 edges) has sigma ~ 10 bp,
+        #   so 50 bp is a real quality bar, not a noise lottery. The
+        #   per-label max stays reported for visibility.
+        def best_of_2(fn_dir):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn_dir()
+                runs.append(time.perf_counter() - t0)
+            return min(runs)
+
+        base_best = best_of_2(
+            lambda: knn_label_agreement(spark, SF01).count())
+        sf1_best = best_of_2(
+            lambda: knn_label_agreement(spark, tmp).count())
         t0 = time.perf_counter()
         pinned_rows = knn_label_agreement(
             spark, tmp, n_planes=8, n_tables=1).collect()
         pinned_s = time.perf_counter() - t0
         scaled_rows = knn_label_agreement(spark, tmp).collect()
         pinned = {r.label: r.agreement_bp for r in pinned_rows}
+
+        def pooled_bp(rows) -> float:
+            return 10000.0 * sum(r.n_agree for r in rows) / max(
+                sum(r.n_edges for r in rows), 1)
+
+        pooled_delta = round(
+            abs(pooled_bp(scaled_rows) - pooled_bp(pinned_rows)), 1)
         max_delta = max(
             (abs(r.agreement_bp - pinned.get(r.label, 0))
              for r in scaled_rows), default=None)
-        knn_ratio = timings["knn_label_agreement"]["ratio"]
+        knn_ratio = round(sf1_best / max(base_best, 1e-9), 2)
         result["knn_scaled_config"] = {
-            "default_config_at_sf1": "auto: n_planes=12 (4096 buckets), "
+            "default_config_at_sf1": "auto: n_planes=13 (8192 buckets), "
                                      "n_tables=2 (_auto_lsh_config)",
-            "sf1_s_default_scaled": timings["knn_label_agreement"]["sf1_s"],
+            "sf01_s_best2": round(base_best, 2),
+            "sf1_s_best2": round(sf1_best, 2),
+            "wall_ratio_at_10x_vecs": knn_ratio,
             "sf1_s_pinned_8planes_1table": round(pinned_s, 2),
-            "scaled_vs_pinned_ratio_at_10x_vecs": knn_ratio,
-            "agreement_bp_max_delta_vs_pinned": max_delta,
-            "guard": "ratio <= 5 at 10x vectors AND max delta <= 100 bp",
-            "pass": bool(
-                knn_ratio <= 5 and max_delta is not None
-                and max_delta <= 100),
+            "agreement_bp_pooled_delta_vs_pinned": pooled_delta,
+            "agreement_bp_max_label_delta_vs_pinned": max_delta,
+            "guard": "best-of-2 wall ratio <= 5 at 10x vectors AND "
+                     "pooled agreement delta <= 50 bp",
+            "pass": bool(knn_ratio <= 5 and pooled_delta <= 50),
             "note": (
                 "expected candidate pairs: tables*n^2/2^planes — the "
                 "plane count is the log2(n) scale knob; the pinned "
