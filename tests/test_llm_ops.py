@@ -1099,6 +1099,61 @@ def test_knn_label_agreement_accounting(spark):
         assert 0 <= r.agreement_bp <= 10000
 
 
+def test_arrow_kernels_bit_identical_to_sql_folds(spark):
+    """The round-7 Arrow kernels (_lsh_signature_col, _cosine_arrow)
+    claim BIT-identity with the SQL sequential folds — that claim is
+    what keeps every DuckDB oracle green, so it gets its own guard: on
+    the gate corpus, the Arrow signature must equal the fold-built SQL
+    signature row for row, and the Arrow cosine must equal _cosine to
+    the last bit on a full pair sample."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.operators.similarity import (
+        LSH_SEED,
+        _cosine,
+        _cosine_arrow,
+        _lsh_signature_col,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # SQL-fold reference signature (the pre-round-7 implementation)
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_SEED + 7)  # table-1 seed: not the
+    planes = rng.randn(11, 64)                 # default, so both paths
+    sig_sql = None                             # are exercised fresh
+    for p in range(11):
+        coeffs = ", ".join(repr(float(c)) for c in planes[p])
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, array({coeffs}), "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig_sql = bit if sig_sql is None else (sig_sql + bit)
+    both = emb.select(
+        "vec_id",
+        sig_sql.cast("long").alias("sql_sig"),
+        _lsh_signature_col(11, LSH_SEED + 7).alias("arrow_sig"),
+    ).collect()
+    assert both and all(r.sql_sig == r.arrow_sig for r in both)
+
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("ea"))
+        .join(emb.select(F.col("vec_id").alias("ib"),
+                         F.col("embedding").alias("eb")),
+              F.expr("ia % 37 = ib % 37"))
+        .where(F.col("ia") < F.col("ib"))
+        .select(_cosine("ea", "eb").alias("sql_cos"),
+                _cosine_arrow("ea", "eb").alias("arrow_cos"))
+        .collect()
+    )
+    assert pairs and all(r.sql_cos == r.arrow_cos for r in pairs)
+
+
 def test_auto_scale_knobs_pin_gate_and_scale_with_log2():
     """VERDICT r6 items 3-4: every oracle-checked corpus size (500 at
     sf0.001/0.01, 2000 at sf0.1) must resolve to the PINNED configs the
