@@ -863,7 +863,7 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the production detector; the pair set materializes ONCE at the
     loosest threshold and every tighter threshold reuses it via an
     explode + re-aggregate (bounded by |thresholds|)."""
-    from .similarity import _cosine, ivf_assign
+    from .similarity import _cosine_arrow, ivf_assign
 
     assigned = (
         ivf_assign(spark, sf_dir)
@@ -883,7 +883,8 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "list_id")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_b", F.round(_cosine("ea", "eb"), 6).alias("cosine")
+            # list-blocked pairs scale with the corpus — Arrow kernel
+            "id_b", F.round(_cosine_arrow("ea", "eb"), 6).alias("cosine")
         )
         .where(F.col("cosine") >= F.lit(floor_th))
     )

@@ -165,7 +165,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"),
+            # pair volume is N_QUERIES x corpus — Arrow kernel (same bits)
+            F.round(_cosine_arrow("q_emb", "c_emb"), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -286,7 +287,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(queries), on="bucket")
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"))
+        # bucket-local but still corpus-linear pairs — Arrow kernel
+        .select("q_id", "c_id",
+                F.round(_cosine_arrow("q_emb", "c_emb"), 6).alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -578,7 +581,8 @@ def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "list_id", "id_a", "id_b",
-            F.round(_cosine("ea", "eb"), 6).alias("cosine"),
+            # cluster-local ALL-pairs scales with the corpus — Arrow kernel
+            F.round(_cosine_arrow("ea", "eb"), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= SEMDEDUP_THRESHOLD)
         .orderBy("list_id", "id_a", "id_b")
@@ -1128,7 +1132,8 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "a_id", "a_label", "n_id", "n_label",
-            F.round(_cosine("a_emb", "n_emb"), 6).alias("cosine"),
+            # anchors x corpus candidates — Arrow kernel (same bits)
+            F.round(_cosine_arrow("a_emb", "n_emb"), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
