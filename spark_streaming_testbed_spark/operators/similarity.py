@@ -19,6 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -42,6 +43,29 @@ DIM = 64
 #: corpora get the log2(n)-scaled configs (VERDICT r6 items 3-4)
 GATE_MAX_VECS = 4096
 
+#: memoized per-directory vector counts — the auto scale knobs need the
+#: corpus size at BUILDER time, and an eager Spark ``count()`` job per
+#: DataFrame construction taxes every plan/explain call (ADVICE r7).
+#: Parquet footers carry the exact row count, so one metadata read
+#: (no Spark job, no data scan) answers it forever for a given dir.
+_VEC_COUNT_CACHE: dict[str, int] = {}
+
+
+def _corpus_vec_count(sf_dir: str) -> int:
+    """Exact embeddings-table row count from parquet footer metadata,
+    memoized per directory. Cheap at any scale: footers are O(KB)
+    regardless of data volume, and a 100 TB table's count is the sum
+    of its files' footer counts — still metadata-only."""
+    n = _VEC_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        import pyarrow.dataset as ds
+
+        n = ds.dataset(
+            os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+        ).count_rows()
+        _VEC_COUNT_CACHE[sf_dir] = n
+    return n
+
 
 def _auto_lsh_config(n_vecs: int) -> tuple[int, int]:
     """Scale-derived (n_planes, n_tables) for the kNN-graph family.
@@ -60,14 +84,39 @@ def _auto_lsh_config(n_vecs: int) -> tuple[int, int]:
     return max(LSH_PLANES, math.ceil(math.log2(n_vecs)) - 2), 2
 
 
-def _auto_nprobe(n_vecs: int) -> int:
-    """Scale-derived IVF probe count: nprobe=2 of 8 lists is the pinned
-    oracle config at gate SFs; genuinely larger corpora probe 4 of 8 —
-    random vectors scatter across lists, so half the lists must be
-    scanned to hold recall >= 0.7 at 10x vectors (VERDICT r6 item 4,
-    measured in tools/sf1_smoke.py). Candidate work stays linear in
-    probed-list size either way."""
-    return IVF_NPROBE if n_vecs <= GATE_MAX_VECS else 4
+def _auto_ivf_config(n_vecs: int) -> tuple[int, int, int]:
+    """Scale-derived IVF ``(n_lists, nprobe, fit_sample)``.
+
+    At or below ``GATE_MAX_VECS``: the pinned (8, 2, 256) the static
+    DuckDB unrolled-Lloyd oracle encodes — every oracle-checked SF
+    stays on that path. Above it (VERDICT r7 item 1, replacing the
+    hard-coded 8 lists that made probing a constant-fraction linear
+    scan):
+
+    - ``n_lists = max(8, 4 * isqrt(n))`` — the standard IVF sizing
+      (cf. faiss guidelines, n_lists ~ c*sqrt(n)): per-list size grows
+      only as sqrt(n)/4, so the quantizer's resolution scales with the
+      corpus instead of degenerating into 8 giant lists;
+    - ``nprobe = max(4, ceil(n_lists / 4))`` — calibrated on the
+      structure-free synthetic corpus (iid normal embeddings), where
+      recall is information-theoretically tied to the probed FRACTION:
+      measured at 20k vectors (numpy replica of this exact fit),
+      564 lists / 141 probes = recall 0.87 at probed fraction 0.38 vs
+      the old 8/4's 0.83 at 0.57 — better recall for two-thirds the
+      scan. On real clustered embeddings nprobe need not grow with
+      n_lists and the same knob turns genuinely sub-linear; a caller
+      with clustered data passes a small explicit ``nprobe``.
+    - ``fit_sample = min(n, 32 * n_lists)`` — >= ~32 training points
+      per centroid keeps the Lloyd fit meaningful while bounding the
+      driver-side sample (the standard centralized coarse-quantizer
+      train step, cf. faiss train(); beyond ~1e8 vectors you would
+      swap in hierarchical k-means without changing this contract).
+    """
+    if n_vecs <= GATE_MAX_VECS:
+        return IVF_CLUSTERS, IVF_NPROBE, IVF_FIT_SAMPLE
+    n_lists = max(IVF_CLUSTERS, 4 * math.isqrt(n_vecs))
+    nprobe = max(4, -(-n_lists // 4))
+    return n_lists, nprobe, min(n_vecs, 32 * n_lists)
 
 
 def _as_double(col: str) -> F.Column:
@@ -116,6 +165,10 @@ def _cosine_arrow(a: str, b: str) -> F.Column:
 
     @F.pandas_udf("double")
     def _cos(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        # empty Arrow batches reach workers on empty joins/filters —
+        # np.stack([]) raises, so short-circuit them (ADVICE r7)
+        if len(xa) == 0:
+            return pd.Series([], dtype="float64")
         A = np.stack(xa.to_numpy()).astype(np.float64)
         B = np.stack(xb.to_numpy()).astype(np.float64)
         n = len(A)
@@ -254,6 +307,8 @@ def _lsh_signature_col(
     # the model into the plan" contract as before, just Arrow-side).
     @F.pandas_udf("long")
     def _sig(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="int64")
         A = np.stack(emb.to_numpy()).astype(np.float64)
         out = np.zeros(len(A), dtype=np.int64)
         for p in range(n_planes):
@@ -345,34 +400,40 @@ IVF_ITERS = 5         # fixed Lloyd iterations -- no tolerance early-stop
 IVF_FIT_SAMPLE = 256  # deterministic md5-ordered sample the quantizer fits on
 
 
-def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _ivf_fit_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = IVF_CLUSTERS,
+    fit_sample: int = IVF_FIT_SAMPLE,
+) -> list[list[float]]:
     """Deterministic coarse-quantizer fit, reproducible in ANSI SQL.
 
-    Sample = the ``IVF_FIT_SAMPLE`` vectors with the smallest
+    Sample = the ``fit_sample`` vectors with the smallest
     ``md5(cast(vec_id as string))`` (an engine-portable "seeded shuffle");
-    init = the first ``IVF_CLUSTERS`` of those in the same order; then
+    init = the first ``n_lists`` of those in the same order; then
     exactly ``IVF_ITERS`` Lloyd iterations with each updated centroid
     rounded to 6 dp (so both engines' float-accumulation orders land on
     identical values). Squared-L2 assignment with ties to the smallest
     list id; empty clusters carry the previous centroid.
 
-    The sample is bounded (256 x 64 doubles ~ 128 KB) and collected to
+    The sample is bounded (gate default 256 x 64 doubles ~ 128 KB;
+    scaled default 32*n_lists ~ 128*sqrt(n) rows) and collected to
     the driver -- the standard IVF train pattern (coarse quantizers are
     always fit centrally on a bounded sample; cf. faiss train()) -- and
     the only collect: corpus assignment happens distributed against the
-    fitted centroid literals.
+    fitted centroids.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
         emb.select("vec_id", "embedding")
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
-        .limit(IVF_FIT_SAMPLE)
+        .limit(fit_sample)
         .collect()
     )
     X = np.array([[float(x) for x in r["embedding"]] for r in rows],
                  dtype=np.float64)
-    C = X[:IVF_CLUSTERS].copy()  # init: exact float32 values, unrounded
+    C = X[:n_lists].copy()  # init: exact float32 values, unrounded
     for _ in range(IVF_ITERS):
         d = (
             (X * X).sum(axis=1)[:, None]
@@ -380,7 +441,7 @@ def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             + (C * C).sum(axis=1)[None, :]
         )
         a = d.argmin(axis=1)  # numpy argmin keeps the first (smallest) id
-        for j in range(IVF_CLUSTERS):
+        for j in range(n_lists):
             members = X[a == j]
             if len(members):
                 C[j] = np.round(members.mean(axis=0), 6)
@@ -388,76 +449,169 @@ def _ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [[float(v) for v in c] for c in C]
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_toplists_col(cents: list[list[float]], k: int) -> F.Column:
+    """Arrow kernel for the SCALED quantizer (above ``GATE_MAX_VECS``):
+    the ``k`` nearest inverted lists per vector, by squared-L2 distance
+    to the centroids with ties to the smallest list id.
+
+    Why not the JVM expression form the gate path uses: with
+    ``n_lists ~ 4*sqrt(n)`` the centroid matrix as plan literals is
+    tens of thousands of constants (plan bloat, codegen limits) and the
+    interpreted HOF fold costs ~0.35 us per lambda element (measured,
+    see :func:`_cosine_arrow`) — n_lists*64 elements PER ROW. The
+    centroid matrix rides in the UDF closure (~sqrt(n)*2 KB) and the
+    distance accumulates as an explicit per-dimension left fold — the
+    EXACT evaluation order of the gate path's ``aggregate(zip_with())``
+    fold, so assignments are bit-identical where both paths apply
+    (guarded by ``test_ivf_arrow_assignment_matches_jvm``)."""
+    C = np.array(cents, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _top(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        n = len(X)
+        D = np.empty((n, len(C)), dtype=np.float64)
+        for j in range(len(C)):
+            acc = np.zeros(n)
+            row = C[j]
+            for d in range(X.shape[1]):
+                diff = X[:, d] - row[d]
+                acc += diff * diff
+            D[:, j] = acc
+        # stable argsort on dist keeps the smaller list id first on
+        # exact ties — the JVM twin's array_sort(struct(dist, id)) order
+        order = np.argsort(D, axis=1, kind="stable")[:, :k].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _top("embedding")
+
+
+def ivf_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int | None = None,
+    fit_sample: int | None = None,
+) -> DataFrame:
     """Corpus → inverted-list assignment against the deterministic
-    quantizer: every vector gains ``list_id`` (argmin squared-L2 to the
-    centroid literals, ties to the smallest id) plus the ``_dists``
-    array, all row-local codegen — the shared front half of
-    :func:`ann_ivf_topk` and :func:`semantic_dup_pairs`."""
-    cents = _ivf_fit_centroids(spark, sf_dir)
-    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    quantizer: every vector gains ``list_id`` (argmin squared-L2, ties
+    to the smallest list id) — the shared front half of
+    :func:`ann_ivf_topk`, :func:`semantic_dup_pairs`, and the
+    threshold sweep. ``n_lists``/``fit_sample`` default to the
+    scale-derived :func:`_auto_ivf_config` (pinned 8/256 at gate SFs,
+    ``4*sqrt(n)`` lists above — VERDICT r7 item 1: per-list size must
+    grow as sqrt(n), not n/8).
+
+    Two physical strategies with identical semantics (bit-identical
+    distances, same tie-break): at gate list counts the centroids fold
+    into the plan as literals and assignment is row-local codegen (the
+    plan test pins zero Python); above, an Arrow kernel carries the
+    centroid matrix in its closure (:func:`_ivf_toplists_col`)."""
+    if n_lists is None or fit_sample is None:
+        auto_l, _, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
+        n_lists = auto_l if n_lists is None else n_lists
+        fit_sample = auto_fs if fit_sample is None else fit_sample
+    cents = _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample)
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select("vec_id", "embedding")
-        .withColumn("_cents", cent_lit)
-        .withColumn(
-            "_dists",
-            F.expr(
-                "transform(_cents, c -> aggregate("
-                "zip_with(embedding, c, (x, y) -> "
-                "(cast(x as double) - y) * (cast(x as double) - y)), "
-                "cast(0 as double), (acc, v) -> acc + v))"
-            ),
+    return _assign_from_cents(emb, cents)
+
+
+def _assign_from_cents(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Physical assignment strategy switch — see :func:`ivf_assign`."""
+    if len(cents) <= IVF_CLUSTERS:
+        cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        return (
+            emb.select("vec_id", "embedding")
+            .withColumn("_cents", cent_lit)
+            .withColumn(
+                "_dists",
+                F.expr(
+                    "transform(_cents, c -> aggregate("
+                    "zip_with(embedding, c, (x, y) -> "
+                    "(cast(x as double) - y) * (cast(x as double) - y)), "
+                    "cast(0 as double), (acc, v) -> acc + v))"
+                ),
+            )
+            .withColumn(
+                "list_id",
+                (F.expr("array_position(_dists, array_min(_dists))") - 1)
+                .cast("int"),
+            )
         )
-        .withColumn(
-            "list_id",
-            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
-        )
+    return emb.select("vec_id", "embedding").withColumn(
+        "list_id", F.element_at(_ivf_toplists_col(cents, 1), 1)
     )
 
 
 def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    n_lists: int | None = None,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: a deterministic k-means coarse quantizer
     (:func:`_ivf_fit_centroids`) partitions the corpus into inverted
     lists; each query probes only its ``nprobe`` nearest centroids'
-    lists (default DERIVED from a cheap corpus count —
-    :func:`_auto_nprobe`: the oracle-pinned 2 at gate SFs, 4 above, to
-    hold recall at scale per VERDICT r6 item 4). The 100 TB path: the
-    corpus is scanned once, list assignment is a row-local codegen
-    expression against centroid literals folded into the plan (no
-    broadcast variable, no UDF), and query work scales with probed-list
-    size, not corpus size. Oracle-checked: the DuckDB twin re-derives
-    the identical centroids with unrolled Lloyd CTEs, so the
-    approximate candidate set is deterministic; the exact twin
+    lists. All three knobs default to :func:`_auto_ivf_config` from a
+    memoized parquet-footer corpus count: the oracle-pinned
+    (8 lists, nprobe 2) at gate SFs; ``4*sqrt(n)`` lists above
+    (VERDICT r7 item 1 — with 8 fixed lists, probing was a constant
+    HALF-corpus scan, Theta(n); per-list size now grows as sqrt(n)/4,
+    and the measured sf1 config scores recall 0.87 at probed fraction
+    0.38 vs the fixed layout's 0.83 at 0.57).
+
+    The 100 TB path: the corpus is scanned once; at gate list counts
+    assignment is row-local codegen against centroid literals folded
+    into the plan (the plan test pins zero Python), above it the
+    centroid matrix rides an Arrow kernel's closure
+    (:func:`_ivf_toplists_col`) and pair scoring — whose volume scales
+    with the corpus — uses :func:`_cosine_arrow`. Query work scales
+    with probed-list size, not corpus size. Oracle-checked: the DuckDB
+    twin re-derives the identical centroids with unrolled Lloyd CTEs,
+    so the approximate candidate set is deterministic; the exact twin
     ``cosine_topk`` provides the recall ground truth."""
-    if nprobe is None:
-        nprobe = _auto_nprobe(
-            load_table(spark, sf_dir, "embeddings").count())
-    assigned = ivf_assign(spark, sf_dir)
-    queries = (
-        assigned.where(F.col("vec_id") < N_QUERIES)
-        .withColumn(
-            "probe",
-            F.explode(F.expr(
-                "slice(array_sort(transform(_dists, "
-                f"(d, i) -> struct(d as dist, i as list_id))), 1, {nprobe})"
-            )),
+    auto_l, auto_np, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
+    n_lists = auto_l if n_lists is None else n_lists
+    nprobe = auto_np if nprobe is None else nprobe
+    fit_sample = auto_fs if fit_sample is None else fit_sample
+    cents = _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_from_cents(emb, cents)
+    gate_path = n_lists <= IVF_CLUSTERS
+    if gate_path:
+        queries = (
+            assigned.where(F.col("vec_id") < N_QUERIES)
+            .withColumn(
+                "probe",
+                F.explode(F.expr(
+                    "slice(array_sort(transform(_dists, "
+                    f"(d, i) -> struct(d as dist, i as list_id))), 1, {nprobe})"
+                )),
+            )
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("probe.list_id").alias("list_id"),
+            )
         )
-        .select(
+    else:
+        queries = emb.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("probe.list_id").alias("list_id"),
+            F.explode(_ivf_toplists_col(cents, nprobe)).alias("list_id"),
         )
-    )
     cand = assigned.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "list_id"
     )
+    # gate: bounded candidates, JVM fold keeps the plan Python-free;
+    # scaled: pair volume grows with the corpus — Arrow kernel
+    score = _cosine if gate_path else _cosine_arrow
     scored = (
         cand.join(F.broadcast(queries), on="list_id")
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(_cosine("q_emb", "c_emb"), 6).alias("cosine"))
+        .select("q_id", "c_id", F.round(score("q_emb", "c_emb"), 6).alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -1007,17 +1161,18 @@ def knn_graph(
     bitwise stable.
 
     ``n_planes``/``n_tables`` are the scale knobs; when omitted they
-    are DERIVED from a cheap corpus count (:func:`_auto_lsh_config`,
-    VERDICT r6 item 3): at or below ``GATE_MAX_VECS`` the pinned
-    8-plane / 1-table config the static DuckDB oracle encodes, above it
-    planes ~ log2(n) - 3 and a second independent table — expected
-    candidate pairs are n_tables · n²/2^planes, so growing planes with
-    log2(n) keeps per-vector candidates constant (linear total work)
-    and the extra table holds recall. tools/sf1_smoke.py measures
-    exactly this configuration at 10× distinct vectors."""
+    are DERIVED from a memoized parquet-footer corpus count
+    (:func:`_auto_lsh_config`, VERDICT r6 item 3): at or below
+    ``GATE_MAX_VECS`` the pinned 8-plane / 1-table config the static
+    DuckDB oracle encodes, above it planes = ceil(log2(n)) - 2 and a
+    second independent table — expected candidate pairs are
+    n_tables · n²/2^planes, so growing planes with log2(n) keeps
+    per-vector candidates constant (linear total work) and the extra
+    table holds recall. tools/sf1_smoke.py measures exactly this
+    configuration at 10× distinct vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
     if n_planes is None or n_tables is None:
-        auto_planes, auto_tables = _auto_lsh_config(emb.count())
+        auto_planes, auto_tables = _auto_lsh_config(_corpus_vec_count(sf_dir))
         n_planes = auto_planes if n_planes is None else n_planes
         n_tables = auto_tables if n_tables is None else n_tables
     per_table = []
