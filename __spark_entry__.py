@@ -181,13 +181,16 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-7 window: the registry is FROZEN at 285 (VERDICT r6
-    # item 7) and every entry's latest driver row is green, so this
-    # round's 50 slots are all regression re-checks: the 17 family
-    # flagships, the 10 operators round 7 touched (LSH/IVF auto scale
-    # knobs, perf-watch suspects, advice fixes), and a 23-wide
-    # cross-family spread. Every displaced entry keeps its green row
-    # in the r1-r6 CORRECTNESS union. ---
+    # --- round-8 window: registry still FROZEN at 285. 50 slots =
+    # the 17 family flagships, the 8-wide similarity block covering
+    # this round's IVF scale-knob change and the round-7 Arrow-cosine
+    # rollout (hard_negatives / embedding_threshold_sweep get their
+    # FIRST post-Arrow driver row — VERDICT r7 item 2; cosine_topk /
+    # semantic_dup_pairs / ann_lsh_topk / knn_graph / knn_label_
+    # agreement held one more round as kernel confirmations), and a
+    # 25-wide spread over the STALEST rows (all last driver-checked in
+    # round 1). Every displaced entry keeps its green row in the
+    # r1-r7 CORRECTNESS union. ---
     # family flagships
     "batch_stats",
     "tpch_q1",
@@ -206,43 +209,43 @@ _FIRST_WINDOW: list[str] = [
     "rs_tcp_roundtrip",
     "bucketed_join_stats",
     "heavy_hitters",
-    # round-7-touched operators (the LSH/IVF auto scale-knob defaults
-    # must not move gate-SF results: the auto-config resolves to the
-    # pinned oracle config at every driver corpus size)
+    # round-8-touched similarity family (IVF auto n_lists knob must
+    # not move gate-SF results; Arrow-swap consumers need post-change
+    # driver rows)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "knn_graph",
     "knn_label_agreement",
-    "ann_ivf_topk",
-    "multimodal_pixel_stats",
-    "dedup_clusters_star",
-    "tpch_q21",
-    "streaming_funnel",
-    "streaming_kmv_distinct",
-    "streaming_heavy_hitters",
-    "lsh_near_dup_pairs",
-    # cross-family drift guard
-    "tpch_q3",
-    "star_join",
-    "cumulative_counts",
-    "pivot_counts",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "token_stats",
-    "duplicate_spans",
-    "doc_chunks",
-    "loglake_stacked_pivot",
-    "streaming_stateful_totals",
-    "rolling_active_users",
-    "cluster_canonicals",
-    "wire_format_batches",
-    "hanoi_load_stats",
-    "value_histogram",
-    "dedup_first",
-    "minmax_union",
-    "kmv_shingle_estimate",
-    "cms_frequency_estimates",
-    "hll_shingle_estimate",
-    "ann_lsh_topk",
+    "hard_negatives",
+    "embedding_threshold_sweep",
+    # cross-family drift guard: stalest driver rows (round 1)
+    "parse_filter",
+    "tsv_format",
+    "time_shift",
+    "unit_norm",
+    "distinct_keys",
+    "topk_per_group",
+    "rollup_join",
+    "per_minute_rollup",
+    "sliding_window_stats",
+    "skew_salted_agg",
+    "semi_anti_join",
+    "set_ops",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "window_functions",
+    "value_percentiles",
+    "approx_percentiles",
+    "approx_distinct_users",
+    "unpivot_events",
+    "order_priority_count",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.
