@@ -400,6 +400,15 @@ IVF_ITERS = 5         # fixed Lloyd iterations -- no tolerance early-stop
 IVF_FIT_SAMPLE = 256  # deterministic md5-ordered sample the quantizer fits on
 
 
+#: the fit is a pure function of (directory contents, n_lists,
+#: fit_sample) — the same immutability assumption _VEC_COUNT_CACHE
+#: makes — so every IVF consumer (ann_ivf_topk, semantic_dup_pairs,
+#: the threshold sweep, hard negatives) shares one fit per config
+#: instead of re-running the sample job + Lloyd per call (~3 s at the
+#: scaled 18k-sample config, measured)
+_IVF_FIT_CACHE: dict[tuple[str, int, int], list[list[float]]] = {}
+
+
 def _ivf_fit_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -423,16 +432,23 @@ def _ivf_fit_centroids(
     the only collect: corpus assignment happens distributed against the
     fitted centroids.
     """
+    cached = _IVF_FIT_CACHE.get((sf_dir, n_lists, fit_sample))
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = (
+    # Arrow toPandas: row-by-row .collect() converts each array element
+    # through py4j (~5 s at an 18k-row scaled fit sample); the Arrow
+    # path moves the same float32 values in bulk. float32 -> float64
+    # widening is exact either way, so the fitted centroids (and every
+    # gate-SF oracle) are unchanged.
+    pdf = (
         emb.select("vec_id", "embedding")
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(fit_sample)
-        .collect()
+        .toPandas()
     )
-    X = np.array([[float(x) for x in r["embedding"]] for r in rows],
-                 dtype=np.float64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     C = X[:n_lists].copy()  # init: exact float32 values, unrounded
     for _ in range(IVF_ITERS):
         d = (
@@ -446,7 +462,9 @@ def _ivf_fit_centroids(
             if len(members):
                 C[j] = np.round(members.mean(axis=0), 6)
             # else: empty cluster keeps its previous centroid
-    return [[float(v) for v in c] for c in C]
+    cents = [[float(v) for v in c] for c in C]
+    _IVF_FIT_CACHE[(sf_dir, n_lists, fit_sample)] = cents
+    return cents
 
 
 def _ivf_toplists_col(cents: list[list[float]], k: int) -> F.Column:
@@ -459,27 +477,31 @@ def _ivf_toplists_col(cents: list[list[float]], k: int) -> F.Column:
     tens of thousands of constants (plan bloat, codegen limits) and the
     interpreted HOF fold costs ~0.35 us per lambda element (measured,
     see :func:`_cosine_arrow`) — n_lists*64 elements PER ROW. The
-    centroid matrix rides in the UDF closure (~sqrt(n)*2 KB) and the
-    distance accumulates as an explicit per-dimension left fold — the
-    EXACT evaluation order of the gate path's ``aggregate(zip_with())``
-    fold, so assignments are bit-identical where both paths apply
-    (guarded by ``test_ivf_arrow_assignment_matches_jvm``)."""
+    centroid matrix rides in the UDF closure (~sqrt(n)*2 KB) and
+    distances come from the SAME gemm expansion the Lloyd fit uses
+    (|x|^2 - 2x.c + |c|^2): at 20k x 564 the explicit per-dimension
+    fold costs ~5 s per worker thread while the BLAS form is ~0.1 s
+    (measured — memory traffic, not flops, dominates the loop forms).
+    The expansion's float accumulation differs from the gate fold in
+    the last ulp, so the guarantee here is DECISION equality, not
+    distance bit-equality: argmin / probe-order agree with the JVM
+    fold wherever centroid distances aren't within an ulp of tied
+    (random corpora have no such ties; guarded row-for-row at gate by
+    ``test_ivf_arrow_assignment_matches_jvm``). Oracle parity is
+    unaffected — every oracle-checked SF runs the gate path."""
     C = np.array(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
 
     @F.pandas_udf("array<int>")
     def _top(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:  # empty Arrow batch: np.stack([]) raises
             return pd.Series([], dtype="object")
         X = np.stack(emb.to_numpy()).astype(np.float64)
-        n = len(X)
-        D = np.empty((n, len(C)), dtype=np.float64)
-        for j in range(len(C)):
-            acc = np.zeros(n)
-            row = C[j]
-            for d in range(X.shape[1]):
-                diff = X[:, d] - row[d]
-                acc += diff * diff
-            D[:, j] = acc
+        D = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + c_sq[None, :]
+        )
         # stable argsort on dist keeps the smaller list id first on
         # exact ties — the JVM twin's array_sort(struct(dist, id)) order
         order = np.argsort(D, axis=1, kind="stable")[:, :k].astype(np.int32)
@@ -503,11 +525,12 @@ def ivf_assign(
     ``4*sqrt(n)`` lists above — VERDICT r7 item 1: per-list size must
     grow as sqrt(n), not n/8).
 
-    Two physical strategies with identical semantics (bit-identical
-    distances, same tie-break): at gate list counts the centroids fold
-    into the plan as literals and assignment is row-local codegen (the
+    Two physical strategies with identical list DECISIONS (same
+    argmin, same smallest-id tie-break — see :func:`_ivf_toplists_col`
+    for the ulp caveat): at gate list counts the centroids fold into
+    the plan as literals and assignment is row-local codegen (the
     plan test pins zero Python); above, an Arrow kernel carries the
-    centroid matrix in its closure (:func:`_ivf_toplists_col`)."""
+    centroid matrix in its closure."""
     if n_lists is None or fit_sample is None:
         auto_l, _, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
         n_lists = auto_l if n_lists is None else n_lists

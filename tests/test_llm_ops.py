@@ -1158,10 +1158,13 @@ def test_arrow_kernels_bit_identical_to_sql_folds(spark):
 
 def test_ivf_arrow_assignment_matches_jvm(spark):
     """The scaled quantizer's Arrow kernel (_ivf_toplists_col) claims
-    bit-identity with the gate path's JVM codegen fold — same explicit
-    left-fold distance order, same smallest-id tie-break. Guard: with
-    the SAME fitted centroids, the Arrow assignment AND the Arrow
-    top-nprobe probe lists must equal the JVM expressions row for row."""
+    DECISION equality with the gate path's JVM codegen fold: its gemm
+    expansion accumulates in a different order (last-ulp distance
+    differences), but argmin and probe ORDER must agree wherever
+    centroid distances aren't exactly tied — which on real corpora is
+    everywhere. Guard: with the SAME fitted centroids, the Arrow
+    assignment AND the Arrow top-3 probe lists must equal the JVM
+    expressions row for row."""
     from pyspark.sql import functions as F
 
     from spark_streaming_testbed_spark.operators.similarity import (
