@@ -161,10 +161,15 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash,
     )
+    from spark_streaming_testbed_spark.operators.prep import (
+        embedding_threshold_sweep,
+    )
     from spark_streaming_testbed_spark.operators.similarity import (
         ann_ivf_topk,
         cosine_topk,
+        hard_negatives,
         knn_label_agreement,
+        semantic_dup_pairs,
     )
     from spark_streaming_testbed_spark.session import get_session
 
@@ -181,6 +186,12 @@ def main() -> None:
         "knn_label_agreement": knn_label_agreement,
         "cosine_topk": cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        # the other Arrow-cosine / IVF-quantizer consumers (post-Arrow
+        # rows — VERDICT r7 item 3; the auto n_lists knob confines
+        # their within-cluster pair blow-up to sqrt(n)/4-sized lists)
+        "semantic_dup_pairs": semantic_dup_pairs,
+        "hard_negatives": hard_negatives,
+        "embedding_threshold_sweep": embedding_threshold_sweep,
     }
     with tempfile.TemporaryDirectory(prefix="sf1_smoke_") as tmp:
         result: dict = {"generated": generate(tmp, n_docs, n_vecs)}
