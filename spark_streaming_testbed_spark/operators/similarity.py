@@ -1533,7 +1533,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash never sees an engine-divergent float.
 
     Scale shape: candidates carry only (vec_id, 4 codes); queries and
-    sub-centroid tables broadcast; scoring is row-local codegen."""
+    sub-centroid tables broadcast; scoring is row-local codegen. The
+    scan is deliberately exhaustive — PQ-ADC is the MEMORY-compression
+    layer of billion-scale ANN (16 bytes/vector instead of 256), not
+    the pruning layer; at production scale it composes with the IVF
+    coarse quantizer (IVFADC in the same paper): assign codes within
+    :func:`ivf_assign`'s lists and ADC-scan only the probed lists. Both
+    halves ship here with scale knobs; the exhaustive form is what the
+    static oracle can pin."""
     books = _pq_fit_codebooks(spark, sf_dir)
     codes = pq_codes(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")

@@ -122,6 +122,31 @@ def generate(out_dir: str, n_docs: int, n_vecs: int) -> dict:
     }
 
 
+def generate_clustered_embeddings(
+    out_dir: str, n_vecs: int, n_clusters: int = 50
+) -> dict:
+    """Mixture-of-Gaussians corpus — the REALISTIC embedding shape
+    (real encoders cluster by topic/language/style), as opposed to the
+    driver's iid-normal corpus, which is the adversarial structure-free
+    case where ANY index's recall is information-theoretically tied to
+    the probed fraction. On this corpus a FIXED small nprobe must hold
+    recall while probing a vanishing fraction — the sub-linear claim
+    the IVF scale knob exists for."""
+    rng = np.random.default_rng(SEED + 2)
+    centers = rng.normal(0.0, 0.125, size=(n_clusters, 64))
+    assign = rng.integers(0, n_clusters, n_vecs)
+    V = (centers[assign]
+         + rng.normal(0.0, 0.03, size=(n_vecs, 64))).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+        "label": pa.array(
+            (assign % 10).astype(np.int32), pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+    return {"n_vecs": n_vecs, "n_clusters": n_clusters}
+
+
 def generate_events(out_dir: str, n_events: int, n_users: int) -> dict:
     """Distinct-corpus events table, in-distribution with the driver's
     sf0.1 generator (measured: 100k rows, 1500 users, 5 uniform event
@@ -328,7 +353,45 @@ def main() -> None:
                      "config at gate SFs)",
             "pass": len(ivf & exact_nn) / max(len(exact_nn), 1) >= 0.7,
         }
-        print(json.dumps(result, indent=1))
+        print("ivf_recall", result["ivf_recall"], flush=True)
+
+    # Sub-linearity on CLUSTERED data (the realistic embedding shape):
+    # the iid corpus above is the worst case — recall there is tied to
+    # the probed fraction no matter the index. On a mixture-of-Gaussians
+    # corpus the same auto quantizer with a FIXED nprobe=8 (of
+    # 4*sqrt(n)=564 lists, ~2% of the corpus probed — validated in the
+    # offline numpy replica: recall 0.99 at probed fraction 0.018) must
+    # hold recall, which is what makes the knob genuinely sub-linear
+    # where cluster structure exists.
+    with tempfile.TemporaryDirectory(prefix="sf1_clustered_") as tmpc:
+        gen_c = generate_clustered_embeddings(tmpc, n_vecs)
+        exact_c = {(r.q_id, r.c_id)
+                   for r in cosine_topk(spark, tmpc).collect()}
+        ann_ivf_topk(spark, tmpc, nprobe=8).count()  # warm + fit cache
+        t0 = time.perf_counter()
+        ivf8 = {(r.q_id, r.c_id)
+                for r in ann_ivf_topk(spark, tmpc, nprobe=8).collect()}
+        s8 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf_auto_c = {(r.q_id, r.c_id)
+                      for r in ann_ivf_topk(spark, tmpc).collect()}
+        s_auto = time.perf_counter() - t0
+        rec8 = round(len(ivf8 & exact_c) / max(len(exact_c), 1), 4)
+        result["ivf_clustered"] = {
+            "generated": gen_c,
+            "recall_nprobe8_of_564": rec8,
+            "nprobe8_s": round(s8, 2),
+            "recall_auto_nprobe141": round(
+                len(ivf_auto_c & exact_c) / max(len(exact_c), 1), 4),
+            "auto_nprobe141_s": round(s_auto, 2),
+            "guard": "recall >= 0.9 with nprobe=8 of 564 lists (~2% of "
+                     "the corpus probed) on the 50-cluster corpus — "
+                     "sub-linear probing holds where structure exists; "
+                     "the structure-free corpus above is the worst case",
+            "pass": bool(rec8 >= 0.9),
+        }
+        print("ivf_clustered", result["ivf_clustered"], flush=True)
+    print(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
