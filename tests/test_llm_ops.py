@@ -1101,6 +1101,57 @@ def test_knn_label_agreement_accounting(spark):
         assert 0 <= r.agreement_bp <= 10000
 
 
+def test_corpus_count_and_fit_caches(spark):
+    """The builder-time scale knobs read a memoized parquet-footer row
+    count (no Spark job) and share one deterministic quantizer fit per
+    (dir, n_lists, fit_sample) — pin both: exact counts, cache hits
+    returning the same object, and the cached fit equal to a fresh
+    recomputation."""
+    from spark_streaming_testbed_spark.operators import similarity as S
+
+    for sf_dir, expect in (("/root/testdata/sf0.001", None),
+                           ("/root/testdata/sf0.01", None)):
+        n = S._corpus_vec_count(sf_dir)
+        true_n = S.load_table(spark, sf_dir, "embeddings").count()
+        assert n == true_n
+        assert S._VEC_COUNT_CACHE[sf_dir] == n
+
+    key = ("/root/testdata/sf0.001", S.IVF_CLUSTERS, S.IVF_FIT_SAMPLE)
+    S._IVF_FIT_CACHE.pop(key, None)
+    first = S._ivf_fit_centroids(spark, key[0])
+    assert S._IVF_FIT_CACHE[key] is first  # stored
+    assert S._ivf_fit_centroids(spark, key[0]) is first  # hit
+    S._IVF_FIT_CACHE.pop(key)
+    again = S._ivf_fit_centroids(spark, key[0])
+    assert again == first  # deterministic recomputation
+
+
+def test_arrow_kernels_survive_empty_batches(spark):
+    """ADVICE r7: an empty Arrow batch (empty join/filter result) must
+    flow through the numpy kernels instead of np.stack([]) raising in
+    the Python worker — drive each kernel over a provably-empty input."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.operators.similarity import (
+        _cosine_arrow,
+        _ivf_fit_centroids,
+        _ivf_toplists_col,
+        _lsh_signature_col,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    none = emb.where(F.col("vec_id") < 0)  # empty, schema intact
+    cents = _ivf_fit_centroids(spark, SF_SMOKE)
+    rows = none.select(
+        _lsh_signature_col(),
+        _ivf_toplists_col(cents, 2).alias("probes"),
+        _cosine_arrow("embedding", "embedding").alias("cos"),
+    ).collect()
+    assert rows == []
+
+
 def test_arrow_kernels_bit_identical_to_sql_folds(spark):
     """The round-7 Arrow kernels (_lsh_signature_col, _cosine_arrow)
     claim BIT-identity with the SQL sequential folds — that claim is
