@@ -35,7 +35,7 @@ def main(out_path: str, batch_queries: list[str]) -> None:
 
     s1_runs = []
     p50_runs, pmax_runs = [], []
-    rec_runs, on_max_runs = [], []
+    rec_runs, on_max_runs, off_max_runs = [], [], []
     for _ in range(4):
         s1_runs.append(round(n_rows / bench.scenario1_rows_per_sec(spark)[0], 3))
         lat, _lat_detail = bench.scenario2_trigger_latency(spark)
@@ -50,6 +50,10 @@ def main(out_path: str, batch_queries: list[str]) -> None:
             rec_runs.append(pid["scenario2_pid_recovery_sec"])
         if "scenario2_pid_on_max_trigger" in pid:
             on_max_runs.append(pid["scenario2_pid_on_max_trigger"])
+        # the uncontrolled overload baseline — the arm bench flagged in
+        # round 8 (its worst trigger is inherently run-to-run volatile)
+        if "scenario2_pid_off_max_trigger" in pid:
+            off_max_runs.append(pid["scenario2_pid_off_max_trigger"])
 
     # batch-query suspects (VERDICT r6 item 1): warm once, then n=4
     # timed end-to-end runs each (plan + execute + noop materialize) at
@@ -71,14 +75,20 @@ def main(out_path: str, batch_queries: list[str]) -> None:
             d = json.load(fh)
         return (d.get("parsed") or d).get("queries", {})
 
-    r5, r6 = load_round(5), load_round(6)
+    # compare against the two most recent recorded rounds
+    import glob as _glob
+    recorded = sorted(
+        int(f.rsplit("_r", 1)[1][:2])
+        for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    ra, rb = recorded[-2], recorded[-1]
+    prev_a, prev_b = load_round(ra), load_round(rb)
 
     def block(name: str, runs: list[float]) -> dict:
         return {
             "median_s": round(statistics.median(runs), 3) if runs else None,
             "runs": runs,
-            "r5_bench": r5.get(name),
-            "r6_bench": r6.get(name),
+            f"r{ra}_bench": prev_a.get(name),
+            f"r{rb}_bench": prev_b.get(name),
         }
 
     out = {
@@ -96,6 +106,8 @@ def main(out_path: str, batch_queries: list[str]) -> None:
             "scenario2_pid_recovery_sec", rec_runs),
         "scenario2_pid_on_max_trigger": block(
             "scenario2_pid_on_max_trigger", on_max_runs),
+        "scenario2_pid_off_max_trigger": block(
+            "scenario2_pid_off_max_trigger", off_max_runs),
     }
     for name, runs in batch_runs.items():
         out[name] = block(name, runs)
