@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..session import load_table
 from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h, with_tokens
 
+import math
 import random
 
 SHINGLE_N = 4
@@ -1896,13 +1897,24 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("passjoin_edit", edit_distance_pairs(spark, sf_dir)
          .select("doc_a", "doc_b")),
     ]
+    def round6_half_away(x: float) -> float:
+        # DuckDB round() replica: scale to 6 dp and round half AWAY
+        # from zero on the binary value. Python's round is banker's —
+        # it sent the dyadic 234/256 (= 0.9140625 exactly) DOWN to
+        # 0.914062 while DuckDB rounds it up (sf0.1 sweep find). The
+        # floor-compare runs on the same double the oracle rounds, so
+        # every edge agrees.
+        s = x * 1000000.0
+        f = math.floor(s)
+        return (f + 1 if s - f >= 0.5 else f) / 1000000.0
+
     rows = []
     for name, cand in blockers:
         cand = cand.localCheckpoint(eager=True)
         n_cand = cand.count()
         n_hit = cand.join(truth, ["doc_a", "doc_b"]).count()
         rows.append((name, n_cand, n_truth, n_hit,
-                     round(n_hit / n_truth, 6) if n_truth else 0.0))
+                     round6_half_away(n_hit / n_truth) if n_truth else 0.0))
     return spark.createDataFrame(
         rows,
         "blocker string, n_candidates bigint, n_truth bigint, "

@@ -89,6 +89,24 @@ FROM tok ORDER BY doc_id
 # Quality scoring
 # ---------------------------------------------------------------------------
 
+def _round6_scaled(col) -> F.Column:
+    """Halfway-stable 6 dp round for COMPUTED ratios: ``round(x * 1e6)
+    / 1e6`` instead of ``round(x, 6)``. At a decimal-halfway value that
+    is not binary-representable (e.g. quality = 0.5046875 exactly, hit
+    by the sf0.1 corpus), Spark HALF_UPs the shortest decimal repr
+    ("…5" → up) while DuckDB rounds the raw binary double (just below
+    the halfway → down) — a one-ulp-at-6dp cross-engine split. After
+    scaling, BOTH engines round the SAME double at integer precision,
+    where the shortest repr can no longer cross the .5 boundary (it
+    reads "x.5" only when the double IS the dyadic x.5, which both
+    engines round up). The oracle mirrors the scaled form verbatim.
+    Matches round(x, 6) everywhere except the halfway edge."""
+    return F.round(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+_ROUND6_SQL = "round(({expr}) * 1000000.0) / 1000000.0"
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation + stopword ratio +
     alpha-character ratio, combined into one [0,1] score."""
@@ -105,10 +123,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.round(stop_ratio, ROUND).alias("stopword_ratio"),
-            F.round(alpha_ratio, ROUND).alias("alpha_ratio"),
-            F.round(
-                0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio, ROUND
+            _round6_scaled(stop_ratio).alias("stopword_ratio"),
+            _round6_scaled(alpha_ratio).alias("alpha_ratio"),
+            _round6_scaled(
+                0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio
             ).alias("quality"),
         )
         .orderBy("doc_id")
@@ -128,10 +146,11 @@ feats AS (
          least(1.0, len(tokens) / 100.0) AS len_sat
   FROM tok)
 SELECT doc_id,
-       round(stop_ratio, {ROUND}) AS stopword_ratio,
-       round(alpha_ratio, {ROUND}) AS alpha_ratio,
-       round(0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio,
-             {ROUND}) AS quality
+       {_ROUND6_SQL.format(expr="stop_ratio")} AS stopword_ratio,
+       {_ROUND6_SQL.format(expr="alpha_ratio")} AS alpha_ratio,
+       {_ROUND6_SQL.format(
+           expr="0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio")}
+         AS quality
 FROM feats ORDER BY doc_id
 """
 
@@ -1568,7 +1587,7 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(scored, "doc_id")
         .withColumn(
-            "calibrated", F.round(F.percent_rank().over(w), ROUND)
+            "calibrated", _round6_scaled(F.percent_rank().over(w))
         )
         .select("doc_id", "source", "quality", "calibrated")
         .orderBy("doc_id")
@@ -1588,12 +1607,14 @@ feats AS (
   FROM tok),
 scored AS (
   SELECT doc_id, source,
-         round(0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio,
-               {ROUND}) AS quality
+         {_ROUND6_SQL.format(
+             expr="0.4 * len_sat + 0.3 * stop_ratio + 0.3 * alpha_ratio")}
+           AS quality
   FROM feats)
 SELECT doc_id, source, quality,
-       round(percent_rank() OVER (PARTITION BY source
-                                  ORDER BY quality, doc_id), {ROUND})
+       {_ROUND6_SQL.format(
+           expr="percent_rank() OVER (PARTITION BY source "
+                "ORDER BY quality, doc_id)")}
          AS calibrated
 FROM scored ORDER BY doc_id
 """
