@@ -181,16 +181,22 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-8 window: registry still FROZEN at 285. 50 slots =
-    # the 17 family flagships, the 8-wide similarity block covering
-    # this round's IVF scale-knob change and the round-7 Arrow-cosine
-    # rollout (hard_negatives / embedding_threshold_sweep get their
-    # FIRST post-Arrow driver row — VERDICT r7 item 2; cosine_topk /
-    # semantic_dup_pairs / ann_lsh_topk / knn_graph / knn_label_
-    # agreement held one more round as kernel confirmations), and a
-    # 25-wide spread over the STALEST rows (all last driver-checked in
-    # round 1). Every displaced entry keeps its green row in the
-    # r1-r7 CORRECTNESS union. ---
+    # --- round-9 window: registry still FROZEN at 285. 50 slots =
+    # the 17 family flagships; ann_ivf_topk (its module gains the
+    # recall-targeted nprobe policy this round — gate-SF plans pinned,
+    # but the touched module earns a fresh driver row); the THREE
+    # queries whose rounding code changed in 7554e7c but whose green
+    # driver rows predate the fix (VERDICT r8 item 1: quality_score
+    # r2, quality_calibration r3, blocking_recall_eval r4); and a
+    # 29-wide spread over the stalest remaining rows — all 12 round-1
+    # rows (tpch_q8/q9/q11/q13-q20/q22) plus 17 round-2 rows. Every
+    # displaced entry keeps its green row in the r1-r8 CORRECTNESS
+    # union. Deferred to the r10 spread (still r2-stale after this
+    # round): loglake_per_second_rollup, multimodal_meta, pii_redact,
+    # quantize_int8, range_join_bands, repetition_signals,
+    # source_leakage, source_report, span_dedup_clean,
+    # stratified_sample, tfidf_top_terms, tpch_q12,
+    # winnow_fingerprints. ---
     # family flagships
     "batch_stats",
     "tpch_q1",
@@ -209,43 +215,43 @@ _FIRST_WINDOW: list[str] = [
     "rs_tcp_roundtrip",
     "bucketed_join_stats",
     "heavy_hitters",
-    # round-8-touched similarity family (IVF auto n_lists knob must
-    # not move gate-SF results; Arrow-swap consumers need post-change
-    # driver rows)
+    # round-9-touched module (IVF recall-targeted nprobe policy)
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "knn_graph",
-    "knn_label_agreement",
-    "hard_negatives",
-    "embedding_threshold_sweep",
+    # rounding-fix queries from 7554e7c needing post-fix driver rows
+    "quality_score",
+    "quality_calibration",
+    "blocking_recall_eval",
     # cross-family drift guard: stalest driver rows (round 1)
-    "parse_filter",
-    "tsv_format",
-    "time_shift",
-    "unit_norm",
-    "distinct_keys",
-    "topk_per_group",
-    "rollup_join",
-    "per_minute_rollup",
-    "sliding_window_stats",
-    "skew_salted_agg",
-    "semi_anti_join",
-    "set_ops",
-    "cube_agg",
-    "rollup_agg",
-    "grouping_sets_agg",
-    "window_functions",
-    "value_percentiles",
-    "approx_percentiles",
-    "approx_distinct_users",
-    "unpivot_events",
-    "order_priority_count",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    # stalest round-2 rows (first 17; the other 13 rotate in r10)
+    "asof_join",
+    "sessionize",
+    "streaming_dedup",
+    "decontaminate",
+    "loglake_memory_roundtrip",
+    "bpe_token_stats",
+    "congestion_pushback_accounting",
+    "congestion_sampling_accounting",
+    "contamination_overlap",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "embedding_norms",
+    "filter_funnel",
+    "label_dispersion",
+    "lang_id_ngram",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.

