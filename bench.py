@@ -56,6 +56,33 @@ SCENARIO1_SECONDS = 60
 SCENARIO1_HEIGHT = 7
 
 
+# Volatile-arm adjudication (VERDICT r8 item 3): the scenario-2 arms
+# share a JVM with 20+ warm plans, so a GC/compile stall inside one
+# ~15-20 s window can read 2-3x high; r8's bench needed an out-of-band
+# perf_watch artifact to clear a contended run. Each arm now starts at
+# the usual median-of-3 and AUTO-EXTENDS (up to 6 runs) while any of
+# its stats' run spread (max/min) exceeds SPREAD_CAP, and the final
+# per-arm spread is published on the main JSON line — the bench
+# adjudicates its own contention instead of deferring to perf_watch.
+SPREAD_CAP = 2.0
+ARM_RUNS_BASE = 3
+ARM_RUNS_MAX = 6
+
+
+def _spread(vals: list[float]) -> float:
+    """max/min run ratio — 1.0 means perfectly repeatable."""
+    return round(max(vals) / max(min(vals), 1e-9), 2)
+
+
+def _arm_settled(runs_lists: list[list[float]]) -> bool:
+    """True once every stat of the arm has >= ARM_RUNS_BASE samples
+    with run spread within SPREAD_CAP."""
+    return all(
+        len(v) >= ARM_RUNS_BASE and _spread(v) <= SPREAD_CAP
+        for v in runs_lists
+    )
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -105,7 +132,10 @@ def scenario2_trigger_latency(spark) -> tuple[dict[str, float], dict]:
     inside the ~20 s window can double a single run's p50 (observed
     2.5 s vs a clean n=4 median of 0.97 s), and with best-of-2 one
     clean run hides a bimodal distribution; the median of three is
-    robust to one stall while still reporting a typical run."""
+    robust to one stall while still reporting a typical run. When the
+    three runs spread wider than SPREAD_CAP, the arm auto-extends to
+    up to ARM_RUNS_MAX runs (VERDICT r8 item 3) so a contended window
+    is out-voted in-band instead of adjudicated by perf_watch."""
     import statistics
     import tempfile
 
@@ -149,13 +179,14 @@ def scenario2_trigger_latency(spark) -> tuple[dict[str, float], dict]:
         "scenario2_trigger_p50_runs": [],
         "scenario2_trigger_max_runs": [],
     }
-    for _ in range(3):
+    for _ in range(ARM_RUNS_MAX):
         durs = run_once()
-        if not durs:
-            continue
-        detail["scenario2_trigger_p50_runs"].append(
-            round(statistics.median(durs), 3))
-        detail["scenario2_trigger_max_runs"].append(round(max(durs), 3))
+        if durs:
+            detail["scenario2_trigger_p50_runs"].append(
+                round(statistics.median(durs), 3))
+            detail["scenario2_trigger_max_runs"].append(round(max(durs), 3))
+        if _arm_settled(list(detail.values())):
+            break
     out: dict[str, float] = {}
     if detail["scenario2_trigger_p50_runs"]:
         out["scenario2_trigger_p50"] = round(
@@ -272,25 +303,33 @@ def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
         "scenario2_pid_on_max_trigger_runs": [],
         "scenario2_pid_recovery_sec_runs": [],
     }
-    for _ in range(3):
+    for _ in range(ARM_RUNS_MAX):
         durs_off, _ = run(controlled=False)
         if durs_off:
             detail["scenario2_pid_off_max_trigger_runs"].append(
                 round(max(durs_off), 3))
+        if _arm_settled([detail["scenario2_pid_off_max_trigger_runs"]]):
+            break
     if detail["scenario2_pid_off_max_trigger_runs"]:
         out["scenario2_pid_off_max_trigger"] = round(
             statistics.median(detail["scenario2_pid_off_max_trigger_runs"]),
             3)
-    for _ in range(3):
+    for _ in range(ARM_RUNS_MAX):
         durs_on, recs_on = run(controlled=True)
-        if not durs_on:
-            continue
-        backlog = sum(
-            d for d, r in zip(durs_on, recs_on) if r.get("queued", 0) > 0
-        )
-        detail["scenario2_pid_on_max_trigger_runs"].append(
-            round(max(durs_on), 3))
-        detail["scenario2_pid_recovery_sec_runs"].append(round(backlog, 3))
+        if durs_on:
+            backlog = sum(
+                d for d, r in zip(durs_on, recs_on) if r.get("queued", 0) > 0
+            )
+            detail["scenario2_pid_on_max_trigger_runs"].append(
+                round(max(durs_on), 3))
+            detail["scenario2_pid_recovery_sec_runs"].append(
+                round(backlog, 3))
+        # settle on the trigger stat only: recovery_sec is a backlog
+        # INTEGRAL whose run-to-run variance is physical (how much of
+        # the spike lands before the controller clamps), not contention
+        # — gating on it would max out the arm every round
+        if _arm_settled([detail["scenario2_pid_on_max_trigger_runs"]]):
+            break
     if detail["scenario2_pid_on_max_trigger_runs"]:
         out["scenario2_pid_on_max_trigger"] = round(
             statistics.median(detail["scenario2_pid_on_max_trigger_runs"]),
@@ -412,6 +451,15 @@ def main() -> None:
     timings.update(lat_out)
     pid_out, pid_runs = scenario2_pid_recovery(spark)
     timings.update(pid_out)
+    # per-arm [spread, n_runs] on the MAIN line (VERDICT r8 item 3):
+    # a published median is only trustworthy alongside its run spread,
+    # and the auto-extension above makes n visible when it kicked in
+    s2_spread = {
+        k.replace("scenario2_", "").replace("_runs", ""):
+            [_spread(v), len(v)]
+        for k, v in {**lat_runs, **pid_runs}.items()
+        if v
+    }
     timings["scenario3_reactive_rows_per_sec"] = round(
         scenario3_reactive_rows_per_sec(spark), 1)
     timings["scenario4_ramp_rows_per_sec"] = round(
@@ -450,6 +498,7 @@ def main() -> None:
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "kernel_us_per_record_n7": burn_n7,
+        "scenario2_spread": s2_spread,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }

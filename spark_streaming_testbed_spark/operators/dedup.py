@@ -1898,12 +1898,15 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_a", "doc_b")),
     ]
     def round6_half_away(x: float) -> float:
-        # DuckDB round() replica: scale to 6 dp and round half AWAY
-        # from zero on the binary value. Python's round is banker's —
-        # it sent the dyadic 234/256 (= 0.9140625 exactly) DOWN to
-        # 0.914062 while DuckDB rounds it up (sf0.1 sweep find). The
-        # floor-compare runs on the same double the oracle rounds, so
-        # every edge agrees.
+        # DuckDB round() replica for NON-NEGATIVE inputs (recall
+        # ratios in [0, 1] — the floor-based formula would round
+        # negative halves toward +inf, not away from zero; ADVICE r8):
+        # scale to 6 dp and round half UP on the binary value. Python's
+        # round is banker's — it sent the dyadic 234/256 (= 0.9140625
+        # exactly) DOWN to 0.914062 while DuckDB rounds it up (sf0.1
+        # sweep find). The floor-compare runs on the same double the
+        # oracle rounds, so every edge agrees.
+        assert x >= 0.0, "half-away replica only valid for x >= 0"
         s = x * 1000000.0
         f = math.floor(s)
         return (f + 1 if s - f >= 0.5 else f) / 1000000.0

@@ -75,11 +75,19 @@ def main(out_path: str, batch_queries: list[str]) -> None:
             d = json.load(fh)
         return (d.get("parsed") or d).get("queries", {})
 
-    # compare against the two most recent recorded rounds
+    # compare against the two most recent recorded rounds (ADVICE r8:
+    # regex the round number — slicing [:2] silently truncated a
+    # three-digit round — and fail clearly with fewer than two files)
     import glob as _glob
+    import re as _re
     recorded = sorted(
-        int(f.rsplit("_r", 1)[1][:2])
-        for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        int(m.group(1))
+        for f in _glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := _re.search(r"_r(\d+)\.json$", f)))
+    if len(recorded) < 2:
+        raise SystemExit(
+            f"perf_watch needs >= 2 recorded BENCH_r*.json rounds to "
+            f"compare, found {len(recorded)}: {recorded}")
     ra, rb = recorded[-2], recorded[-1]
     prev_a, prev_b = load_round(ra), load_round(rb)
 
