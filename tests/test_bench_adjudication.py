@@ -1,0 +1,46 @@
+"""Unit pins for bench.py's volatile-arm self-adjudication
+(VERDICT r8 item 3): the scenario-2 arms publish their run spread and
+auto-extend past median-of-3 while any stat's max/min exceeds
+SPREAD_CAP. These helpers are pure functions, so their contract gets a
+Spark-free guard — the bench itself only exercises them under live
+streaming load where the branch taken depends on the host.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_spread_is_max_over_min():
+    assert bench._spread([1.0, 1.0, 1.0]) == 1.0
+    assert bench._spread([1.0, 2.0, 4.0]) == 4.0
+    assert bench._spread([0.5, 1.2]) == 2.4
+    # a single run is perfectly "repeatable" by definition
+    assert bench._spread([3.2]) == 1.0
+
+
+def test_arm_settles_only_with_enough_tight_runs():
+    cap = bench.SPREAD_CAP
+    base = bench.ARM_RUNS_BASE
+    assert base == 3 and cap == 2.0  # the published protocol
+    # too few runs: never settled, even if identical
+    assert not bench._arm_settled([[1.0, 1.0]])
+    # enough runs, tight spread: settled
+    assert bench._arm_settled([[1.0, 1.2, 1.4]])
+    # one stat wide: the whole arm keeps running
+    assert not bench._arm_settled([[1.0, 1.1, 1.05], [1.0, 2.5, 1.2]])
+    # boundary: spread exactly at the cap still settles (<=)
+    assert bench._arm_settled([[1.0, 2.0, 1.5]])
+    # an empty stat list (no successful runs yet) is not settled
+    assert not bench._arm_settled([[]])
+
+
+def test_extension_outvotes_a_single_stall():
+    """The design point: a 3x cold-start outlier must not survive as
+    the published median once the arm extends — median over >=5 runs
+    with one stall lands on a clean-run value."""
+    import statistics
+
+    runs = [3.49, 1.12, 1.04, 1.19, 1.70, 1.44]  # observed r9 shape
+    assert bench._spread(runs) > bench.SPREAD_CAP  # would have extended
+    assert statistics.median(runs) < 1.6  # the stall is out-voted
