@@ -772,7 +772,16 @@ def ann_ivf_topk(
     centroid matrix rides an Arrow kernel's closure
     (:func:`_ivf_toplists_col`) and pair scoring — whose volume scales
     with the corpus — uses :func:`_cosine_arrow`. Query work scales
-    with probed-list size, not corpus size. Oracle-checked: the DuckDB
+    with probed-list size, not corpus size. One honest cost split:
+    each CALL of this function re-derives the corpus assignment — a
+    Theta(n) single scan (the index BUILD) — because the contract is a
+    self-contained (spark, sf_dir) -> DataFrame query. A persistent
+    deployment materializes ``ivf_assign``'s output once (partitioned
+    by ``list_id``, so probes prune partitions) and pays only the
+    probe cost per query batch; the scale-tier walls in
+    SCALE_SMOKE_r09's `ivf_calibration_scaling` include the rebuild,
+    while its nprobe/probed-fraction columns isolate the recurring
+    query-side cost that stays ~1 % of lists on clustered corpora. Oracle-checked: the DuckDB
     twin re-derives the identical centroids with unrolled Lloyd CTEs,
     so the approximate candidate set is deterministic; the exact twin
     ``cosine_topk`` provides the recall ground truth."""
