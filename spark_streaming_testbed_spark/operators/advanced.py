@@ -371,7 +371,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel.crossJoin(F.broadcast(top))
         .select(
             "stage", "users",
-            F.round(F.col("users") / F.col("top_users"), 6).alias("pct_of_top"),
+            # try_divide: 0 entrants on a degenerate feed must yield
+            # NULL (the oracle's x/0), not an ANSI error (r9 sweep)
+            F.round(F.try_divide("users", "top_users"), 6)
+            .alias("pct_of_top"),
         )
         .orderBy(F.col("users").desc(), "stage")
     )
@@ -722,9 +725,14 @@ def groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "dyy", F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    slope = F.col("dxy") / F.col("dxx")
+    # try_divide: a single-point or constant-x group has dxx = 0 and
+    # its slope/r² are undefined — NULL (the oracle's x/0), not an
+    # ANSI error (degenerate-input sweep, round 9); n is always > 0
+    slope = F.try_divide("dxy", "dxx")
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
-    r2 = (F.col("dxy") * F.col("dxy")) / (F.col("dxx") * F.col("dyy"))
+    r2 = F.try_divide(
+        F.col("dxy") * F.col("dxy"), F.col("dxx") * F.col("dyy")
+    )
     return (
         det.select(
             "event_type",
@@ -1364,6 +1372,13 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = cells.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     ).first()
+    if bounds.lo is None:
+        # zero events: no day span to bucket against (the driver-side
+        # int(None) raised before the r9 degenerate-input sweep); the
+        # pair set is definitionally empty
+        return spark.createDataFrame(
+            [], "user_a bigint, user_b bigint, n_days int, pearson_r double"
+        )
     lo, hi = int(bounds.lo), int(bounds.hi)
     n_days = hi - lo + 1
     # bitmap bit index mod 60 keeps the signature in one BIGINT for any

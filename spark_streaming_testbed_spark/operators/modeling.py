@@ -2055,12 +2055,17 @@ def recs_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anchors",
             "n_recs_total",
             "n_distinct_recs",
-            F.expr("n_distinct_recs * 10000 div n_catalog").alias(
-                "catalog_coverage_bp"
-            ),
-            F.expr("div_bp_sum div n_anchors").alias(
-                "mean_brand_diversity_bp"
-            ),
+            # guard: an empty part catalog has no coverage — NULL like
+            # the oracle's `//` by zero, not an ANSI error (r9 sweep)
+            F.when(
+                F.col("n_catalog") > 0,
+                F.expr("n_distinct_recs * 10000 div n_catalog"),
+            ).alias("catalog_coverage_bp"),
+            # same guard for zero anchors (oracle: NULL // 0 is NULL)
+            F.when(
+                F.col("n_anchors") > 0,
+                F.expr("div_bp_sum div n_anchors"),
+            ).alias("mean_brand_diversity_bp"),
         )
     )
 

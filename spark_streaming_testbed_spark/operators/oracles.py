@@ -411,11 +411,17 @@ WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
 ORDER BY event_id
 """
 
+# HAVING cnt > 0 pins the engine's empty-input semantics: Spark's
+# cube()/rollup() emit NO rows over an empty relation, while ANSI
+# GROUP BY CUBE emits the () grouping set's cnt=0 grand total. Every
+# grouping-set row over non-empty input has cnt >= 1, so the clause
+# only bites on the degenerate empty feed (r9 degenerate-input sweep).
 RELATIONAL_ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -643,12 +649,14 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
+# HAVING cnt > 0: same empty-input pin as cube_agg above
 RELATIONAL_ORACLES["rollup_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
        round(sum(l_extendedprice), 2) AS sum_price,
        GROUPING(l_returnflag, l_linestatus) AS gid
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 ORDER BY gid, l_returnflag, l_linestatus
 """
 

@@ -968,7 +968,11 @@ def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_id", "event_type", "value",
-            F.expr("(rn - 1) * 10000 div (n - 1)").alias("pr_bp"),
+            # guard: a single-member group has no rank span (n = 1);
+            # NULL like the oracle's `0 // 0`, not an ANSI error
+            F.when(
+                F.col("n") > 1, F.expr("(rn - 1) * 10000 div (n - 1)")
+            ).alias("pr_bp"),
         )
         .orderBy("event_id")
     )
@@ -1019,7 +1023,11 @@ def quantile_normalize_embeddings(
         )
         .select(
             "vec_id", "dim_idx",
-            F.expr("(rn - 1) * 10000 div (n - 1)").alias("rank_bp"),
+            # guard: one vector per dimension means no rank span
+            # (n = 1); NULL like the oracle's `0 // 0` (r9 sweep)
+            F.when(
+                F.col("n") > 1, F.expr("(rn - 1) * 10000 div (n - 1)")
+            ).alias("rank_bp"),
         )
         .orderBy("vec_id", "dim_idx")
     )
@@ -1708,7 +1716,13 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel.crossJoin(F.broadcast(top))
         .select(
             "stage", "users",
-            F.expr("users * 10000 div top_users").alias("pct_of_top_bp"),
+            # guard: zero entrants (degenerate feed) must yield NULL
+            # like the oracle's `//`, not an ANSI div-by-zero error;
+            # when() keeps the BIGINT type try_divide would widen
+            F.when(
+                F.col("top_users") > 0,
+                F.expr("users * 10000 div top_users"),
+            ).alias("pct_of_top_bp"),
         )
         .orderBy("stage")
     )
@@ -1856,7 +1870,12 @@ def referential_integrity_audit(
         d = denom_df.agg(F.count(F.lit(1)).alias("entities"))
         return v.crossJoin(d).select(
             F.lit(check).alias("check_name"), "violations", "entities",
-            F.expr("violations * 10000 div entities").alias("rate_bp"),
+            # guard: an empty parent table has no rate — NULL like the
+            # oracle's `//` by zero, not an ANSI error (r9 sweep)
+            F.when(
+                F.col("entities") > 0,
+                F.expr("violations * 10000 div entities"),
+            ).alias("rate_bp"),
         )
 
     orphan_lines = li.join(
@@ -3814,6 +3833,10 @@ def partition_scheme_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             scheme("day_type", F.concat_ws("|", day, F.col("event_type")))
         )
+        # an empty feed has no layout to advise on: drop the n=0
+        # skeleton rows the per-scheme global aggregates still emit,
+        # matching the oracle's GROUP BY over zero rows (r9 sweep)
+        .where(F.col("n_partitions") > 0)
         .orderBy("scheme")
     )
 

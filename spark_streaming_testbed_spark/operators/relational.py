@@ -1415,11 +1415,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for c in cols:
         if c in num_cols:
+            # the NULL guard matters on an all-null or empty column:
+            # Java's format_string renders a NULL arg as the STRING
+            # 'null' while the oracle's printf stays NULL (r9 sweep)
             mn = F.expr(
-                f"format_string('%.6f', min({c}) + cast(0 as double))"
+                f"CASE WHEN min({c}) IS NULL THEN CAST(NULL AS STRING) "
+                f"ELSE format_string('%.6f', min({c}) + cast(0 as double)) "
+                "END"
             )
             mx = F.expr(
-                f"format_string('%.6f', max({c}) + cast(0 as double))"
+                f"CASE WHEN max({c}) IS NULL THEN CAST(NULL AS STRING) "
+                f"ELSE format_string('%.6f', max({c}) + cast(0 as double)) "
+                "END"
             )
         else:
             mn = F.min(F.col(c).cast("string"))
@@ -1525,8 +1532,12 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
     def fused(df, table, checks):
+        # coalesce: SUM over an empty table is NULL in Spark while the
+        # oracle counts 0 — an empty feed PASSES a violation count, it
+        # doesn't void it (degenerate-input sweep, round 9)
         aggs = [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias(name)
             for name, cond in checks.items()
         ]
         # uniqueness checks arrive pre-aggregated as expressions
@@ -1797,12 +1808,18 @@ def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # try_divide: a constant column (hi == lo) has bin width 0; the
+    # quotient goes NULL and least() — which skips NULLs in BOTH
+    # engines — lands the row in the top bin exactly as the oracle
+    # does, instead of raising under ANSI (r9 degenerate-input sweep)
     binned = events.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.lit(HIST_BINS - 1),
             F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+                F.try_divide(
+                    F.col("value") - F.col("lo"),
+                    (F.col("hi") - F.col("lo")) / HIST_BINS,
+                )
             ).cast("int"),
         ).alias("bin"),
         "lo",
@@ -2005,7 +2022,10 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "b",
-            (F.col("ws").cast("double") / F.col("n")).alias("m"),
+            # try_divide: a replicate whose Poisson weights all drew 0
+            # (possible only on degenerate row counts) has no mean —
+            # NULL, which percentile() skips in both engines (r9 sweep)
+            F.try_divide(F.col("ws").cast("double"), F.col("n")).alias("m"),
         )
     )
     point = events.agg(
@@ -2526,7 +2546,13 @@ def mix_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "k_categories",
             ((F.col("k_categories") - 1) * 1).cast("int").alias("df"),
-            (F.col("chi2_e6") / 1e6).alias("chi2"),
+            # an empty contingency table has NO statistic: the array
+            # fold's identity 0.0 would report chi²=0 ("no drift") on
+            # zero orders, while the oracle's SUM over nothing is NULL
+            # — NULL ("untestable") is the honest value (r9 sweep)
+            F.when(
+                F.col("n_orders").isNotNull(), F.col("chi2_e6") / 1e6
+            ).alias("chi2"),
         )
     )
 

@@ -706,12 +706,21 @@ def ivf_assign(
     the plan as literals and assignment is row-local codegen (the
     plan test pins zero Python); above, an Arrow kernel carries the
     centroid matrix in its closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _corpus_vec_count(sf_dir) == 0:
+        # empty landing zone (degenerate-input sweep, round 9): a
+        # quantizer fit over zero vectors is undefined — np.stack on
+        # the empty fit sample raised — and the assignment is
+        # definitionally empty, so skip the fit and emit the zero-row
+        # contract schema (vec_id, embedding, list_id)
+        return emb.select(
+            "vec_id", "embedding", F.lit(0).cast("int").alias("list_id")
+        )
     if n_lists is None or fit_sample is None:
         auto_l, _, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
         n_lists = auto_l if n_lists is None else n_lists
         fit_sample = auto_fs if fit_sample is None else fit_sample
     cents = _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample)
-    emb = load_table(spark, sf_dir, "embeddings")
     return _assign_from_cents(emb, cents)
 
 
@@ -785,6 +794,12 @@ def ann_ivf_topk(
     twin re-derives the identical centroids with unrolled Lloyd CTEs,
     so the approximate candidate set is deterministic; the exact twin
     ``cosine_topk`` provides the recall ground truth."""
+    if _corpus_vec_count(sf_dir) == 0:
+        # empty corpus (degenerate-input sweep, round 9): no fit, no
+        # queries — the oracle's Lloyd CTEs likewise produce zero rows
+        return spark.createDataFrame(
+            [], "q_id bigint, rk int, c_id bigint, cosine double"
+        )
     auto_l, auto_np, auto_fs = _auto_ivf_config(_corpus_vec_count(sf_dir))
     n_lists = auto_l if n_lists is None else n_lists
     fit_sample = auto_fs if fit_sample is None else fit_sample
@@ -1290,9 +1305,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = emb.mapInPandas(
         _gram, schema="i int, j int, sxy double, n long, sx double, sy double"
     )
-    sums = partials.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"),
-        F.sum("n").alias("n"),
+    sums = (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("n").alias("n"),
+        )
+        # n is the GLOBAL corpus count on every row; on an empty corpus
+        # the mapInPandas partials still carry their n=0 skeleton rows,
+        # whose cov would divide by zero — the oracle's unnested-pair
+        # GROUP BY produces zero rows there, so drop them (no-op on any
+        # non-empty corpus; degenerate-input sweep, round 9)
+        .where(F.col("n") > 0)
     )
     dim_sums = (
         partials.where(F.col("i") == F.col("j"))
@@ -1609,6 +1633,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (the standard train() pattern, the only collect); corpus
     encoding is row-local codegen against sub-centroid literals — one
     scan, zero shuffles before the output sort."""
+    if _corpus_vec_count(sf_dir) == 0:
+        # empty corpus: skip the undefined codebook fit
+        # (degenerate-input sweep, round 9); zero-row contract schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, "
+            + ", ".join(f"code_{m} int" for m in range(PQ_M))
+        )
     books = _pq_fit_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     out = emb.select("vec_id", "embedding")
@@ -1739,6 +1770,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ivf_assign`'s lists and ADC-scan only the probed lists. Both
     halves ship here with scale knobs; the exhaustive form is what the
     static oracle can pin."""
+    if _corpus_vec_count(sf_dir) == 0:
+        # empty corpus: a codebook fit over zero vectors is undefined
+        # (degenerate-input sweep, round 9); result is empty by contract
+        return spark.createDataFrame(
+            [], "q_id bigint, rk int, c_id bigint, adc_dist double"
+        )
     books = _pq_fit_codebooks(spark, sf_dir)
     codes = pq_codes(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1867,9 +1904,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_hit") / (F.count(F.lit(1)) * TOP_K), 6
         ).alias("recall_at_k"),
-        F.sum((F.col("n_hit") == TOP_K).cast("long")).alias(
-            "n_perfect_queries"
-        ),
+        # coalesce: SUM over zero queries is NULL in Spark while the
+        # oracle's count(*) FILTER is 0 (degenerate-input sweep, r9)
+        F.coalesce(
+            F.sum((F.col("n_hit") == TOP_K).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_perfect_queries"),
     )
 
 

@@ -281,8 +281,13 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
         final = spark.table(name).groupBy("user_id").agg(
             F.max("stage").alias("stage")
         )
+        # coalesce: SUM over zero users is NULL in Spark while the
+        # shared batch oracle counts 0 (r9 degenerate-input sweep)
         wide = final.agg(*[
-            F.sum((F.col("stage") >= k).cast("long")).alias(s)
+            F.coalesce(
+                F.sum((F.col("stage") >= k).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(s)
             for k, s in enumerate(FUNNEL_STAGES, 1)
         ])
         stack = ", ".join(f"'{s}', {s}" for s in FUNNEL_STAGES)
@@ -296,7 +301,10 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
             funnel.crossJoin(F.broadcast(top))
             .select(
                 "stage", "users",
-                F.round(F.col("users") / F.col("top_users"), 6)
+                # try_divide: 0 entrants must yield NULL like the
+                # oracle's x/0, not an ANSI error (r9 sweep) — same
+                # guard as the batch twin event_funnel
+                F.round(F.try_divide("users", "top_users"), 6)
                 .alias("pct_of_top"),
             )
             .orderBy(F.col("users").desc(), "stage")
