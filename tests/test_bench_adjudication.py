@@ -44,3 +44,21 @@ def test_extension_outvotes_a_single_stall():
     runs = [3.49, 1.12, 1.04, 1.19, 1.70, 1.44]  # observed r9 shape
     assert bench._spread(runs) > bench.SPREAD_CAP  # would have extended
     assert statistics.median(runs) < 1.6  # the stall is out-voted
+
+
+def test_reconfirm_suspects_select_only_regression_ratios():
+    """The batch-block guard: best-of-2 can't out-vote a CORRELATED slow
+    pair (a degraded JVM slows both samples), so queries reading >=
+    RECONFIRM_RATIO of last round's value get a post-quiesce confirm
+    pass. Selection is purely ratio-driven and HEADLINE-scoped."""
+    assert bench.RECONFIRM_RATIO == 1.5  # the published protocol
+    some = bench.HEADLINE[0]
+    other = bench.HEADLINE[1]
+    picked = bench._reconfirm_suspects({some: 2.2, other: 1.1})
+    assert picked == [some]
+    # boundary: exactly at the ratio still confirms (>=)
+    assert bench._reconfirm_suspects({some: 1.5}) == [some]
+    # no prior round (empty ratios): nothing to confirm against
+    assert bench._reconfirm_suspects({}) == []
+    # non-headline names never schedule extra bench work
+    assert bench._reconfirm_suspects({"not_a_query": 9.9}) == []
