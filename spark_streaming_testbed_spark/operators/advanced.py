@@ -297,10 +297,17 @@ def wire_format_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce: a second whose every value is NULL (malformed feed) has an
+# empty int list, and the reference's mkString("", "\n", "\n") over an
+# empty list emits just the trailing "\n" — which is what Spark's
+# null-skipping collect_list + concat produces; string_agg over all
+# NULLs is NULL and must coalesce to '' to match (r9 nulls sweep)
 WIRE_FORMAT_BATCHES_ORACLE = """
 SELECT (epoch_ms(ts) // 1000) * 1000 AS second_ms,
-       string_agg(CAST(CAST(floor(value) AS INT) AS VARCHAR), chr(10)
-                  ORDER BY CAST(floor(value) AS INT)) || chr(10) AS payload,
+       coalesce(string_agg(CAST(CAST(floor(value) AS INT) AS VARCHAR),
+                           chr(10)
+                           ORDER BY CAST(floor(value) AS INT)), '')
+         || chr(10) AS payload,
        count(*) AS n_values
 FROM events
 GROUP BY 1 ORDER BY 1

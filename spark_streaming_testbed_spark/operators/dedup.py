@@ -1585,14 +1585,23 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""),
-            1,
-            SNM_KEY_LEN,
-        ).alias("sortkey"),
-    ).withColumn("bkt", F.substring("sortkey", 1, SNM_BUCKET_LEN))
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.substring(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""),
+                1,
+                SNM_KEY_LEN,
+            ).alias("sortkey"),
+        )
+        # a NULL-text row has no derivable sort key and cannot be
+        # positioned in the neighborhood order — it is excluded from
+        # the blocking pass entirely (pinned in the oracle's WHERE;
+        # before this filter NULL keys silently fell out of the bucket
+        # equi-join while the oracle ranked them NULLS LAST, r9 sweep)
+        .where(F.col("sortkey").isNotNull())
+        .withColumn("bkt", F.substring("sortkey", 1, SNM_BUCKET_LEN))
+    )
     bkt_counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     wb = (
         W.partitionBy()
@@ -1644,7 +1653,8 @@ WITH k AS (
   SELECT doc_id,
          substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
                 1, {SNM_KEY_LEN}) AS sortkey
-  FROM documents),
+  FROM documents
+  WHERE text IS NOT NULL),
 r AS (
   SELECT doc_id, sortkey,
          row_number() OVER (ORDER BY sortkey, doc_id) AS rn

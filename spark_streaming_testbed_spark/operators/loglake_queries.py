@@ -46,13 +46,20 @@ SELECT concat_ws(chr(9),
 FROM events
 """.format(n=N_VALUES)
 
+# TRY_CAST + the regexp_matches pre-filter mirror the Spark parser's
+# P1 drop-unparseable contract: a malformed feed (NULL value/props
+# fields make concat_ws emit 4-field lines in BOTH engines) must DROP
+# those lines, exactly as parse_execution's try_cast+null-drop does —
+# a plain CAST('' AS BIGINT) errored the whole oracle instead
+# (r9 nulls sweep)
 _EXEC_PARSE_SQL = r"""
-SELECT CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 1) AS BIGINT) AS time_ms,
-       CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 2) AS BIGINT) AS batch_time_ms,
-       CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 3) AS INT) AS value,
-       CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 4) AS INT) AS stream_id,
-       CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 5) AS INT) AS count
+SELECT TRY_CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 1) AS BIGINT) AS time_ms,
+       TRY_CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 2) AS BIGINT) AS batch_time_ms,
+       TRY_CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 3) AS INT) AS value,
+       TRY_CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 4) AS INT) AS stream_id,
+       TRY_CAST(regexp_extract(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*', 5) AS INT) AS count
 FROM lines
+WHERE regexp_matches(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*')
 """
 
 
@@ -164,7 +171,9 @@ parsed AS (
               THEN CAST(regexp_extract(line, 'free: ([^ ]+) (..)\)', 1) AS DOUBLE) * 1024
               ELSE CAST(regexp_extract(line, 'free: ([^ ]+) (..)\)', 1) AS DOUBLE)
          END AS free_kb
-  FROM lines)
+  -- a NULL value makes the whole concat'd line NULL in both engines;
+  -- the parser's P1 contract drops it (r9 nulls sweep)
+  FROM lines WHERE line IS NOT NULL)
 SELECT * FROM parsed ORDER BY time_ms, free_kb
 """
 
@@ -191,7 +200,11 @@ WITH parsed AS (
   SELECT epoch_ms(ts) AS time_ms,
          CAST(floor(value) AS INT) AS count,
          CAST(user_id % 3 AS INT) AS client_id
-  FROM events)
+  FROM events
+  -- the Spark side's synthesized line is NULL for a NULL value (concat
+  -- null-propagates) and the parser drops it; this oracle skips the
+  -- line step, so it must drop the same rows here (r9 nulls sweep)
+  WHERE value IS NOT NULL)
 SELECT (time_ms // 1000) * 1000 AS second_ms, client_id,
        CAST(sum(count) AS BIGINT) AS count
 FROM parsed GROUP BY 1, 2 ORDER BY second_ms, client_id

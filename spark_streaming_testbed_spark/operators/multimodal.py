@@ -210,9 +210,17 @@ def _build_png_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> real PNG binary payloads (Arrow-batched encode)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", "text"
+    """documents -> real PNG binary payloads (Arrow-batched encode).
+
+    No content, no asset: a NULL-text document is dropped rather than
+    encoded — ``str(None)`` used to rasterize the literal characters
+    "None" into pixel bytes, a silent fabrication the r9 nulls sweep
+    caught when the fingerprint oracle (which derives from ``text``)
+    disagreed. Every png-family oracle pins the same WHERE."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "n_chars", "text")
     )
     return docs.mapInPandas(_build_png_assets, schema="doc_id long, payload binary")
 
@@ -259,7 +267,7 @@ SELECT doc_id,
        8 AS bit_depth,
        CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS color_type,
        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
-FROM documents ORDER BY doc_id
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -375,7 +383,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     → N frame rows with per-frame checksums, Arrow-batched. Payloads are
     the docs' utf-8 bytes (all-ASCII corpus), so the DuckDB twin slices
     the text with substr and md5s each slice."""
-    assets = binary_assets(spark, sf_dir).select("doc_id", "payload")
+    assets = (
+        binary_assets(spark, sf_dir)
+        .select("doc_id", "payload")
+        # no content, no frames: a NULL payload (NULL-text doc in a
+        # malformed feed) has nothing to sample — pinned in the
+        # oracle's WHERE (r9 nulls sweep)
+        .where(F.col("payload").isNotNull())
+    )
     return (
         assets.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
         .select("doc_id", "frame_idx", "frame_len", "frame_md5")
@@ -388,7 +403,7 @@ WITH f AS (
   SELECT doc_id, text,
          greatest(octet_length(encode(text)) // {FRAMES_PER_ASSET}, 1) AS step,
          octet_length(encode(text)) AS n
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 frames AS (
   SELECT doc_id, CAST(i AS INT) AS frame_idx,
          CAST(least(step, greatest(n - i * step, 0)) AS INT) AS frame_len,
@@ -490,7 +505,7 @@ WITH fp AS (
                    * (doc_id % {PNG_H_MOD} + 1)
                    * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)))))
            AS fp
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT fp, count(*) AS n_assets,
        CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
 FROM fp
@@ -562,7 +577,8 @@ WITH dims AS (
          (n_chars % {PNG_W_MOD} + 1)
          * (doc_id % {PNG_H_MOD} + 1)
          * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS need
-  FROM documents),
+  -- png_assets drops NULL-text docs (no content, no asset)
+  FROM documents WHERE text IS NOT NULL),
 bytes AS (
   SELECT d.doc_id, t.i, ascii(substr(d.text, CAST(t.i AS INTEGER), 1)) AS bv
   FROM dims d, unnest(range(1, d.len + 1)) AS t(i)),

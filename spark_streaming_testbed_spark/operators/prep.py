@@ -958,7 +958,13 @@ def percentile_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; at 100 TB the per-type sort is the cost — exactly the shape a
     range-partitioned sort handles, no global ordering required."""
     events = _t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    # nulls_last pins the engines' OPPOSITE null-ordering defaults
+    # (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST): a malformed
+    # feed's null values rank above every measured value in both
+    # engines (r9 nulls sweep); no-op on a null-free feed
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     n = W.partitionBy("event_type")
     return (
         events.select(
@@ -3901,12 +3907,21 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     class x type-bucket spine join, two cumulative windows partitioned
     by class/type, and a per-type rollup — everything bounded by
     QI-class x bucket cardinality, never raw-event shaped."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.hour("ts").alias("hod"),
-        F.floor(F.col("value") / F.lit(JH_BUCKET_WIDTH))
-        .cast("int").alias("sbucket"),
+    # a NULL sensitive value has no bucket and no place in either
+    # distribution: exclude it from the audit on BOTH engines (the
+    # NULL sbucket otherwise lands at opposite ends of the two
+    # engines' cumulative windows AND falls out of the NULL-unequal
+    # spine equi-join; r9 nulls sweep). Pinned in the oracle's WHERE.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") / F.lit(JH_BUCKET_WIDTH))
+            .cast("int").alias("sbucket"),
+        )
     )
     cb = ev.groupBy("event_type", "day", "hod", "sbucket").agg(
         F.count(F.lit(1)).alias("nc")
@@ -3978,7 +3993,8 @@ WITH ev AS (
          CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(hour(ts) AS INTEGER) AS hod,
          CAST(floor(value / {JH_BUCKET_WIDTH}) AS INTEGER) AS sbucket
-  FROM events),
+  FROM events
+  WHERE value IS NOT NULL),
 cb AS (
   SELECT event_type, day, hod, sbucket, count(*) AS nc
   FROM ev GROUP BY 1, 2, 3, 4),

@@ -284,12 +284,20 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+distinct+groupBy — did O(len) work per row plus two
     # shuffles for the same answer.)
     langs = list(LANG_TRIGRAMS)
+    # a NULL-text row scores NULL per language (instr's NULL would
+    # otherwise fold to 0 and the tie-break would "identify" the first
+    # language): NULL scores fail every argmax condition, so prediction
+    # falls through to the same last-language fallback the oracle's
+    # CASE hits when its NULL trigram list nulls every score (r9 sweep)
     scored = docs.select(
         "doc_id",
         *[
-            sum(
-                F.when(F.instr(F.col("text"), g) > 0, 1).otherwise(0)
-                for g in LANG_TRIGRAMS[lang]
+            F.when(
+                F.col("text").isNotNull(),
+                sum(
+                    F.when(F.instr(F.col("text"), g) > 0, 1).otherwise(0)
+                    for g in LANG_TRIGRAMS[lang]
+                ),
             ).cast("int").alias(f"s_{lang}")
             for lang in langs
         ],
@@ -768,10 +776,24 @@ def with_grams(df: DataFrame, n: int, out: str) -> DataFrame:
     array lambda: projection collapse inlines the token split into the
     lambda body and the interpreted `slice(tokens, i, n)` re-splits the
     document per position — O(len²) per doc (measured 11× at sf0.1).
-    Requires a ``tokens`` column (``with_tokens``)."""
+    Requires a ``tokens`` column (``with_tokens``).
+
+    NULL-safe at the transformer boundary: ``NGram`` NPEs on a NULL
+    token array (a NULL ``text`` row in a malformed feed — r9 nulls
+    sweep), so the input rides a coalesced temp column and ``tokens``
+    itself is left untouched. A NULL document yields ``[]`` grams,
+    which every downstream explode treats exactly like the oracles'
+    ``unnest(NULL)`` — zero gram rows."""
     from pyspark.ml.feature import NGram
 
-    return NGram(n=n, inputCol="tokens", outputCol=out).transform(df)
+    guarded = df.withColumn(
+        "_ng_in", F.coalesce(F.col("tokens"), F.array())
+    )
+    return (
+        NGram(n=n, inputCol="_ng_in", outputCol=out)
+        .transform(guarded)
+        .drop("_ng_in")
+    )
 
 
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,7 +1525,12 @@ def entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(tok_ent, ROUND).alias("token_entropy"),
+        # coalesce: a NULL-text row folds to NULL while the oracle's
+        # list_aggregate coalesce scores it 0.0 — the same "no tokens,
+        # zero entropy" policy as the empty document (r9 nulls sweep)
+        F.coalesce(F.round(tok_ent, ROUND), F.lit(0.0)).alias(
+            "token_entropy"
+        ),
         counts.alias("_lc"),
     ).withColumn(
         "_lt", F.aggregate(F.col("_lc"), F.lit(0), lambda a, c: a + c)

@@ -241,8 +241,13 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.ntile(2 ** ZORDER_BITS).over(
             W.orderBy("user_id", "event_id")) - 1).alias("r1"),
+        # nulls_last pins the engines' opposite null-order defaults for
+        # a malformed feed's null values (Spark ASC = NULLS FIRST,
+        # DuckDB ASC = NULLS LAST; r9 nulls sweep) — no-op when the
+        # column is null-free
         (F.ntile(2 ** ZORDER_BITS).over(
-            W.orderBy("value", "event_id")) - 1).alias("r2"),
+            W.orderBy(F.col("value").asc_nulls_last(), "event_id"))
+         - 1).alias("r2"),
     )
     spark_div = lambda a, b: f"({a} div {b})"  # noqa: E731
     z = ranked.withColumn("z", F.expr(_z_value_sql(spark_div)))

@@ -207,3 +207,91 @@ def test_ann_recall_eval_empty_zero_not_null(spark, empty_dir):
     r = ann_recall_eval(spark, empty_dir).collect()[0]
     assert r["n_queries"] == 0
     assert r["n_perfect_queries"] == 0  # SUM-over-nothing coalesced
+
+
+# --- nulls tier (malformed feed: 20% NULL text/value/props) -----------
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from degenerate_sweep import build_null_tier
+
+    d = tmp_path_factory.mktemp("degen_nulls") / "tier"
+    d.mkdir()
+    build_null_tier(SRC, str(d))
+    return str(d)
+
+
+def test_with_grams_null_text_yields_no_grams(spark, nulls_dir):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.operators.text import (
+        with_grams,
+        with_tokens,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    docs = with_tokens(load_table(spark, nulls_dir, "documents"))
+    grams = with_grams(docs, 2, "grams")
+    # the NGram transformer NPE'd on NULL token arrays before the
+    # boundary guard; a NULL document must yield [] grams (exactly the
+    # oracles' unnest(NULL) — zero gram rows downstream)
+    nulls = grams.where(F.col("text").isNull())
+    assert nulls.count() > 0
+    assert nulls.where(F.size("grams") != 0).count() == 0
+    # and the tokens column itself is untouched (still NULL)
+    assert nulls.where(F.col("tokens").isNotNull()).count() == 0
+
+
+def test_png_assets_skip_null_text_docs(spark, nulls_dir):
+    from spark_streaming_testbed_spark.operators.multimodal import (
+        png_assets,
+    )
+    from spark_streaming_testbed_spark.session import load_table
+
+    docs = load_table(spark, nulls_dir, "documents")
+    n_null = docs.where("text IS NULL").count()
+    assert n_null > 0
+    # no content, no asset: str(None) used to rasterize "None" pixels
+    assert png_assets(spark, nulls_dir).count() == docs.count() - n_null
+
+
+def test_percentile_rank_null_values_rank_last(spark, nulls_dir):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_testbed_spark.operators.prep import (
+        percentile_rank_features,
+    )
+
+    out = percentile_rank_features(spark, nulls_dir)
+    # nulls_last pins Spark's NULLS-FIRST default to the oracle's
+    # NULLS-LAST: within every group, every null-value row must
+    # out-rank every measured row
+    per_group = (
+        out.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("value").isNotNull(), F.col("pr_bp")))
+            .alias("max_measured"),
+            F.min(F.when(F.col("value").isNull(), F.col("pr_bp")))
+            .alias("min_null"),
+        )
+        .collect()
+    )
+    assert per_group
+    for r in per_group:
+        assert r["min_null"] > r["max_measured"]
+
+
+def test_approx_percentiles_rank_window_contract(spark):
+    from spark_streaming_testbed_spark.operators.relational import (
+        approx_percentiles,
+    )
+
+    rows = approx_percentiles(spark, SRC).collect()
+    # the flags are a RANK-window contract (sketch guarantees rank
+    # error, not value error); on the committed corpus every group
+    # must satisfy it
+    assert rows and all(r["a50_ok"] and r["a95_ok"] for r in rows)

@@ -14,6 +14,14 @@ two degenerate tiers every warehouse eventually feeds a query:
   single-element windows, self-joins that vanish, variance/stddev of a
   single sample (NULL vs 0), LSH bands with one signature, percentile
   interpolation with one point.
+- ``nulls``  — the malformed-feed tier: a deterministic 20 % of
+  ``documents.text`` (doc_id % 5 == 0), ``events.value``
+  (event_id % 5 == 0), and ``events.props`` (event_id % 5 == 1) set to
+  NULL, everything else pristine. The realistic shape of a feed whose
+  upstream extractor partially failed: every text/dedup/sketch/events
+  operator must agree with its oracle on NULL propagation (split/
+  explode of NULL, aggregates skipping NULLs, NULL group keys) instead
+  of assuming the fixtures' accidental non-nullness.
 
 For each tier the FULL driver contract runs: every ``queries()`` entry
 on Spark and its ``oracle_sql()`` twin on DuckDB over the same tier
@@ -22,7 +30,8 @@ order-insensitive rows, 9 dp float fold, canonical dtypes). Queries
 without an oracle run rows-only (must not raise).
 
 Usage: python tools/degenerate_sweep.py [src_sf_dir] [tier] [query ...]
-       tier in {empty, one_row, both (default)}
+       tier in {empty, one_row, nulls, both (default: empty+one_row),
+       all (all three)}
 """
 
 from __future__ import annotations
@@ -53,6 +62,40 @@ def build_tier(src: str, dst: str, n_rows: int) -> None:
             continue
         t = pq.read_table(os.path.join(src, f))
         pq.write_table(t.slice(0, n_rows), os.path.join(dst, f))
+
+
+#: (table, key column, nulled column, key % 5 residue) — the NULL mask
+#: is keyed on stable ids, not row position, so the tier is
+#: deterministic under any row order
+NULL_MASKS = [
+    ("documents", "doc_id", "text", 0),
+    ("events", "event_id", "value", 0),
+    ("events", "event_id", "props", 1),
+]
+
+
+def build_null_tier(src: str, dst: str) -> None:
+    """Copy ``src`` with the NULL_MASKS columns nulled on their 20 %."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    masks: dict[str, list] = {}
+    for table, key, col, residue in NULL_MASKS:
+        masks.setdefault(table, []).append((key, col, residue))
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        for key, col, residue in masks.get(f[: -len(".parquet")], []):
+            keys = t.column(key).to_numpy(zero_copy_only=False)
+            hit = pa.array(np.asarray(keys) % 5 == residue)
+            i = t.schema.get_field_index(col)
+            nulled = pc.if_else(
+                hit, pa.nulls(len(t), t.column(col).type), t.column(col)
+            )
+            t = t.set_column(i, t.schema.field(i), nulled)
+        pq.write_table(t, os.path.join(dst, f))
 
 
 def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
@@ -126,8 +169,10 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     tier_arg = sys.argv[2] if len(sys.argv) > 2 else "both"
     only = set(sys.argv[3:])
-    tiers = {"empty": 0, "one_row": 1}
-    if tier_arg != "both":
+    tiers: dict[str, int | None] = {"empty": 0, "one_row": 1, "nulls": None}
+    if tier_arg == "both":
+        tiers = {"empty": 0, "one_row": 1}
+    elif tier_arg != "all":
         tiers = {tier_arg: tiers[tier_arg]}
 
     spark = get_session("degenerate-sweep")
@@ -136,7 +181,10 @@ def main() -> int:
     any_fail = False
     for tier_name, n in tiers.items():
         with tempfile.TemporaryDirectory(prefix=f"degen_{tier_name}_") as d:
-            build_tier(src, d, n)
+            if n is None:
+                build_null_tier(src, d)
+            else:
+                build_tier(src, d, n)
             res = run_tier(spark, tier_name, d, only)
             print(
                 f"\n[{tier_name}] {res['pass']} pass, {res['fail']} fail, "
