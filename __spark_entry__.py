@@ -181,77 +181,78 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-9 window: registry still FROZEN at 285. 50 slots =
-    # the 17 family flagships; ann_ivf_topk (its module gains the
-    # recall-targeted nprobe policy this round — gate-SF plans pinned,
-    # but the touched module earns a fresh driver row); the THREE
-    # queries whose rounding code changed in 7554e7c but whose green
-    # driver rows predate the fix (VERDICT r8 item 1: quality_score
-    # r2, quality_calibration r3, blocking_recall_eval r4); and a
-    # 29-wide spread over the stalest remaining rows — all 12 round-1
-    # rows (tpch_q8/q9/q11/q13-q20/q22) plus 17 round-2 rows. Every
-    # displaced entry keeps its green row in the r1-r8 CORRECTNESS
-    # union. Deferred to the r10 spread (still r2-stale after this
-    # round): loglake_per_second_rollup, multimodal_meta, pii_redact,
-    # quantize_int8, range_join_bands, repetition_signals,
-    # source_leakage, source_report, span_dedup_clean,
-    # stratified_sample, tfidf_top_terms, tpch_q12,
-    # winnow_fingerprints. ---
-    # family flagships
-    "batch_stats",
-    "tpch_q1",
-    "dedup_clusters",
-    "cosine_topk",
-    "streaming_profile_stats",
-    "profile_fixed_ramp",
-    "loglake_execution_roundtrip",
-    "congestion_drop_accounting",
-    "streaming_ewma",
-    "target_encoding",
-    "semantic_dup_pairs",
-    "lang_id",
-    "multimodal_features",
-    "loglake_execution_dedup",
-    "rs_tcp_roundtrip",
-    "bucketed_join_stats",
-    "heavy_hitters",
-    # round-9-touched module (IVF recall-targeted nprobe policy)
-    "ann_ivf_topk",
+    # --- round-9 window (final): registry still FROZEN at 285. This
+    # round's degenerate-input sweeps (empty / one-row / nulls tiers,
+    # DEGENERATE_SWEEP_r09.json) touched the CODE or ORACLE of 51
+    # queries — exactly the "changed since its last green driver row"
+    # class VERDICT r8 item 1 flags — so the window is: the THREE
+    # 7554e7c rounding-fix queries (VERDICT r8 item 1: quality_score,
+    # quality_calibration, blocking_recall_eval) + 47 of the 51
+    # round-9-touched queries. The 4 touched queries left out
+    # (semantic_dup_pairs, embedding_threshold_sweep, pq_codes,
+    # pq_adc_topk) carry driver-r8 rows — the freshest possible — and
+    # their only change is an empty-corpus early-return that is
+    # provably dead at the gate SF (zero plan-signature drift,
+    # PLAN_SWEEP_r09). Displaced flagships/stale spread keep their
+    # r1-r8 green rows; the r10 spread resumes the staleness rotation
+    # (tpch_q8..q22 round-1 rows, the remaining round-2 rows, and the
+    # 4 deferred queries above first). ---
     # rounding-fix queries from 7554e7c needing post-fix driver rows
     "quality_score",
     "quality_calibration",
     "blocking_recall_eval",
-    # cross-family drift guard: stalest driver rows (round 1)
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # stalest round-2 rows (first 17; the other 13 rotate in r10)
-    "asof_join",
-    "sessionize",
-    "streaming_dedup",
-    "decontaminate",
-    "loglake_memory_roundtrip",
-    "bpe_token_stats",
-    "congestion_pushback_accounting",
-    "congestion_sampling_accounting",
-    "contamination_overlap",
-    "dedup_embedding_pairs",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "embedding_norms",
-    "filter_funnel",
-    "label_dispersion",
+    # degenerate-sweep arc: empty/one-row-tier guards (live code or
+    # oracle changes at every SF)
+    "ann_ivf_topk",
+    "cube_agg",
+    "rollup_agg",
+    "table_profile",
+    "dq_report",
+    "mix_shift_test",
+    "pipeline_health_report",
+    "embedding_covariance",
+    "ann_recall_eval",
+    "streaming_funnel",
+    "event_funnel",
+    "ts_similarity_pairs",
+    "funnel_time_bounded",
+    "referential_integrity_audit",
+    "partition_scheme_advisor",
+    "recs_coverage_diversity",
+    "column_histograms",
+    "bootstrap_ci",
+    "groupwise_regression",
+    "percentile_rank_features",
+    "quantile_normalize_embeddings",
+    # nulls-tier arc: NULL-policy pins (with_grams guard, null sort
+    # order, parse-filter mirrors, png no-content-no-asset, rank-window
+    # sketch contract)
+    "repetition_signals",
+    "top_ngrams",
+    "bigram_perplexity",
+    "pmi_collocations",
+    "ngram_novelty",
+    "bloom_decontaminate",
+    "hll_shingle_estimate",
+    "kmv_shingle_estimate",
+    "cumulative_counts",
+    "entropy_signals",
     "lang_id_ngram",
+    "wire_format_batches",
+    "snm_candidate_pairs",
+    "zorder_layout",
+    "file_skipping_audit",
+    "t_closeness_audit",
+    "approx_percentiles",
+    "loglake_execution_roundtrip",
+    "loglake_execution_dedup",
+    "loglake_stacked_pivot",
+    "loglake_memory_roundtrip",
+    "loglake_per_second_rollup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_payload_dedup",
+    "multimodal_pixel_stats",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.
