@@ -181,78 +181,71 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-9 window (final): registry still FROZEN at 285. This
-    # round's degenerate-input sweeps (empty / one-row / nulls tiers,
-    # DEGENERATE_SWEEP_r09.json) touched the CODE or ORACLE of 51
-    # queries — exactly the "changed since its last green driver row"
-    # class VERDICT r8 item 1 flags — so the window is: the THREE
-    # 7554e7c rounding-fix queries (VERDICT r8 item 1: quality_score,
-    # quality_calibration, blocking_recall_eval) + 47 of the 51
-    # round-9-touched queries. The 4 touched queries left out
-    # (semantic_dup_pairs, embedding_threshold_sweep, pq_codes,
-    # pq_adc_topk) carry driver-r8 rows — the freshest possible — and
-    # their only change is an empty-corpus early-return that is
-    # provably dead at the gate SF (zero plan-signature drift,
-    # PLAN_SWEEP_r09). Displaced flagships/stale spread keep their
-    # r1-r8 green rows; the r10 spread resumes the staleness rotation
-    # (tpch_q8..q22 round-1 rows, the remaining round-2 rows, and the
-    # 4 deferred queries above first). ---
-    # rounding-fix queries from 7554e7c needing post-fix driver rows
-    "quality_score",
-    "quality_calibration",
-    "blocking_recall_eval",
-    # degenerate-sweep arc: empty/one-row-tier guards (live code or
-    # oracle changes at every SF)
-    "ann_ivf_topk",
-    "cube_agg",
-    "rollup_agg",
-    "table_profile",
-    "dq_report",
-    "mix_shift_test",
-    "pipeline_health_report",
-    "embedding_covariance",
-    "ann_recall_eval",
-    "streaming_funnel",
-    "event_funnel",
-    "ts_similarity_pairs",
-    "funnel_time_bounded",
-    "referential_integrity_audit",
-    "partition_scheme_advisor",
-    "recs_coverage_diversity",
-    "column_histograms",
-    "bootstrap_ci",
-    "groupwise_regression",
-    "percentile_rank_features",
-    "quantile_normalize_embeddings",
-    # nulls-tier arc: NULL-policy pins (with_grams guard, null sort
-    # order, parse-filter mirrors, png no-content-no-asset, rank-window
-    # sketch contract)
-    "repetition_signals",
-    "top_ngrams",
-    "bigram_perplexity",
-    "pmi_collocations",
-    "ngram_novelty",
-    "bloom_decontaminate",
-    "hll_shingle_estimate",
-    "kmv_shingle_estimate",
-    "cumulative_counts",
-    "entropy_signals",
-    "lang_id_ngram",
-    "wire_format_batches",
-    "snm_candidate_pairs",
-    "zorder_layout",
-    "file_skipping_audit",
-    "t_closeness_audit",
-    "approx_percentiles",
-    "loglake_execution_roundtrip",
-    "loglake_execution_dedup",
-    "loglake_stacked_pivot",
-    "loglake_memory_roundtrip",
-    "loglake_per_second_rollup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_payload_dedup",
-    "multimodal_pixel_stats",
+    # --- round-10 window: STALENESS-DEBT payment (VERDICT r9 item 1).
+    # Registry still FROZEN at 285; nothing was touched before the
+    # window was set, so all 50 slots go to the stalest driver rows.
+    # Order: (a) the four r9 touched-but-deferred queries whose driver
+    # rows predate the empty-corpus early-return guards (carry r8/r4
+    # rows; my sf0.1 re-check + the triple-SF sweep already pass them,
+    # this makes the driver row current), (b) every registry entry whose
+    # last green driver row is round 1 or 2 (38 rows: tpch_q8..q22,
+    # asof_join, sessionize, streaming_dedup, decontaminate, ...),
+    # (c) eight round-3-era rows to start aging down the r3 cohort.
+    # After this round no registry row's driver row is older than r3.
+    # Displaced r9-window queries keep their r9 green rows. ---
+    # (a) touched-but-deferred in r9 (VERDICT r9 item 3)
+    "semantic_dup_pairs",
+    "embedding_threshold_sweep",
+    "pq_codes",
+    "pq_adc_topk",
+    # (b) round-1/round-2-era driver rows, all 38
+    "asof_join",
+    "bpe_token_stats",
+    "congestion_pushback_accounting",
+    "congestion_sampling_accounting",
+    "contamination_overlap",
+    "decontaminate",
+    "dedup_embedding_pairs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "embedding_norms",
+    "filter_funnel",
+    "label_dispersion",
+    "multimodal_meta",
+    "pii_redact",
+    "quantize_int8",
+    "range_join_bands",
+    "sessionize",
+    "source_leakage",
+    "source_report",
+    "span_dedup_clean",
+    "stratified_sample",
+    "streaming_dedup",
+    "tfidf_top_terms",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "winnow_fingerprints",
+    # (c) oldest round-3-era rows (next-stalest cohort)
+    "cluster_report",
+    "compaction_plan",
+    "conversion_lag",
+    "dedup_minhash_survivors",
+    "edit_distance_pairs",
+    "epoch_mix_plan",
+    "hash_split",
+    "hll_user_overlap",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.
