@@ -190,9 +190,13 @@ _FIRST_WINDOW: list[str] = [
     # this makes the driver row current), (b) every registry entry whose
     # last green driver row is round 1 or 2 (38 rows: tpch_q8..q22,
     # asof_join, sessionize, streaming_dedup, decontaminate, ...),
-    # (c) eight round-3-era rows to start aging down the r3 cohort.
-    # After this round no registry row's driver row is older than r3.
-    # Displaced r9-window queries keep their r9 green rows. ---
+    # (c) the two queries the r10 ADVICE fixes touched
+    # (approx_percentiles: order-statistic-clamped rank window;
+    # column_histograms: explicit NULL-measurement filter pinned in
+    # both engines) — the changed-since-last-green-row rule outranks
+    # staleness, (d) six round-3-era rows to start aging down the r3
+    # cohort. After this round no registry row's driver row is older
+    # than r3. Displaced r9-window queries keep their r9 green rows. ---
     # (a) touched-but-deferred in r9 (VERDICT r9 item 3)
     "semantic_dup_pairs",
     "embedding_threshold_sweep",
@@ -237,15 +241,16 @@ _FIRST_WINDOW: list[str] = [
     "tpch_q20",
     "tpch_q22",
     "winnow_fingerprints",
-    # (c) oldest round-3-era rows (next-stalest cohort)
+    # (c) r10-touched queries (ADVICE fixes landed this round)
+    "approx_percentiles",
+    "column_histograms",
+    # (d) oldest round-3-era rows (next-stalest cohort)
     "cluster_report",
     "compaction_plan",
     "conversion_lag",
     "dedup_minhash_survivors",
     "edit_distance_pairs",
     "epoch_mix_plan",
-    "hash_split",
-    "hll_user_overlap",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.

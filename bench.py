@@ -73,6 +73,13 @@ ARM_RUNS_MAX = 6
 #: extra samples after a JVM quiesce (see the confirm pass in main) —
 #: correlated machine-state noise is out-voted, real regressions survive
 RECONFIRM_RATIO = 1.5
+#: arms whose previous median was under FAST_ARM_SECONDS sit at the
+#: host's absolute noise floor — a 1.38x reading there is either noise
+#: or a real regression the 1.5x trigger never adjudicates (VERDICT r9
+#: item 2: loglake_execution_roundtrip read 1.854 s vs 1.345 s and the
+#: confirm pass stayed silent). Sub-2s arms fire at 1.25x instead.
+RECONFIRM_RATIO_FAST = 1.25
+FAST_ARM_SECONDS = 2.0
 
 
 def _spread(vals: list[float]) -> float:
@@ -89,13 +96,27 @@ def _arm_settled(runs_lists: list[list[float]]) -> bool:
     )
 
 
-def _reconfirm_suspects(prev_ratios: dict[str, float]) -> list[str]:
+def _reconfirm_suspects(
+    prev_ratios: dict[str, float],
+    prev_values: dict[str, float] | None = None,
+) -> list[str]:
     """Headline queries whose best-of-2 reads >= RECONFIRM_RATIO of the
     previous round's value — candidates for the post-quiesce confirm
-    pass (correlated slow pairs that spread checks cannot see)."""
-    return [
-        n for n in HEADLINE if prev_ratios.get(n, 0) >= RECONFIRM_RATIO
-    ]
+    pass (correlated slow pairs that spread checks cannot see). Arms
+    whose previous value was under FAST_ARM_SECONDS use the tighter
+    RECONFIRM_RATIO_FAST trigger (noise-floor arms get adjudicated
+    in-band instead of sailing under 1.5x unexamined)."""
+    prev_values = prev_values or {}
+    picked = []
+    for n in HEADLINE:
+        trigger = (
+            RECONFIRM_RATIO_FAST
+            if prev_values.get(n, float("inf")) < FAST_ARM_SECONDS
+            else RECONFIRM_RATIO
+        )
+        if prev_ratios.get(n, 0) >= trigger:
+            picked.append(n)
+    return picked
 
 
 def materialize(df) -> None:
@@ -515,9 +536,12 @@ def main() -> None:
     # quiesce, and keeps the overall min. A real regression survives
     # (the re-runs confirm it); machine-state noise is out-voted
     # in-band instead of by an out-of-band perf_watch run.
+    _, prev_vals = _prev_bench_queries()
     prev = round_over_round_deltas(timings).get("ratio_vs_prev", {})
-    suspects = _reconfirm_suspects(prev)
+    suspects = _reconfirm_suspects(prev, prev_vals)
     if suspects:
+        import statistics
+
         spark.catalog.clearCache()
         try:
             spark.sparkContext._jvm.System.gc()
@@ -530,7 +554,14 @@ def main() -> None:
                 materialize(fn(spark, SF_DIR))
                 headline_runs[name].append(
                     round(time.perf_counter() - t0, 3))
-            timings[name] = min(headline_runs[name])
+            # median of all 4 samples, NOT min: min over 4 gives a
+            # suspected-regressed arm extra chances to land one fast
+            # sample, masking an intermittent real regression (slow 3
+            # of 4 publishes as its previous value). Median needs the
+            # majority of samples to be fast before discarding the
+            # slow pair (ADVICE r9 bench.py:533).
+            timings[name] = round(
+                statistics.median(headline_runs[name]), 3)
 
     from spark_streaming_testbed_spark.functions.hanoi import (
         burn_us_per_record,
@@ -593,9 +624,11 @@ def main() -> None:
     print(line)
 
 
-def round_over_round_deltas(timings: dict[str, float]) -> dict:
-    """Per-query delta vs the newest recorded BENCH_r{N}.json so a round-
-    over-round regression is visible in the bench line itself."""
+def _prev_bench_queries() -> tuple[str | None, dict[str, float]]:
+    """(filename, per-query seconds) from the newest parseable
+    BENCH_r{N}.json — shared by the delta report and the
+    regression-confirm trigger (the fast-arm threshold needs the
+    previous ABSOLUTE value, not just the ratio)."""
     import glob
     import re
 
@@ -628,13 +661,22 @@ def round_over_round_deltas(timings: dict[str, float]) -> dict:
             prev_file = cand
             break
     if not prev_file:
+        return None, {}
+    return os.path.basename(prev_file), prev
+
+
+def round_over_round_deltas(timings: dict[str, float]) -> dict:
+    """Per-query delta vs the newest recorded BENCH_r{N}.json so a round-
+    over-round regression is visible in the bench line itself."""
+    prev_file, prev = _prev_bench_queries()
+    if not prev_file:
         return {}
     deltas = {
         name: round(timings[name] / prev[name], 2)
         for name in timings
         if name in prev and prev[name]
     }
-    return {"prev_bench": os.path.basename(prev_file),
+    return {"prev_bench": prev_file,
             "ratio_vs_prev": deltas}
 
 

@@ -853,13 +853,17 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# value IS NOT NULL in both engines: a NULL measurement must not be
+# counted as a top-bin observation (it otherwise rides the same
+# NULL-quotient + NULL-skipping-least() path as the hi==lo case)
 RELATIONAL_ORACLES["column_histograms"] = """
-WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+WITH filtered AS (SELECT value FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM filtered),
 binned AS (
   SELECT least(19, CAST(floor((value - lo) / ((hi - lo) / 20)) AS INTEGER))
            AS bin,
          lo, hi
-  FROM events CROSS JOIN bounds)
+  FROM filtered CROSS JOIN bounds)
 SELECT bin,
        lo + bin * ((hi - lo) / 20) AS bin_lo,
        lo + (bin + 1) * ((hi - lo) / 20) AS bin_hi,

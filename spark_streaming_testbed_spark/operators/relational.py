@@ -1360,6 +1360,33 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch estimate is emitted as a within-tolerance flag, mirroring
     ``approx_distinct_users``'s contract for approximate operators."""
     events = _t(spark, sf_dir, "events")
+
+    # rank-window contract, not a value tolerance: the GK sketch
+    # guarantees RANK error (<= n/accuracy ranks), so the estimate must
+    # land within a small rank neighborhood of the target. A value-based
+    # 5%-of-spread bound is NOT implied by the sketch and failed
+    # honestly on a heavy-tailed 158-sample group (the r9 nulls tier).
+    # The bounds are ACTUAL ORDER STATISTICS, not interpolated
+    # percentiles: for 2 <= n <~ 100 an interpolated +/-0.01-rank
+    # window spans less than one order statistic and sits strictly
+    # between adjacent samples, while GK always returns a real sample —
+    # a legitimately-zero-rank-error answer could fail the old check
+    # (ADVICE r9). Slack = max(1, ceil(0.01*n)) ranks beyond the
+    # bracketing samples covers the sketch's n/1000 rank error at any n.
+    # The sorted per-group array costs what the exact percentile()
+    # already pays (full per-group materialization) — this query's
+    # 100 TB shape is the a50/a95 sketch columns; the exact columns
+    # exist only to give the oracle something to hash.
+    def _rank_ok(approx: str, p: float) -> F.Column:
+        idx = f"(_n - 1) * {p}"
+        slack = "greatest(1L, cast(ceil(0.01 * _n) as long))"
+        lo = f"element_at(_arr, cast(greatest(floor({idx}) - {slack}, 0) as int) + 1)"
+        hi = f"element_at(_arr, cast(least(ceil({idx}) + {slack}, _n - 1) as int) + 1)"
+        return F.when(
+            F.col("_n") > 0,
+            F.col(approx).between(F.expr(lo), F.expr(hi)),
+        ).otherwise(F.lit(True))
+
     return (
         events.groupBy("event_type")
         .agg(
@@ -1367,26 +1394,13 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.95)"), ROUND).alias("p95"),
             F.expr("percentile_approx(value, 0.5, 1000)").alias("a50"),
             F.expr("percentile_approx(value, 0.95, 1000)").alias("a95"),
-            # the RANK-window bounds for the sketch contract below
-            F.expr("percentile(value, 0.49)").alias("_lo50"),
-            F.expr("percentile(value, 0.51)").alias("_hi50"),
-            F.expr("percentile(value, 0.94)").alias("_lo95"),
-            F.expr("percentile(value, 0.96)").alias("_hi95"),
+            F.expr("sort_array(collect_list(value))").alias("_arr"),
         )
+        .withColumn("_n", F.size("_arr").cast("long"))
         .select(
             "event_type", "p50", "p95",
-            # rank-window contract, not a value tolerance: the GK
-            # sketch guarantees RANK error (<= n/accuracy ranks), so
-            # the estimate must land between the exact percentiles one
-            # rank-percent either side of the target. A value-based
-            # 5%-of-spread bound is NOT implied by the sketch and
-            # failed honestly on a heavy-tailed 158-sample group (the
-            # r9 nulls tier): the order-statistic gap at the tail
-            # exceeded it while the rank error was zero.
-            F.col("a50").between(F.col("_lo50"), F.col("_hi50"))
-            .alias("a50_ok"),
-            F.col("a95").between(F.col("_lo95"), F.col("_hi95"))
-            .alias("a95_ok"),
+            _rank_ok("a50", 0.5).alias("a50_ok"),
+            _rank_ok("a95", 0.95).alias("a95_ok"),
         )
         .orderBy("event_type")
     )
@@ -1824,8 +1838,15 @@ def column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin assignment is a row-local codegen expression; the final count
     is one map-side-combinable aggregate on ≤ HIST_BINS+1 keys. Bin
     edges are derived with the same double arithmetic in both engines
-    so boundary values land identically."""
-    events = _t(spark, sf_dir, "events")
+    so boundary values land identically.
+
+    NULL measurements are NOT observations: without the explicit
+    filter below, a NULL value rides the same NULL-quotient /
+    NULL-skipping-least() path as the hi==lo case and lands in the TOP
+    bin on both engines — the engines agree, so only the policy pin
+    keeps a 20%-NULL feed from silently inflating the max bin
+    (ADVICE r9). The filter is mirrored in the oracle."""
+    events = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     bounds = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )

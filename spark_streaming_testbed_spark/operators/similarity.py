@@ -721,11 +721,26 @@ def ivf_assign(
         n_lists = auto_l if n_lists is None else n_lists
         fit_sample = auto_fs if fit_sample is None else fit_sample
     cents = _ivf_fit_centroids(spark, sf_dir, n_lists, fit_sample)
-    return _assign_from_cents(emb, cents)
+    # contract schema is exactly (vec_id, embedding, list_id) on EVERY
+    # path: the small-centroid strategy's _cents/_dists helper columns
+    # are dropped here so the output shape never varies with corpus
+    # size or emptiness (ADVICE r9 — a consumer using the frame
+    # directly must not see a schema that changes with data volume);
+    # ann_ivf_topk keeps its probe-order access to _dists by calling
+    # _assign_from_cents directly
+    return _assign_from_cents(emb, cents).select(
+        "vec_id", "embedding", "list_id"
+    )
 
 
 def _assign_from_cents(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Physical assignment strategy switch — see :func:`ivf_assign`."""
+    """Physical assignment strategy switch — see :func:`ivf_assign`.
+
+    INTERNAL: the small-centroid branch deliberately keeps its
+    ``_cents`` / ``_dists`` helper columns — :func:`ann_ivf_topk`'s
+    gate path derives its probe order from ``_dists`` without
+    recomputing the centroid distances. The public contract schema is
+    enforced by :func:`ivf_assign`, not here."""
     if len(cents) <= IVF_CLUSTERS:
         cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
         return (

@@ -50,7 +50,7 @@ def test_reconfirm_suspects_select_only_regression_ratios():
     """The batch-block guard: best-of-2 can't out-vote a CORRELATED slow
     pair (a degraded JVM slows both samples), so queries reading >=
     RECONFIRM_RATIO of last round's value get a post-quiesce confirm
-    pass. Selection is purely ratio-driven and HEADLINE-scoped."""
+    pass. Selection is ratio-driven and HEADLINE-scoped."""
     assert bench.RECONFIRM_RATIO == 1.5  # the published protocol
     some = bench.HEADLINE[0]
     other = bench.HEADLINE[1]
@@ -62,3 +62,23 @@ def test_reconfirm_suspects_select_only_regression_ratios():
     assert bench._reconfirm_suspects({}) == []
     # non-headline names never schedule extra bench work
     assert bench._reconfirm_suspects({"not_a_query": 9.9}) == []
+
+
+def test_reconfirm_fast_arm_trigger():
+    """Sub-2s arms sit at the host's noise floor: a 1.38x reading there
+    (VERDICT r9 item 2, loglake_execution_roundtrip) must be adjudicated
+    in-band, so arms whose PREVIOUS value was under FAST_ARM_SECONDS
+    fire the confirm pass at RECONFIRM_RATIO_FAST instead of 1.5."""
+    assert bench.RECONFIRM_RATIO_FAST == 1.25
+    assert bench.FAST_ARM_SECONDS == 2.0
+    some = bench.HEADLINE[0]
+    # the r9 shape: prev 1.345 s, ratio 1.38 — now fires
+    assert bench._reconfirm_suspects({some: 1.38}, {some: 1.345}) == [some]
+    # same ratio on a slow arm (prev >= 2 s): still below 1.5, no fire
+    assert bench._reconfirm_suspects({some: 1.38}, {some: 3.0}) == []
+    # boundary: exactly 1.25 on a fast arm confirms (>=)
+    assert bench._reconfirm_suspects({some: 1.25}, {some: 0.5}) == [some]
+    # just under the fast trigger: quiet
+    assert bench._reconfirm_suspects({some: 1.24}, {some: 0.5}) == []
+    # no prev values known: falls back to the 1.5 trigger
+    assert bench._reconfirm_suspects({some: 1.3}) == []

@@ -22,6 +22,18 @@ two degenerate tiers every warehouse eventually feeds a query:
   operator must agree with its oracle on NULL propagation (split/
   explode of NULL, aggregates skipping NULLs, NULL group keys) instead
   of assuming the fixtures' accidental non-nullness.
+- ``skew``  — the hot-key tier (round 10): a rewrite of the source
+  where ONE key owns ~50 % of the group/join keys —
+  ``events.user_id`` (event_id % 2 == 0 → the minimum user id) and
+  ``documents.source`` (doc_id % 2 == 0 → the lexicographically first
+  source). This is the classic 100 TB scale-killer shape (the
+  reference's ``groupByKey`` at SimpleStreamingApp.scala:81 is exactly
+  this hazard): a query can stay hash-correct while one straggler
+  partition does half the work. The tier therefore checks BOTH
+  directions: the full Spark-vs-DuckDB contract for correctness, and
+  per-query wall-time RATIOS vs a pristine run of the same source in
+  the same JVM — a correct query reading > SKEW_RATIO_FLAG x pristine
+  has a real skew bug (missing salt / two-phase agg / broadcast).
 
 For each tier the FULL driver contract runs: every ``queries()`` entry
 on Spark and its ``oracle_sql()`` twin on DuckDB over the same tier
@@ -30,8 +42,8 @@ order-insensitive rows, 9 dp float fold, canonical dtypes). Queries
 without an oracle run rows-only (must not raise).
 
 Usage: python tools/degenerate_sweep.py [src_sf_dir] [tier] [query ...]
-       tier in {empty, one_row, nulls, both (default: empty+one_row),
-       all (all three)}
+       tier in {empty, one_row, nulls, skew,
+       both (default: empty+one_row), all (empty+one_row+nulls)}
 """
 
 from __future__ import annotations
@@ -98,6 +110,50 @@ def build_null_tier(src: str, dst: str) -> None:
         pq.write_table(t, os.path.join(dst, f))
 
 
+#: a hash-correct query whose skew-tier wall exceeds this multiple of
+#: its pristine wall (after the absolute floor) has a hot-key bug
+SKEW_RATIO_FLAG = 5.0
+#: sub-second arms are noise-floor — a 5x on 0.2 s is not a finding
+SKEW_MIN_SECONDS = 1.0
+
+
+def build_skew_tier(src: str, dst: str) -> None:
+    """Copy ``src`` with ~50 % of the high-cardinality group/join keys
+    collapsed onto one hot key (stable-id masks, order-independent)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        name = f[: -len(".parquet")]
+        if name == "events" and len(t) > 0:
+            ids = np.asarray(t.column("event_id").to_numpy(zero_copy_only=False))
+            hot = pc.min(t.column("user_id")).as_py()
+            mask = pa.array(ids % 2 == 0)
+            i = t.schema.get_field_index("user_id")
+            col = pc.if_else(
+                mask,
+                pa.array([hot] * len(t), t.column("user_id").type),
+                t.column("user_id"),
+            )
+            t = t.set_column(i, t.schema.field(i), col)
+        elif name == "documents" and len(t) > 0:
+            ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+            hot = pc.min(t.column("source")).as_py()
+            mask = pa.array(ids % 2 == 0)
+            i = t.schema.get_field_index("source")
+            col = pc.if_else(
+                mask,
+                pa.array([hot] * len(t), t.column("source").type),
+                t.column("source"),
+            )
+            t = t.set_column(i, t.schema.field(i), col)
+        pq.write_table(t, os.path.join(dst, f))
+
+
 def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
     con = duckdb.connect()
     for t in TABLES:
@@ -108,6 +164,7 @@ def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures: dict[str, str] = {}
+    walls: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -116,6 +173,7 @@ def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
             sdf = fn(spark, tier_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            walls[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             msg = f"spark error: {type(e).__name__}: {str(e)[:300]}"
             print(f"FAIL [{tier_name}] {name}: {msg}", flush=True)
@@ -161,8 +219,54 @@ def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
     con.close()
     return {
         "pass": n_pass, "fail": n_fail, "rows_only": n_rows_only,
-        "failures": failures,
+        "failures": failures, "walls": walls,
     }
+
+
+def run_skew(spark, src: str, only: set[str]) -> bool:
+    """Skew tier: correctness on the hot-key rewrite PLUS wall-time
+    ratios vs a pristine run of the same source in the same JVM. The
+    pristine pass runs FIRST, so the skew pass is the warmer of the
+    two — a flagged ratio understates nothing."""
+    import json as _json
+
+    pristine = run_tier(spark, "pristine", src, only)
+    any_fail = pristine["fail"] > 0
+    with tempfile.TemporaryDirectory(prefix="degen_skew_") as d:
+        build_skew_tier(src, d)
+        skew = run_tier(spark, "skew", d, only)
+    any_fail = any_fail or skew["fail"] > 0
+    ratios = {
+        n: round(skew["walls"][n] / max(pristine["walls"][n], 1e-9), 2)
+        for n in skew["walls"]
+        if n in pristine["walls"]
+    }
+    flagged = {
+        n: {"pristine_s": pristine["walls"][n], "skew_s": skew["walls"][n],
+            "ratio": r}
+        for n, r in ratios.items()
+        if r >= SKEW_RATIO_FLAG and skew["walls"][n] >= SKEW_MIN_SECONDS
+    }
+    heaviest = sorted(
+        skew["walls"], key=lambda n: skew["walls"][n], reverse=True
+    )[:10]
+    table = {
+        n: {"pristine_s": pristine["walls"].get(n),
+            "skew_s": skew["walls"][n], "ratio": ratios.get(n)}
+        for n in heaviest
+    }
+    print("\n[skew] 10 heaviest queries under the hot key "
+          "(wall ratio vs pristine, same JVM):")
+    print(_json.dumps(table, indent=1))
+    print(f"\n[skew] flagged (ratio >= {SKEW_RATIO_FLAG} and "
+          f"skew wall >= {SKEW_MIN_SECONDS}s): "
+          f"{_json.dumps(flagged, indent=1) if flagged else 'NONE'}")
+    print(
+        f"\n[pristine] {pristine['pass']} pass, {pristine['fail']} fail, "
+        f"{pristine['rows_only']} rows-only"
+        f"\n[skew] {skew['pass']} pass, {skew['fail']} fail, "
+        f"{skew['rows_only']} rows-only", flush=True)
+    return any_fail or bool(flagged)
 
 
 def main() -> int:
@@ -172,6 +276,10 @@ def main() -> int:
     tiers: dict[str, int | None] = {"empty": 0, "one_row": 1, "nulls": None}
     if tier_arg == "both":
         tiers = {"empty": 0, "one_row": 1}
+    elif tier_arg == "skew":
+        spark = get_session("degenerate-sweep")
+        spark.sparkContext.setLogLevel("ERROR")
+        return 1 if run_skew(spark, src, only) else 0
     elif tier_arg != "all":
         tiers = {tier_arg: tiers[tier_arg]}
 
