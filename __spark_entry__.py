@@ -241,16 +241,24 @@ _FIRST_WINDOW: list[str] = [
     "tpch_q20",
     "tpch_q22",
     "winnow_fingerprints",
-    # (c) r10-touched queries (ADVICE fixes landed this round)
+    # (c) r10-touched queries — ADVICE fixes (approx_percentiles,
+    # column_histograms) plus the three the NEW sf0.1 skew tier drove:
+    # interarrival_stats (exact-integer mean/stddev — the tier caught a
+    # latent cross-engine 6-dp rounding flake), cep_pattern_match and
+    # attribution_report (per-user quadratic joins at 324x/36x under a
+    # 50% hot key, rewritten to O(n) running-window passes; oracles
+    # unchanged). ewma_smooth's change is docstring-only (allowlisted
+    # linear straggler), zero behavior delta — verified hash-identical
+    # in the post-fix sweeps, so it keeps its r8 row.
     "approx_percentiles",
     "column_histograms",
+    "interarrival_stats",
+    "cep_pattern_match",
+    "attribution_report",
     # (d) oldest round-3-era rows (next-stalest cohort)
     "cluster_report",
     "compaction_plan",
     "conversion_lag",
-    "dedup_minhash_survivors",
-    "edit_distance_pairs",
-    "epoch_mix_plan",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.

@@ -457,22 +457,54 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind bot detection and traffic modeling. One window (partitioned by
     user_id, ordered by ts with event_id tiebreak) computes the lag gaps
     and one hash aggregate summarizes them; both stages shuffle on
-    user_id only, so the plan reuses a single exchange."""
+    user_id only, so the plan reuses a single exchange.
+
+    EXACT-INTEGER derivation (r10): ``avg(double)``/``stddev_pop(double)``
+    sum in partial-aggregation order, so the last ulp of the result is
+    partition- AND engine-dependent; at sf0.1 one user's mean landed
+    within an ulp of a 6-dp rounding boundary and flipped the final
+    digit between Spark and DuckDB (the sf0.1 skew tier caught it —
+    both its runs, pristine included). Both engines now aggregate the
+    integer-millis gaps exactly (bigint sum + decimal/hugeint sum of
+    squares), then derive mean/stddev in integer MICROSECONDS with one
+    identically-ordered IEEE op sequence (div, sqrt, mul, div, floor are
+    all correctly rounded, so identical integer inputs give bit-identical
+    outputs) — no float accumulation order anywhere."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
-    ) / 1000.0
-    return (
-        events.withColumn("gap_s", gap)
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    agg = (
+        events.withColumn("gap_ms", gap_ms)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
-            F.round(F.stddev_pop("gap_s"), 6).alias("stddev_gap_s"),
-            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+            F.count("gap_ms").alias("_n"),
+            F.sum("gap_ms").alias("_s1"),
+            F.expr(
+                "sum(cast(gap_ms as decimal(19,0))"
+                " * cast(gap_ms as decimal(19,0)))"
+            ).alias("_s2"),
+            F.max("gap_ms").alias("_mx"),
+        )
+    )
+    has = F.col("_n") > 0
+    mean_us = F.expr("_s1 * 1000 div _n")
+    disc = F.expr(
+        "cast(_n as decimal(19,0)) * _s2"
+        " - cast(_s1 as decimal(19,0)) * cast(_s1 as decimal(19,0))"
+    )
+    std_us = F.floor(
+        F.sqrt(disc.cast("double")) * F.lit(1000.0) / F.col("_n")
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            F.when(has, mean_us / F.lit(1e6)).alias("mean_gap_s"),
+            F.when(has, std_us / F.lit(1e6)).alias("stddev_gap_s"),
+            F.when(has, F.col("_mx") / F.lit(1000.0)).alias("max_gap_s"),
         )
         .orderBy("user_id")
     )
@@ -482,13 +514,21 @@ INTERARRIVAL_STATS_ORACLE = """
 WITH g AS (
   SELECT user_id,
          (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id)) / 1000.0 AS gap_s
-  FROM events)
-SELECT user_id, count(*) AS n_events,
-       round(avg(gap_s), 6) AS mean_gap_s,
-       round(stddev_pop(gap_s), 6) AS stddev_gap_s,
-       round(max(gap_s), 6) AS max_gap_s
-FROM g GROUP BY user_id ORDER BY user_id
+            PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+  FROM events),
+a AS (
+  SELECT user_id, count(*) AS n_events, count(gap_ms) AS n,
+         sum(gap_ms) AS s1,
+         sum(gap_ms::HUGEINT * gap_ms::HUGEINT) AS s2,
+         max(gap_ms) AS mx
+  FROM g GROUP BY user_id)
+SELECT user_id, n_events,
+       CASE WHEN n > 0 THEN (s1 * 1000 // n) / 1e6 END AS mean_gap_s,
+       CASE WHEN n > 0 THEN floor(
+         sqrt(CAST(n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT AS DOUBLE))
+         * 1000.0 / n) / 1e6 END AS stddev_gap_s,
+       CASE WHEN n > 0 THEN mx / 1000.0 END AS max_gap_s
+FROM a ORDER BY user_id
 """
 
 ADVANCED_QUERIES["interarrival_stats"] = interarrival_stats
@@ -1300,6 +1340,18 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort is needed. Both engines fold left-to-right with the
     same IEEE754 double literals, so results are bitwise identical
     before the output rounding.
+
+    Hot-key behavior (measured by the r10 sf0.1 skew tier: 5.17x
+    pristine when one user owns 50 % of events): the cost is LINEAR in
+    the hot key's length — a straggler, not a blowup — because the
+    per-key fold is the bit-exactness contract with the oracle's
+    left-to-right ``list_reduce``. The genuinely parallel form exists
+    (EWMA is a linear recurrence, so chunked affine-map composition
+    s -> A + B*s parallelizes within a key), but it reassociates float
+    arithmetic and would have to be mirrored chunk-for-chunk in the
+    oracle to stay deterministic; at a true 100 TB hot key that is the
+    documented upgrade path. Allowlisted in the skew tier with this
+    rationale (tools/degenerate_sweep.py SKEW_ALLOWLIST).
     """
     ev = load_table(spark, sf_dir, "events")
     seq = ev.groupBy("user_id").agg(
@@ -1509,32 +1561,72 @@ def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Flink CEP's bread and butter) that ``event_funnel``'s unbounded
     min-ts chaining cannot express.
 
-    Scale shape: two user-keyed equi-joins with banded time predicates
-    (each is a join on user_id; the range condition only filters the
-    per-user match candidates, so fan-out is bounded by events within
-    one 6-hour window, not the user's history); the earliest chain
-    is an argmin via one struct-min aggregate — partial-aggregable, no
-    per-user sort window."""
+    Scale shape (r10 rewrite — the sf0.1 SKEW tier caught the old
+    per-user equi-join chain doing O(n_user²) work: a hot user owning
+    50 % of events read 324x pristine): ONE user-keyed sort, then two
+    O(n) running-min window passes compile the pattern the way a CEP
+    engine would —
+
+    1. ``p_after``: for every row, the EARLIEST purchase strictly
+       after it (a running min over the descending order; the earliest
+       following purchase is within the 6 h gap iff ANY purchase is,
+       so no sliding frame is needed — the suffix minimum answers the
+       banded existence question exactly);
+    2. ``cp_after``: the same suffix-minimum trick one level up, over
+       the (c_ms, p_ms) structs of clicks that completed step 1 —
+       giving every view its earliest completable click;
+
+    and the earliest chain per user is the same struct-min aggregate
+    as before. Equal-timestamp strictness (c > v, p > c) is encoded in
+    the sort rank (purchase < click < view at equal ms, so a same-ms
+    successor never lands in the strictly-after suffix). Results are
+    integer-exact, so the DuckDB oracle keeps the declarative
+    join-based spelling of the same semantics."""
     ev = load_table(spark, sf_dir, "events")
-
-    def stage(et: str, out: str) -> DataFrame:
-        return ev.where(F.col("event_type") == et).select(
-            "user_id", F.unix_millis("ts").alias(out)
-        )
-
-    v, c, p = stage("view", "v_ms"), stage("click", "c_ms"), stage(
-        "purchase", "p_ms"
+    base = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("rk"),
     )
-    vc = v.join(c, "user_id").where(
-        (F.col("c_ms") > F.col("v_ms"))
-        & (F.col("c_ms") <= F.col("v_ms") + CEP_STEP_GAP_MS)
+    # rows strictly AFTER the current one in (ms ASC, rk ASC) order =
+    # rows strictly before it in this DESC window; running min over
+    # the growing prefix is O(n) per user (no sliding re-aggregation)
+    wd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ms").desc(), F.col("rk").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    vcp = vc.join(p, "user_id").where(
-        (F.col("p_ms") > F.col("c_ms"))
-        & (F.col("p_ms") <= F.col("c_ms") + CEP_STEP_GAP_MS)
+    s1 = base.withColumn(
+        "p_after",
+        F.min(F.when(F.col("rk") == 0, F.col("ms"))).over(wd),
+    )
+    cp = F.when(
+        (F.col("rk") == 1)
+        & (F.col("p_after") <= F.col("ms") + CEP_STEP_GAP_MS),
+        F.struct(
+            F.col("ms").alias("c_ms"), F.col("p_after").alias("p_ms")
+        ),
+    )
+    s2 = s1.withColumn("cp", cp).withColumn(
+        "cp_after", F.min(F.col("cp")).over(wd)
+    )
+    tri = s2.where(
+        (F.col("rk") == 2)
+        & F.col("cp_after").isNotNull()
+        & (F.col("cp_after.c_ms") <= F.col("ms") + CEP_STEP_GAP_MS)
+    ).select(
+        "user_id",
+        F.col("ms").alias("v_ms"),
+        F.col("cp_after.c_ms").alias("c_ms"),
+        F.col("cp_after.p_ms").alias("p_ms"),
     )
     return (
-        vcp.groupBy("user_id")
+        tri.groupBy("user_id")
         .agg(F.min(F.struct("v_ms", "c_ms", "p_ms")).alias("m"))
         .select(
             "user_id",
@@ -1796,40 +1888,93 @@ def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily, and a classic disagreement surface between attribution
     models.
 
-    Scale shape: one user-keyed equi-join bounds candidates to the
-    lookback window; argmin/argmax per purchase are partial-aggregable
-    struct extremes (no per-user sort window); revenue in exact integer
-    cents. Ties on touch timestamp break by event_id in both engines."""
+    Scale shape (r10 rewrite — the sf0.1 SKEW tier caught the old
+    purchases×touches per-user join reading 36x pristine under a hot
+    user): the lookback is compiled to two O(n) running struct-extreme
+    window passes over one unioned per-user timeline, so the hot key
+    costs one sort, never a quadratic candidate set.
+
+    * LAST touch: the running max of touch structs at the purchase row
+      is the latest touch ≤ p; it is within the lookback iff ANY touch
+      is (it's the latest), so one post-validation replaces the banded
+      join.
+    * FIRST touch: symmetric, via a synthetic PROBE row planted at
+      ``p_ms - W``: the running min of touch structs over the
+      DESCENDING order, read at the probe, is the earliest touch
+      ≥ p-W; validate it is ≤ p. Probes carry the purchase's cents, so
+      no join-back is needed.
+
+    Equal-timestamp inclusivity (t ≤ p, t ≥ p-W both inclusive) is
+    encoded in the sort rank (probe < touch < purchase at equal ms).
+    Revenue stays exact integer cents; ties on touch timestamp still
+    break by event_id via the same struct comparison, and the DuckDB
+    oracle keeps the declarative join spelling of the identical
+    semantics."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("p_id"),
-        F.unix_millis("ts").alias("p_ms"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    t_struct = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.unix_millis("ts").alias("t_ms"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("channel"),
+        ),
     )
-    touches = ev.where(
-        F.col("event_type").isin("view", "click")
+    base = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
     ).select(
         "user_id",
-        F.col("event_id").alias("t_id"),
-        F.unix_millis("ts").alias("t_ms"),
-        F.col("event_type").alias("channel"),
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("event_type") == "purchase", F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        t_struct.alias("t"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("cents"),
+        F.when(
+            F.col("event_type") == "purchase", F.unix_millis("ts")
+        ).alias("p_ms"),
     )
-    cand = purchases.join(touches, "user_id").where(
-        (F.col("t_ms") <= F.col("p_ms"))
-        & (F.col("p_ms") - F.col("t_ms") <= ATTR_WINDOW_MS)
+    probes = base.where(F.col("kind") == 2).select(
+        "user_id",
+        (F.col("ms") - ATTR_WINDOW_MS).alias("ms"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast(base.schema["t"].dataType).alias("t"),
+        "cents",
+        "p_ms",
     )
-    picked = cand.groupBy("p_id", "cents").agg(
-        F.max(F.struct("t_ms", "t_id", "channel")).alias("last_t"),
-        F.min(F.struct("t_ms", "t_id", "channel")).alias("first_t"),
+    allr = base.unionByName(probes)
+    wa = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ms").asc(), F.col("kind").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    last = picked.groupBy(
+    wd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ms").desc(), F.col("kind").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = allr.withColumn("last_t", F.max("t").over(wa)).withColumn(
+        "first_t", F.min("t").over(wd)
+    )
+    last_picked = r.where(
+        (F.col("kind") == 2)
+        & F.col("last_t").isNotNull()
+        & (F.col("ms") - F.col("last_t.t_ms") <= ATTR_WINDOW_MS)
+    )
+    first_picked = r.where(
+        (F.col("kind") == 0)
+        & F.col("first_t").isNotNull()
+        & (F.col("first_t.t_ms") <= F.col("p_ms"))
+    )
+    last = last_picked.groupBy(
         F.col("last_t.channel").alias("channel")
     ).agg(
         F.count(F.lit(1)).alias("n_conv_last"),
         F.sum("cents").alias("revenue_last_cents"),
     )
-    first = picked.groupBy(
+    first = first_picked.groupBy(
         F.col("first_t.channel").alias("channel")
     ).agg(
         F.count(F.lit(1)).alias("n_conv_first"),
