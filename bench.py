@@ -80,6 +80,19 @@ RECONFIRM_RATIO = 1.5
 #: confirm pass stayed silent). Sub-2s arms fire at 1.25x instead.
 RECONFIRM_RATIO_FAST = 1.25
 FAST_ARM_SECONDS = 2.0
+#: ceiling on the kernel-ratio trigger scaling: past 2x the host is so
+#: contended the whole reading is untrustworthy and the confirm pass
+#: should fire broadly rather than be normalized into silence
+HOST_FACTOR_CAP = 2.0
+#: confirm pass takes this many post-quiesce samples and publishes
+#: their median ALONE — the pre-quiesce pair that raised suspicion is
+#: kept in the details file but excluded from the published value
+#: (ADVICE r10 bench.py:564: a median over all 4 with a correlated
+#: slow original pair lands between one slow and one fast sample,
+#: publishing a phantom ~1.2x regression even when the quiesced
+#: re-runs prove the arm healthy; a real regression still survives
+#: because all 3 post-quiesce samples stay slow)
+CONFIRM_SAMPLES = 3
 
 
 def _spread(vals: list[float]) -> float:
@@ -99,13 +112,23 @@ def _arm_settled(runs_lists: list[list[float]]) -> bool:
 def _reconfirm_suspects(
     prev_ratios: dict[str, float],
     prev_values: dict[str, float] | None = None,
+    host_factor: float = 1.0,
 ) -> list[str]:
     """Headline queries whose best-of-2 reads >= RECONFIRM_RATIO of the
     previous round's value — candidates for the post-quiesce confirm
     pass (correlated slow pairs that spread checks cannot see). Arms
     whose previous value was under FAST_ARM_SECONDS use the tighter
     RECONFIRM_RATIO_FAST trigger (noise-floor arms get adjudicated
-    in-band instead of sailing under 1.5x unexamined)."""
+    in-band instead of sailing under 1.5x unexamined).
+
+    host_factor is the kernel-calibration ratio vs the previous round
+    (VERDICT r10 item 1): a host whose calibrated CPU kernel reads 1.2x
+    the previous round's burn is uniformly ~1.2x slow, so every query
+    wall is expected ~1.2x high — the triggers scale by that factor so
+    a contended driver run self-adjudicates instead of flagging 20
+    phantom regressions. Clamped upstream to [1.0, HOST_FACTOR_CAP];
+    never below 1.0 (a fast host makes real regressions MORE visible
+    at the standard trigger, not less)."""
     prev_values = prev_values or {}
     picked = []
     for n in HEADLINE:
@@ -114,7 +137,7 @@ def _reconfirm_suspects(
             if prev_values.get(n, float("inf")) < FAST_ARM_SECONDS
             else RECONFIRM_RATIO
         )
-        if prev_ratios.get(n, 0) >= trigger:
+        if prev_ratios.get(n, 0) >= trigger * host_factor:
             picked.append(n)
     return picked
 
@@ -465,6 +488,7 @@ def scenario4_ramp_rows_per_sec(spark) -> float:
 
 
 def main() -> None:
+    load_start = [round(v, 2) for v in os.getloadavg()]
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -513,6 +537,24 @@ def main() -> None:
     except Exception:  # noqa: BLE001  (py4j hiccup: quiesce is advisory)
         pass
 
+    # kernel calibration BEFORE the batch block (VERDICT r10 item 1):
+    # the same pinned-constant CPU burn every round, so its ratio vs
+    # the previous round's reading measures HOST STATE, not code. It
+    # feeds two places: the host-factor trigger scaling below, and the
+    # main JSON line (judges adjudicate a contended driver run from
+    # this one file instead of cross-reading a side artifact).
+    from spark_streaming_testbed_spark.functions.hanoi import (
+        burn_us_per_record,
+    )
+
+    burn_n7 = round(min(burn_us_per_record(7) for _ in range(7)), 2)
+    _, prev_vals, prev_kernel = _prev_bench_queries()
+    kernel_ratio_vs_prev = (
+        round(burn_n7 / prev_kernel, 3) if prev_kernel else None)
+    host_factor = (
+        min(max(kernel_ratio_vs_prev, 1.0), HOST_FACTOR_CAP)
+        if kernel_ratio_vs_prev else 1.0)
+
     # best-of-2 like the trigger/PID stats: one GC stall or cold page
     # cache doubles a single sub-second sample; both runs are published
     # in the details side file so the noise stays visible.
@@ -536,9 +578,8 @@ def main() -> None:
     # quiesce, and keeps the overall min. A real regression survives
     # (the re-runs confirm it); machine-state noise is out-voted
     # in-band instead of by an out-of-band perf_watch run.
-    _, prev_vals = _prev_bench_queries()
     prev = round_over_round_deltas(timings).get("ratio_vs_prev", {})
-    suspects = _reconfirm_suspects(prev, prev_vals)
+    suspects = _reconfirm_suspects(prev, prev_vals, host_factor)
     if suspects:
         import statistics
 
@@ -549,32 +590,28 @@ def main() -> None:
             pass
         for name in suspects:
             fn = queries[name]
-            for _ in range(2):
+            confirm = []
+            for _ in range(CONFIRM_SAMPLES):
                 t0 = time.perf_counter()
                 materialize(fn(spark, SF_DIR))
-                headline_runs[name].append(
-                    round(time.perf_counter() - t0, 3))
-            # median of all 4 samples, NOT min: min over 4 gives a
-            # suspected-regressed arm extra chances to land one fast
-            # sample, masking an intermittent real regression (slow 3
-            # of 4 publishes as its previous value). Median needs the
-            # majority of samples to be fast before discarding the
-            # slow pair (ADVICE r9 bench.py:533).
-            timings[name] = round(
-                statistics.median(headline_runs[name]), 3)
+                confirm.append(round(time.perf_counter() - t0, 3))
+            headline_runs[name].extend(confirm)
+            # median of the POST-QUIESCE samples only (ADVICE r10): the
+            # pre-quiesce pair is the evidence of suspicion, not of the
+            # arm's health — mixing it in publishes a phantom ~1.2x
+            # when the pair was correlated machine noise. Median (not
+            # min) over 3 clean samples still requires the majority to
+            # be fast, so an intermittent real regression survives.
+            timings[name] = round(statistics.median(confirm), 3)
 
-    from spark_streaming_testbed_spark.functions.hanoi import (
-        burn_us_per_record,
-    )
-
-    # measured per-record burn cost, comparable to the reference's
-    # 0.031 ms at n=7 (BASELINE.md:28) — proves the rows/s above is
-    # earned against an honest kernel, not a cheap one. The MEASURED
-    # cost stays on the main line; the cross-host normalization
-    # (rows/s scaled by kernel-cost ratio) is a DERIVED figure and
-    # lives only in BENCH_DETAILS (ADVICE r6: never publish a number
-    # higher than anything measured on the main throughput line).
-    burn_n7 = round(min(burn_us_per_record(7) for _ in range(7)), 2)
+    # burn_n7 (measured before the batch block) is the per-record burn
+    # cost, comparable to the reference's 0.031 ms at n=7
+    # (BASELINE.md:28) — proves the rows/s above is earned against an
+    # honest kernel, not a cheap one. The MEASURED cost stays on the
+    # main line; the cross-host normalization (rows/s scaled by
+    # kernel-cost ratio) is a DERIVED figure and lives only in
+    # BENCH_DETAILS (ADVICE r6: never publish a number higher than
+    # anything measured on the main throughput line).
     out = {
         "metric": f"scenario1 sustained rows/s (50k/s x {SCENARIO1_SECONDS}s "
                   "profile, hanoi-7 kernel stats, 5s windows) + headline "
@@ -582,6 +619,17 @@ def main() -> None:
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "kernel_us_per_record_n7": burn_n7,
+        # host-state adjudication IN-BAND (VERDICT r10 item 1): loadavg
+        # at start/end plus the kernel ratio vs the previous round's
+        # bench; a contended host reads ratio > 1 here and the confirm
+        # triggers above were scaled by min(ratio, 2.0), so a uniformly
+        # slow run explains itself in this one file.
+        "host": {
+            "load_start": load_start,
+            "load_end": [round(v, 2) for v in os.getloadavg()],
+            "kernel_ratio_vs_prev": kernel_ratio_vs_prev,
+            "trigger_host_factor": round(host_factor, 3),
+        },
         "scenario2_spread": s2_spread,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
@@ -596,7 +644,8 @@ def main() -> None:
     details.update(pid_runs)
     details["headline_runs"] = headline_runs
     # queries that tripped the regression-confirm pass (their
-    # headline_runs carry 4 samples: 2 original + 2 post-quiesce)
+    # headline_runs carry 5 samples: 2 original + 3 post-quiesce; the
+    # published value is the median of the post-quiesce trio)
     details["reconfirmed_queries"] = suspects
     details["value_spread"] = {
         "min": round(runs[0], 1),
@@ -624,11 +673,12 @@ def main() -> None:
     print(line)
 
 
-def _prev_bench_queries() -> tuple[str | None, dict[str, float]]:
-    """(filename, per-query seconds) from the newest parseable
-    BENCH_r{N}.json — shared by the delta report and the
+def _prev_bench_queries() -> tuple[str | None, dict[str, float], float]:
+    """(filename, per-query seconds, kernel µs/record) from the newest
+    parseable BENCH_r{N}.json — shared by the delta report and the
     regression-confirm trigger (the fast-arm threshold needs the
-    previous ABSOLUTE value, not just the ratio)."""
+    previous ABSOLUTE value, not just the ratio; the host-factor
+    normalization needs the previous round's kernel calibration)."""
     import glob
     import re
 
@@ -639,7 +689,7 @@ def _prev_bench_queries() -> tuple[str | None, dict[str, float]]:
     )
     # walk newest-first: a round whose line the driver failed to parse
     # (e.g. BENCH_r03 parsed=null) is skipped, not a dead end
-    prev_file, prev = None, {}
+    prev_file, prev, prev_kernel = None, {}, 0.0
     for cand in reversed(benches):
         try:
             doc = json.load(open(cand))
@@ -649,6 +699,8 @@ def _prev_bench_queries() -> tuple[str | None, dict[str, float]]:
         parsed = doc.get("parsed") or (doc if "queries" in doc else None)
         if parsed:
             prev = parsed.get("queries", {})
+            prev_kernel = float(
+                parsed.get("kernel_us_per_record_n7") or 0.0)
         else:
             # parsed=null (line overflowed the stdout tail): the tail
             # usually still ends with the queries dict — recover it
@@ -657,18 +709,21 @@ def _prev_bench_queries() -> tuple[str | None, dict[str, float]]:
                 prev = json.loads(m.group(1)) if m else {}
             except ValueError:
                 prev = {}
+            mk = re.search(
+                r'"kernel_us_per_record_n7": ([0-9.]+)', doc.get("tail", ""))
+            prev_kernel = float(mk.group(1)) if mk else 0.0
         if prev:
             prev_file = cand
             break
     if not prev_file:
-        return None, {}
-    return os.path.basename(prev_file), prev
+        return None, {}, 0.0
+    return os.path.basename(prev_file), prev, prev_kernel
 
 
 def round_over_round_deltas(timings: dict[str, float]) -> dict:
     """Per-query delta vs the newest recorded BENCH_r{N}.json so a round-
     over-round regression is visible in the bench line itself."""
-    prev_file, prev = _prev_bench_queries()
+    prev_file, prev, _ = _prev_bench_queries()
     if not prev_file:
         return {}
     deltas = {

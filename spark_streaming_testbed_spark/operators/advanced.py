@@ -491,9 +491,28 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     has = F.col("_n") > 0
     mean_us = F.expr("_s1 * 1000 div _n")
-    disc = F.expr(
-        "cast(_n as decimal(19,0)) * _s2"
-        " - cast(_s1 as decimal(19,0)) * cast(_s1 as decimal(19,0))"
+    # HEADROOM GUARD (ADVICE r10): the discriminant multiplies
+    # decimal(38,0) operands; Spark caps the result at decimal(38,0)
+    # (silent NULL, or an ANSI error) while DuckDB's HUGEINT caps at
+    # ~1.7e38 — a latent cross-engine divergence near 1e38. Both
+    # engines therefore pre-check n*s2 < 1e38 on a double estimate and
+    # raise the SAME message beyond it: an overflow fails loudly and
+    # identically instead of silently nulling one engine. Bound math:
+    # n*s2 <= (n * max_gap_ms)^2, so the guard trips only past
+    # ~3e7 events per user with decade-long gaps (n * max_gap >= 1e19)
+    # — unreachable at gate SFs, astronomically past any real stream.
+    guard_msg = (
+        "interarrival_stats: discriminant headroom exceeded (n*s2 >= 1e38)"
+    )
+    disc = F.when(
+        F.col("_n").cast("double") * F.col("_s2").cast("double")
+        >= F.lit(1e38),
+        F.raise_error(F.lit(guard_msg)).cast("decimal(38,0)"),
+    ).otherwise(
+        F.expr(
+            "cast(_n as decimal(19,0)) * _s2"
+            " - cast(_s1 as decimal(19,0)) * cast(_s1 as decimal(19,0))"
+        )
     )
     std_us = F.floor(
         F.sqrt(disc.cast("double")) * F.lit(1000.0) / F.col("_n")
@@ -524,9 +543,15 @@ a AS (
   FROM g GROUP BY user_id)
 SELECT user_id, n_events,
        CASE WHEN n > 0 THEN (s1 * 1000 // n) / 1e6 END AS mean_gap_s,
-       CASE WHEN n > 0 THEN floor(
-         sqrt(CAST(n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT AS DOUBLE))
-         * 1000.0 / n) / 1e6 END AS stddev_gap_s,
+       CASE WHEN n > 0 THEN
+         CASE WHEN n::DOUBLE * s2::DOUBLE >= 1e38
+              THEN CAST(error('interarrival_stats: discriminant headroom'
+                              ' exceeded (n*s2 >= 1e38)') AS DOUBLE)
+              ELSE floor(
+                sqrt(CAST(n::HUGEINT * s2 - s1::HUGEINT * s1::HUGEINT
+                          AS DOUBLE))
+                * 1000.0 / n) / 1e6 END
+       END AS stddev_gap_s,
        CASE WHEN n > 0 THEN mx / 1000.0 END AS max_gap_s
 FROM a ORDER BY user_id
 """

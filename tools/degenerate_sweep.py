@@ -238,13 +238,33 @@ def run_tier(spark, tier_name: str, tier_dir: str, only: set[str]) -> dict:
     }
 
 
+def _warmup_pass(spark, src: str, only: set[str]) -> None:
+    """Unmeasured Spark-only pass (no oracle compare): compiles every
+    plan, spins up Python workers, and warms codegen/JIT before the
+    measured pristine pass, so pristine and skew walls are EQUALLY warm
+    (ADVICE r10 degenerate_sweep.py:248: with pristine measured cold,
+    the skew pass inherits its warmth and ratios bias LOW — a real
+    hot-key regression near the 5x threshold could escape). Failures
+    are ignored here; the measured pass reports them."""
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            fn(spark, src).collect()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def run_skew(spark, src: str, only: set[str]) -> bool:
     """Skew tier: correctness on the hot-key rewrite PLUS wall-time
-    ratios vs a pristine run of the same source in the same JVM. The
-    pristine pass runs FIRST, so the skew pass is the warmer of the
-    two — a flagged ratio understates nothing."""
+    ratios vs a pristine run of the same source in the same JVM. An
+    unmeasured warmup pass runs first so BOTH measured passes see a
+    warm JVM and the ratio is unbiased in either direction."""
     import json as _json
 
+    print("[skew] unmeasured warmup pass (plan compile + JIT)...",
+          flush=True)
+    _warmup_pass(spark, src, only)
     pristine = run_tier(spark, "pristine", src, only)
     any_fail = pristine["fail"] > 0
     with tempfile.TemporaryDirectory(prefix="degen_skew_") as d:
