@@ -312,6 +312,179 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Day-keyed funnel: the key-space escape hatch for hot users (r11)
+# ---------------------------------------------------------------------------
+
+# per entry stage s in {0..3}: the continued greedy scan's (stage, anchor)
+FUNNEL_DAY_OUTPUT_SCHEMA = (
+    "user_id long, day int, e0 int, e1 int, e2 int, e3 int"
+)
+FUNNEL_DAY_STATE_SCHEMA = (
+    "s0 int, a0 long, s1 int, a1 long, s2 int, a2 long, s3 int, a3 long"
+)
+
+
+def _update_funnel_day(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-(user, day) funnel TRANSITION MAP: for every possible entry
+    stage s the greedy in-order scan of this day's events, starting from
+    (stage=s, anchor=-inf), yields exit stage e(s). Valid because an
+    anchor inherited from an earlier day is strictly below every
+    timestamp of this day (dates partition the time axis), so the
+    entry anchor never constrains in-day matching — only the entry
+    STAGE crosses the day boundary. Each e(s) is monotone across
+    triggers (more events only advance the scan), so the reader may
+    take max per component."""
+    from ..operators.advanced import FUNNEL_STAGES
+
+    n_states = len(FUNNEL_STAGES) + 1
+    if state.exists:
+        flat = list(state.get)
+        sims = [
+            [flat[2 * s], flat[2 * s + 1]] for s in range(n_states)
+        ]
+    else:
+        sims = [[s, -1] for s in range(n_states)]
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ts_us = rows["ts"].astype("int64")
+    for t, et in zip(ts_us, rows["event_type"]):
+        for sim in sims:
+            if sim[0] < len(FUNNEL_STAGES) \
+                    and et == FUNNEL_STAGES[sim[0]] \
+                    and (sim[0] == 0 or t > sim[1]):
+                sim[0] += 1
+                sim[1] = int(t)
+    state.update(tuple(v for sim in sims for v in sim))
+    yield pd.DataFrame({
+        "user_id": [int(key[0])],
+        "day": [int(key[1])],
+        **{f"e{s}": [sims[s][0]] for s in range(n_states)},
+    })
+
+
+def streaming_funnel_daykeyed(spark, sf_dir: str) -> DataFrame:
+    """The hot-key ESCAPE HATCH for ``streaming_funnel`` (VERDICT r10
+    item 2): same report, same in-order multi-trigger replay, but state
+    keyed on (user_id, epoch day) instead of user_id alone, so one user
+    owning 50 % of the stream costs ~n/30 per state key instead of n.
+
+    Why the split is exact (not approximate): the greedy funnel scan's
+    only cross-segment carry is (stage, anchor), and an anchor from an
+    earlier DAY is strictly below every timestamp of a later day —
+    ``to_date`` partitions the time axis — so in-day matching never
+    sees the entry anchor, only the entry stage. Each (user, day)
+    sub-key therefore computes a 4-entry monotone transition map
+    e: entry stage → exit stage independently, and a per-user fold in
+    day order stitches them: ``stage_{d+1} = e_d(stage_d)``. The fold
+    runs as a JVM-side ``aggregate`` over a sorted day array (days per
+    user are tiny — one struct per active day), so the serial-per-key
+    section shrinks from the user's whole history to one day of it:
+    key-space DESIGN, not salting, is how per-key-ordered stateful
+    operators absorb hot keys at 100 TB.
+
+    pytest pins this variant hash-equal to ``streaming_funnel`` on
+    pristine AND hot-key inputs; the skew tier measures both variants'
+    walls under the 50 % hot key (kept out of the frozen 285-query
+    registry per VERDICT r10 item 7 — it shares ``event_funnel``'s
+    oracle semantics, so a registry row would duplicate coverage)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.advanced import FUNNEL_STAGES
+    from ..session import load_table
+
+    n_states = len(FUNNEL_STAGES) + 1
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_date(F.to_date("ts")).cast("int").alias("day"),
+    )
+    with tempfile.TemporaryDirectory(prefix="sfunnel_day_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            updates = stream.groupBy("user_id", "day").applyInPandasWithState(
+                _update_funnel_day,
+                outputStructType=FUNNEL_DAY_OUTPUT_SCHEMA,
+                stateStructType=FUNNEL_DAY_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"sfunnel_day_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # last emission per (user, day) = max per component (monotone),
+        # then the day-ordered stitch: fold the entry stage through each
+        # day's transition map, entirely JVM-side.
+        maps = spark.table(name).groupBy("user_id", "day").agg(*[
+            F.max(f"e{s}").alias(f"e{s}") for s in range(n_states)
+        ])
+        final = (
+            maps.groupBy("user_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        "day",
+                        F.array(*[
+                            F.col(f"e{s}") for s in range(n_states)
+                        ]).alias("m"),
+                    ))
+                ).alias("days")
+            )
+            .select(
+                "user_id",
+                F.aggregate(
+                    "days",
+                    F.lit(0),
+                    lambda acc, x: F.element_at(x["m"], acc + 1),
+                ).alias("stage"),
+            )
+        )
+        wide = final.agg(*[
+            F.coalesce(
+                F.sum((F.col("stage") >= k).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(s)
+            for k, s in enumerate(FUNNEL_STAGES, 1)
+        ])
+        stack = ", ".join(f"'{s}', {s}" for s in FUNNEL_STAGES)
+        funnel = wide.selectExpr(
+            f"stack({len(FUNNEL_STAGES)}, {stack}) AS (stage, users)"
+        )
+        top = funnel.where(
+            F.col("stage") == FUNNEL_STAGES[0]
+        ).select(F.col("users").alias("top_users"))
+        return (
+            funnel.crossJoin(F.broadcast(top))
+            .select(
+                "stage", "users",
+                F.round(F.try_divide("users", "top_users"), 6)
+                .alias("pct_of_top"),
+            )
+            .orderBy(F.col("users").desc(), "stage")
+        )
+
+
+# ---------------------------------------------------------------------------
 # Streaming heavy hitters: Misra-Gries state across triggers + exact confirm
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,7 @@ Usage: python tools/degenerate_sweep.py [src_sf_dir] [tier] [query ...]
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import tempfile
@@ -132,37 +133,49 @@ SKEW_ALLOWLIST = {
 }
 
 
-def build_skew_tier(src: str, dst: str) -> None:
-    """Copy ``src`` with ~50 % of the high-cardinality group/join keys
-    collapsed onto one hot key (stable-id masks, order-independent)."""
+def build_skew_tier(src: str, dst: str, hot: str = "50") -> None:
+    """Copy ``src`` with a fraction of the high-cardinality group/join
+    keys collapsed onto one hot key (stable-id masks, order-independent).
+
+    ``hot="50"`` keeps the round-10 tier byte-identical (even ids → the
+    hot key); ``hot="90"`` is the sharper r11 stretch variant (ids not
+    divisible by 10 → the hot key, i.e. one key owns ~90 % of the
+    stream). Tables that are not rewritten are symlinked, not copied —
+    at sf0.1 the lineitem copy would dominate the tier's build time."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    def hot_mask(ids: np.ndarray) -> pa.Array:
+        if hot == "90":
+            return pa.array(ids % 10 != 0)
+        return pa.array(ids % 2 == 0)
+
     for f in sorted(os.listdir(src)):
         if not f.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(src, f))
         name = f[: -len(".parquet")]
+        if name not in ("events", "documents"):
+            os.symlink(os.path.join(src, f), os.path.join(dst, f))
+            continue
+        t = pq.read_table(os.path.join(src, f))
         if name == "events" and len(t) > 0:
             ids = np.asarray(t.column("event_id").to_numpy(zero_copy_only=False))
-            hot = pc.min(t.column("user_id")).as_py()
-            mask = pa.array(ids % 2 == 0)
+            hot_key = pc.min(t.column("user_id")).as_py()
             i = t.schema.get_field_index("user_id")
             col = pc.if_else(
-                mask,
-                pa.array([hot] * len(t), t.column("user_id").type),
+                hot_mask(ids),
+                pa.array([hot_key] * len(t), t.column("user_id").type),
                 t.column("user_id"),
             )
             t = t.set_column(i, t.schema.field(i), col)
         elif name == "documents" and len(t) > 0:
             ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
-            hot = pc.min(t.column("source")).as_py()
-            mask = pa.array(ids % 2 == 0)
+            hot_key = pc.min(t.column("source")).as_py()
             i = t.schema.get_field_index("source")
             col = pc.if_else(
-                mask,
-                pa.array([hot] * len(t), t.column("source").type),
+                hot_mask(ids),
+                pa.array([hot_key] * len(t), t.column("source").type),
                 t.column("source"),
             )
             t = t.set_column(i, t.schema.field(i), col)
@@ -255,6 +268,43 @@ def _warmup_pass(spark, src: str, only: set[str]) -> None:
             pass
 
 
+def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
+    """Walls + result equality for the user-keyed ``streaming_funnel``
+    vs its day-keyed escape-hatch twin on pristine AND hot-key input
+    (VERDICT r10 item 2). The twin is not a registry row (registry is
+    frozen; it shares event_funnel's oracle semantics) so the skew tiers
+    measure it here. Both variants were already warmed by the tier's
+    warmup pass / pristine pass, and each pair runs back-to-back so the
+    walls share host state."""
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_funnel,
+        streaming_funnel_daykeyed,
+    )
+
+    out: dict = {}
+    for label, d in (("pristine", pristine_dir), ("skew", skew_dir)):
+        t0 = time.time()
+        a = sorted(tuple(r) for r in streaming_funnel(spark, d).collect())
+        wall_user = round(time.time() - t0, 3)
+        t0 = time.time()
+        b = sorted(
+            tuple(r) for r in streaming_funnel_daykeyed(spark, d).collect()
+        )
+        wall_day = round(time.time() - t0, 3)
+        out[label] = {
+            "user_keyed_s": wall_user,
+            "day_keyed_s": wall_day,
+            "results_equal": a == b,
+        }
+    u = out["skew"]["user_keyed_s"] / max(out["pristine"]["user_keyed_s"], 1e-9)
+    d_ = out["skew"]["day_keyed_s"] / max(out["pristine"]["day_keyed_s"], 1e-9)
+    out["user_keyed_skew_ratio"] = round(u, 2)
+    out["day_keyed_skew_ratio"] = round(d_, 2)
+    print("\n[funnel-variant] user-keyed vs day-keyed under the hot key:")
+    print(json.dumps(out, indent=1), flush=True)
+    return out
+
+
 def run_skew(spark, src: str, only: set[str]) -> bool:
     """Skew tier: correctness on the hot-key rewrite PLUS wall-time
     ratios vs a pristine run of the same source in the same JVM. An
@@ -270,7 +320,14 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
     with tempfile.TemporaryDirectory(prefix="degen_skew_") as d:
         build_skew_tier(src, d)
         skew = run_tier(spark, "skew", d, only)
+        fv = (
+            measure_funnel_variant(spark, src, d)
+            if not only or "streaming_funnel" in only else None
+        )
     any_fail = any_fail or skew["fail"] > 0
+    if fv is not None:
+        any_fail = any_fail or not all(
+            fv[k]["results_equal"] for k in ("pristine", "skew"))
     ratios = {
         n: round(skew["walls"][n] / max(pristine["walls"][n], 1e-9), 2)
         for n in skew["walls"]
@@ -312,6 +369,91 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
     return any_fail or bool(flagged)
 
 
+#: the skew90 set: the 10 skew-wall-heaviest registry queries from the
+#: r10 50 %-tier (minus rs_tcp_roundtrip and blocking_recall_eval, whose
+#: walls are socket/replay latency, not key-skew work; plus the two
+#: r10 quadratic-fix queries and the two highest measured ratios) — the
+#: queries where a 90 % hot key would first show a wall
+SKEW90_QUERIES = {
+    "streaming_funnel",
+    "streaming_ewma",
+    "streaming_stateful_totals",
+    "streaming_heavy_hitters",
+    "streaming_kmv_distinct",
+    "streaming_latest_state",
+    "streaming_group_sample",
+    "streaming_stream_join",
+    "attribution_report",
+    "cep_pattern_match",
+    "ann_lsh_topk",
+    "hanoi_load_stats",
+}
+
+
+def run_skew90(spark, src: str, only: set[str]) -> bool:
+    """The r11 stretch tier (VERDICT r10 item 8): a 90 % hot key at
+    sf0.1, full contract + wall ratios, on the shuffle-heaviest subset
+    only — a sharper signal on the per-key-serial ceiling than the 50 %
+    tier, at a fraction of a full-registry sf0.1 run's cost. Also
+    measures the day-keyed funnel escape hatch under the same key."""
+    import json as _json
+
+    only = only or set(SKEW90_QUERIES)
+    print(f"[skew90] {len(only)} queries, 90% hot key, src={src}",
+          flush=True)
+    print("[skew90] unmeasured warmup pass (plan compile + JIT)...",
+          flush=True)
+    _warmup_pass(spark, src, only)
+    pristine = run_tier(spark, "pristine90", src, only)
+    any_fail = pristine["fail"] > 0
+    with tempfile.TemporaryDirectory(prefix="degen_skew90_") as d:
+        build_skew_tier(src, d, hot="90")
+        skew = run_tier(spark, "skew90", d, only)
+        fv = (
+            measure_funnel_variant(spark, src, d)
+            if "streaming_funnel" in only else None
+        )
+    any_fail = any_fail or skew["fail"] > 0
+    if fv is not None:
+        any_fail = any_fail or not all(
+            fv[k]["results_equal"] for k in ("pristine", "skew"))
+    ratios = {
+        n: round(skew["walls"][n] / max(pristine["walls"][n], 1e-9), 2)
+        for n in skew["walls"] if n in pristine["walls"]
+    }
+    over = {
+        n: {"pristine_s": pristine["walls"][n], "skew_s": skew["walls"][n],
+            "ratio": r}
+        for n, r in ratios.items()
+        if r >= SKEW_RATIO_FLAG and skew["walls"][n] >= SKEW_MIN_SECONDS
+    }
+    allowlisted = {
+        n: {**v, "rationale": SKEW_ALLOWLIST[n]}
+        for n, v in over.items() if n in SKEW_ALLOWLIST
+    }
+    flagged = {n: v for n, v in over.items() if n not in SKEW_ALLOWLIST}
+    table = {
+        n: {"pristine_s": pristine["walls"].get(n),
+            "skew_s": skew["walls"][n], "ratio": ratios.get(n)}
+        for n in sorted(skew["walls"],
+                        key=lambda n: ratios.get(n, 0), reverse=True)
+    }
+    print("\n[skew90] per-query walls under the 90% hot key:")
+    print(_json.dumps(table, indent=1))
+    print(f"\n[skew90] flagged (ratio >= {SKEW_RATIO_FLAG} and "
+          f"skew wall >= {SKEW_MIN_SECONDS}s): "
+          f"{_json.dumps(flagged, indent=1) if flagged else 'NONE'}")
+    if allowlisted:
+        print(f"\n[skew90] allowlisted linear stragglers (measured, "
+              f"not flagged): {_json.dumps(allowlisted, indent=1)}")
+    print(
+        f"\n[pristine90] {pristine['pass']} pass, {pristine['fail']} fail, "
+        f"{pristine['rows_only']} rows-only"
+        f"\n[skew90] {skew['pass']} pass, {skew['fail']} fail, "
+        f"{skew['rows_only']} rows-only", flush=True)
+    return any_fail or bool(flagged)
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     tier_arg = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -323,6 +465,10 @@ def main() -> int:
         spark = get_session("degenerate-sweep")
         spark.sparkContext.setLogLevel("ERROR")
         return 1 if run_skew(spark, src, only) else 0
+    elif tier_arg == "skew90":
+        spark = get_session("degenerate-sweep")
+        spark.sparkContext.setLogLevel("ERROR")
+        return 1 if run_skew90(spark, src, only) else 0
     elif tier_arg != "all":
         tiers = {tier_arg: tiers[tier_arg]}
 
