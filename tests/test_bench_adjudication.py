@@ -82,3 +82,31 @@ def test_reconfirm_fast_arm_trigger():
     assert bench._reconfirm_suspects({some: 1.24}, {some: 0.5}) == []
     # no prev values known: falls back to the 1.5 trigger
     assert bench._reconfirm_suspects({some: 1.3}) == []
+
+
+def test_reconfirm_host_factor_scales_triggers():
+    """VERDICT r10 item 1: a host whose calibrated kernel reads 1.3x the
+    previous round's burn is uniformly ~1.3x slow, so the confirm
+    triggers scale by that factor — 20 phantom regressions on a
+    contended driver run adjudicate themselves in-band."""
+    some = bench.HEADLINE[0]
+    # 1.6x reading on a kernel-1.3x host: expected, no fire (1.5*1.3=1.95)
+    assert bench._reconfirm_suspects({some: 1.6}, {some: 3.0}, 1.3) == []
+    # 2.0x reading on the same host: beyond host state, fires
+    assert bench._reconfirm_suspects({some: 2.0}, {some: 3.0}, 1.3) == [some]
+    # fast arm under the same host factor: 1.25*1.3 = 1.625 boundary
+    assert bench._reconfirm_suspects({some: 1.62}, {some: 0.5}, 1.3) == []
+    assert bench._reconfirm_suspects({some: 1.63}, {some: 0.5}, 1.3) == [some]
+    # host factor 1.0 (idle or no prior kernel) is the old behavior
+    assert bench._reconfirm_suspects({some: 1.5}, {some: 3.0}, 1.0) == [some]
+    assert bench.HOST_FACTOR_CAP == 2.0
+
+
+def test_prev_bench_kernel_recovered():
+    """_prev_bench_queries returns the previous round's kernel
+    calibration so main() can compute the host factor."""
+    fname, prev, kernel = bench._prev_bench_queries()
+    if fname is None:
+        return  # fresh clone without artifacts: nothing to pin
+    assert prev  # queries dict came with it
+    assert kernel > 0  # every recorded bench line carries the burn

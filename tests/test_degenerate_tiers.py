@@ -75,3 +75,24 @@ def test_skew_tier_masks_are_half_hot():
         lo = pq.read_table(os.path.join(d, "lineitem.parquet"))
         ref = pq.read_table(os.path.join(SF_SMOKE, "lineitem.parquet"))
         assert lo.equals(ref)
+
+
+def test_skew90_tier_masks_are_ninety_hot():
+    """The r11 stretch variant: hot='90' collapses ~90 % of the keys
+    onto the hot key (ids not divisible by 10)."""
+    import pyarrow.parquet as pq
+
+    ds = _sweep()
+    with tempfile.TemporaryDirectory(prefix="degen_skew90mask_") as d:
+        ds.build_skew_tier(SF_SMOKE, d, hot="90")
+        ev = pq.read_table(os.path.join(d, "events.parquet"))
+        uid = ev.column("user_id").to_pylist()
+        hot_share = max(uid.count(u) for u in set(uid)) / len(uid)
+        assert hot_share >= 0.9
+        docs = pq.read_table(os.path.join(d, "documents.parquet"))
+        src = docs.column("source").to_pylist()
+        hot_share_d = max(src.count(s) for s in set(src)) / len(src)
+        assert hot_share_d >= 0.9
+        lo = pq.read_table(os.path.join(d, "lineitem.parquet"))
+        ref = pq.read_table(os.path.join(SF_SMOKE, "lineitem.parquet"))
+        assert lo.equals(ref)
