@@ -65,6 +65,11 @@ sys.path.insert(0, HERE)
 from check_oracle import normalize, type_mismatches  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+#: machine-readable summary of the last main() run; dumped to the path
+#: in $DEGEN_SWEEP_OUT (if set) so the per-round artifact assembles
+#: without re-parsing stdout
+LAST_RESULT: dict = {}
 from spark_streaming_testbed_spark.session import TABLES, get_session  # noqa: E402
 
 
@@ -366,6 +371,23 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
         f"{pristine['rows_only']} rows-only"
         f"\n[skew] {skew['pass']} pass, {skew['fail']} fail, "
         f"{skew['rows_only']} rows-only", flush=True)
+    LAST_RESULT["skew"] = {
+        "source": src,
+        "pristine": {k: pristine[k] for k in ("pass", "fail", "rows_only")},
+        "skewed": {k: skew[k] for k in ("pass", "fail", "rows_only")},
+        "flag_rule": f"ratio >= {SKEW_RATIO_FLAG} and "
+                     f"skew wall >= {SKEW_MIN_SECONDS} s",
+        "flagged": flagged,
+        "allowlisted": allowlisted,
+        "heaviest_10_by_skew_wall": table,
+        "top_ratios_all_queries": {
+            n: r for n, r in sorted(
+                ratios.items(), key=lambda kv: kv[1], reverse=True)[:8]
+            if r >= 1.5
+        },
+        "funnel_variant": fv,
+        "failures": {**pristine["failures"], **skew["failures"]},
+    }
     return any_fail or bool(flagged)
 
 
@@ -451,6 +473,19 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
         f"{pristine['rows_only']} rows-only"
         f"\n[skew90] {skew['pass']} pass, {skew['fail']} fail, "
         f"{skew['rows_only']} rows-only", flush=True)
+    LAST_RESULT["skew90"] = {
+        "source": src,
+        "queries": sorted(only),
+        "pristine": {k: pristine[k] for k in ("pass", "fail", "rows_only")},
+        "skewed": {k: skew[k] for k in ("pass", "fail", "rows_only")},
+        "flag_rule": f"ratio >= {SKEW_RATIO_FLAG} and "
+                     f"skew wall >= {SKEW_MIN_SECONDS} s",
+        "flagged": flagged,
+        "allowlisted": allowlisted,
+        "walls": table,
+        "funnel_variant": fv,
+        "failures": {**pristine["failures"], **skew["failures"]},
+    }
     return any_fail or bool(flagged)
 
 
@@ -464,11 +499,15 @@ def main() -> int:
     elif tier_arg == "skew":
         spark = get_session("degenerate-sweep")
         spark.sparkContext.setLogLevel("ERROR")
-        return 1 if run_skew(spark, src, only) else 0
+        bad = run_skew(spark, src, only)
+        _dump_last_result()
+        return 1 if bad else 0
     elif tier_arg == "skew90":
         spark = get_session("degenerate-sweep")
         spark.sparkContext.setLogLevel("ERROR")
-        return 1 if run_skew90(spark, src, only) else 0
+        bad = run_skew90(spark, src, only)
+        _dump_last_result()
+        return 1 if bad else 0
     elif tier_arg != "all":
         tiers = {tier_arg: tiers[tier_arg]}
 
@@ -487,7 +526,21 @@ def main() -> int:
                 f"\n[{tier_name}] {res['pass']} pass, {res['fail']} fail, "
                 f"{res['rows_only']} rows-only", flush=True)
             any_fail = any_fail or res["fail"] > 0
+            LAST_RESULT[tier_name] = {
+                k: res[k] for k in ("pass", "fail", "rows_only")
+            }
+            if res["failures"]:
+                LAST_RESULT[tier_name]["failures"] = res["failures"]
+    _dump_last_result()
     return 1 if any_fail else 0
+
+
+def _dump_last_result() -> None:
+    out = os.environ.get("DEGEN_SWEEP_OUT")
+    if out and LAST_RESULT:
+        with open(out, "w") as fh:
+            json.dump(LAST_RESULT, fh, indent=1)
+        print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
