@@ -189,14 +189,21 @@ _FIRST_WINDOW: list[str] = [
     # day-keyed escape-hatch twin (the funnel query itself is
     # byte-identical, included as insurance since the judge's
     # touched-query rule outranks staleness); (b) ALL 23 remaining
-    # r3-era driver rows; (c) 25 of the 33 r4-era rows,
+    # r3-era driver rows; (c) 24 of the 33 r4-era rows,
     # alphabetically. After this round no registry row's driver row is
-    # older than r4, and only 8 r4 rows remain (streaming_latest_state,
+    # older than r4, and only 9 r4 rows remain (streaming_late_data —
+    # displaced when the skew90 ewma catch pulled streaming_ewma into
+    # the touched set — plus streaming_latest_state,
     # streaming_sessionize, streaming_sliding_stats, streaming_upsert,
     # supplier_return_rate, triangle_count, upsert_merge,
     # winsorized_stats) — the natural r12 window seed. ---
-    # (a) r11-touched
+    # (a) r11-touched: interarrival_stats (decimal headroom guard),
+    # streaming_ewma + ewma_smooth (floor-based 6-dp rounding, the
+    # skew90 half-boundary catch; ewma_smooth sits in cohort (c)),
+    # streaming_funnel (module gained the day-keyed twin; the query
+    # itself is byte-identical, included as insurance)
     "interarrival_stats",
+    "streaming_ewma",
     "streaming_funnel",
     # (b) the full r3-era cohort (23)
     "dedup_minhash_survivors",
@@ -247,7 +254,6 @@ _FIRST_WINDOW: list[str] = [
     "scd2_pointintime_join",
     "seasonal_adjust",
     "session_paths",
-    "streaming_late_data",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.

@@ -1390,12 +1390,21 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(EWMA_ALPHA) * x["value"]
         + F.lit(EWMA_BETA) * acc,
     )
+    # floor-based 6-dp rounding, NOT round(x, 6): the fold is bitwise
+    # identical in both engines, but their round() implementations
+    # disagree within an ulp of a half boundary (Spark/Python round the
+    # raw binary double, DuckDB the shortest decimal repr — the r11
+    # skew90 tier caught user 974's 6-event chain landing on
+    # 67.42514249999999, rounded 67.425142 vs 67.425143).
+    # floor(x*1e6 + 0.5)/1e6 is three correctly-rounded IEEE ops, so
+    # identical doubles round identically everywhere.
     return (
         seq.select(
             "user_id",
             F.size("seq").cast("bigint").alias("n_events"),
             F.element_at(F.col("seq"), -1)["value"].alias("last_value"),
-            F.round(fold, 6).alias("ewma"),
+            (F.floor(fold * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("ewma"),
         )
         .orderBy("user_id")
     )
@@ -1408,8 +1417,8 @@ WITH seq AS (
 SELECT user_id,
        len(l) AS n_events,
        l[len(l)] AS last_value,
-       round(list_reduce(l, (acc, x) -> {EWMA_ALPHA}*x + {EWMA_BETA}*acc),
-             6) AS ewma
+       floor(list_reduce(l, (acc, x) -> {EWMA_ALPHA}*x + {EWMA_BETA}*acc)
+             * 1e6 + 0.5) / 1e6 AS ewma
 FROM seq
 ORDER BY user_id
 """

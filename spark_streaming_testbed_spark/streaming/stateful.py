@@ -786,12 +786,17 @@ def streaming_ewma(spark, sf_dir: str) -> DataFrame:
                 ).alias("fin")
             )
         )
+        # floor-based 6-dp rounding to match the batch twin and the
+        # shared oracle (see ewma_smooth: round() disagrees between
+        # engines within an ulp of a half boundary; floor(x*1e6+0.5)
+        # is deterministic on identical doubles)
         return (
             final.select(
                 "user_id",
                 F.col("fin.n_events").alias("n_events"),
                 F.col("fin.last_value").alias("last_value"),
-                F.round(F.col("fin.ewma"), 6).alias("ewma"),
+                (F.floor(F.col("fin.ewma") * F.lit(1e6) + F.lit(0.5))
+                 / F.lit(1e6)).alias("ewma"),
             )
             .orderBy("user_id")
         )

@@ -310,11 +310,52 @@ def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
     return out
 
 
+def _confirm_flag_candidates(spark, src, skew_dir, pristine, skew) -> dict:
+    """Re-measure every above-threshold candidate once on BOTH sources
+    (Spark walls only, same JVM, back-to-back) and fold the minimum
+    into the recorded walls. A single GC pause or compile stall can
+    inflate one tier-sweep sample ~7x (observed: a 0.45 s aggregate
+    reading 3.1 s once and 0.55-0.65 s on every controlled re-run, and
+    a streaming replay that never touches the skewed tables reading
+    5.3x) — min-of-2 kills that noise while a REAL hot-key blowup
+    repeats and keeps its flag. Returns the re-measured walls for the
+    artifact."""
+    qs = entrymod.queries()
+    confirmed: dict = {}
+    for n in list(skew["walls"]):
+        if n not in pristine["walls"]:
+            continue
+        r = skew["walls"][n] / max(pristine["walls"][n], 1e-9)
+        if r < SKEW_RATIO_FLAG or skew["walls"][n] < SKEW_MIN_SECONDS:
+            continue
+        fn = qs[n]
+        t0 = time.time()
+        fn(spark, src).collect()
+        wp = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, skew_dir).collect()
+        ws = round(time.time() - t0, 3)
+        confirmed[n] = {
+            "first": {"pristine_s": pristine["walls"][n],
+                      "skew_s": skew["walls"][n], "ratio": round(r, 2)},
+            "confirm": {"pristine_s": wp, "skew_s": ws},
+        }
+        pristine["walls"][n] = min(pristine["walls"][n], wp)
+        skew["walls"][n] = min(skew["walls"][n], ws)
+        print(f"[skew-confirm] {n}: first ratio {r:.2f} -> "
+              f"min-walls ratio "
+              f"{skew['walls'][n] / max(pristine['walls'][n], 1e-9):.2f}",
+              flush=True)
+    return confirmed
+
+
 def run_skew(spark, src: str, only: set[str]) -> bool:
     """Skew tier: correctness on the hot-key rewrite PLUS wall-time
     ratios vs a pristine run of the same source in the same JVM. An
     unmeasured warmup pass runs first so BOTH measured passes see a
-    warm JVM and the ratio is unbiased in either direction."""
+    warm JVM and the ratio is unbiased in either direction; any
+    above-threshold candidate is re-measured once on both sources
+    (min-of-2) before it may flag."""
     import json as _json
 
     print("[skew] unmeasured warmup pass (plan compile + JIT)...",
@@ -329,6 +370,7 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
             measure_funnel_variant(spark, src, d)
             if not only or "streaming_funnel" in only else None
         )
+        confirmed = _confirm_flag_candidates(spark, src, d, pristine, skew)
     any_fail = any_fail or skew["fail"] > 0
     if fv is not None:
         any_fail = any_fail or not all(
@@ -386,6 +428,7 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
             if r >= 1.5
         },
         "funnel_variant": fv,
+        "flag_confirm_reruns": confirmed,
         "failures": {**pristine["failures"], **skew["failures"]},
     }
     return any_fail or bool(flagged)
@@ -435,6 +478,7 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
             measure_funnel_variant(spark, src, d)
             if "streaming_funnel" in only else None
         )
+        confirmed = _confirm_flag_candidates(spark, src, d, pristine, skew)
     any_fail = any_fail or skew["fail"] > 0
     if fv is not None:
         any_fail = any_fail or not all(
@@ -484,6 +528,7 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
         "allowlisted": allowlisted,
         "walls": table,
         "funnel_variant": fv,
+        "flag_confirm_reruns": confirmed,
         "failures": {**pristine["failures"], **skew["failures"]},
     }
     return any_fail or bool(flagged)
