@@ -100,9 +100,15 @@ def main() -> int:
     t_all = time.time()
     baseline = digest_pass(spark, sf_dir, only, "baseline")
 
+    import subprocess
+
+    head = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
     report: dict = {
         "sf_dir": sf_dir,
         "n_queries": len(baseline),
+        "head_commit": head,
         "variants": {},
     }
     exit_code = 0
