@@ -501,6 +501,14 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n*s2 <= (n * max_gap_ms)^2, so the guard trips only past
     # ~3e7 events per user with decade-long gaps (n * max_gap >= 1e19)
     # — unreachable at gate SFs, astronomically past any real stream.
+    # Known sub-window (ADVICE r11): for s2 itself in [1e38, 1.7e38)
+    # Spark's decimal(38,0) SUM overflows DURING aggregation and raises
+    # DECIMAL_OVERFLOW before this guard evaluates, while DuckDB's
+    # HUGEINT sum still holds and raises the guard message — both fail
+    # loudly, but with different messages in that regime. Since s2 >=
+    # 1e38 already requires n * max_gap_ms >= 1e19 (the astronomical
+    # bound above), the same-message contract is scoped to the
+    # reachable domain; the sub-window is documented, not defended.
     guard_msg = (
         "interarrival_stats: discriminant headroom exceeded (n*s2 >= 1e38)"
     )

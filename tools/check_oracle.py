@@ -114,7 +114,9 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from _guards import validate_sf_dir
+    sf_dir = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                             else "/root/testdata/sf0.01")
     only = set(sys.argv[2:])
 
     con = duckdb.connect()

@@ -42,16 +42,19 @@ from spark_streaming_testbed_spark.session import get_session  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-#: conf -> (variant value, baseline value). Baselines restored between
-#: variants so each variant differs from baseline in ONE dimension.
-VARIANTS: dict[str, dict[str, tuple[str, str]]] = {
+#: conf -> variant value. The session's ACTUAL pre-variant value is
+#: captured at runtime immediately before each variant and restored in
+#: the finally block (ADVICE r11: hardcoded restore-to values would
+#: silently set a wrong baseline if the session defaults ever change),
+#: so each variant provably differs from baseline in ONE dimension.
+VARIANTS: dict[str, dict[str, str]] = {
     "aqe_off": {
-        "spark.sql.adaptive.enabled": ("false", "true"),
-        "spark.sql.adaptive.coalescePartitions.enabled": ("false", "true"),
-        "spark.sql.adaptive.skewJoin.enabled": ("false", "true"),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
     },
     "ansi_off": {
-        "spark.sql.ansi.enabled": ("false", "true"),
+        "spark.sql.ansi.enabled": "false",
     },
 }
 
@@ -90,7 +93,9 @@ def digest_pass(spark, sf_dir: str, only: set[str], label: str) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from _guards import guard_artifact_overwrite, validate_sf_dir
+    sf_dir = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                             else "/root/testdata/sf0.01")
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     only = set(sys.argv[3:])
 
@@ -113,20 +118,27 @@ def main() -> int:
     }
     exit_code = 0
     for vname, confs in VARIANTS.items():
-        for k, (vval, _) in confs.items():
+        # Capture the session's real current values so restoration puts
+        # back exactly what was there, not an assumed default.
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, vval in confs.items():
             spark.conf.set(k, vval)
         try:
             got = digest_pass(spark, sf_dir, only, vname)
         finally:
-            for k, (_, base) in confs.items():
-                spark.conf.set(k, base)
+            for k, prev in saved.items():
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
         mismatches = {
             n: {"baseline": baseline[n], "variant": got.get(n, "MISSING")}
             for n in baseline
             if got.get(n) != baseline[n]
         }
         report["variants"][vname] = {
-            "confs": {k: v[0] for k, v in confs.items()},
+            "confs": dict(confs),
+            "restored_to": saved,
             "match": len(baseline) - len(mismatches),
             "mismatch": len(mismatches),
             "mismatches": mismatches,
@@ -141,6 +153,9 @@ def main() -> int:
     report["wall_s"] = round(time.time() - t_all, 1)
 
     if out_path:
+        n_err = sum(
+            1 for v in baseline.values() if str(v).startswith("ERROR"))
+        guard_artifact_overwrite(out_path, total=len(baseline), errors=n_err)
         with open(out_path, "w") as fh:
             json.dump(report, fh, indent=1)
         print(f"wrote {out_path}", flush=True)

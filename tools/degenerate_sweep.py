@@ -161,7 +161,10 @@ def build_skew_tier(src: str, dst: str, hot: str = "50") -> None:
             continue
         name = f[: -len(".parquet")]
         if name not in ("events", "documents"):
-            os.symlink(os.path.join(src, f), os.path.join(dst, f))
+            # abspath: a relative src would make the link target resolve
+            # relative to the tier's temp dir and dangle (ADVICE r11)
+            os.symlink(os.path.abspath(os.path.join(src, f)),
+                       os.path.join(dst, f))
             continue
         t = pq.read_table(os.path.join(src, f))
         if name == "events" and len(t) > 0:
@@ -278,13 +281,21 @@ def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
     vs its day-keyed escape-hatch twin on pristine AND hot-key input
     (VERDICT r10 item 2). The twin is not a registry row (registry is
     frozen; it shares event_funnel's oracle semantics) so the skew tiers
-    measure it here. Both variants were already warmed by the tier's
-    warmup pass / pristine pass, and each pair runs back-to-back so the
-    walls share host state."""
+    measure it here. The tier's registry warmup does NOT cover the
+    day-keyed twin, so both variants get their own unmeasured warmup
+    pass on the pristine dir first (ADVICE r11: a cold first pristine
+    wall biases day_keyed_skew_ratio LOW); each timed pair then runs
+    back-to-back so the walls share host state."""
     from spark_streaming_testbed_spark.streaming.stateful import (
         streaming_funnel,
         streaming_funnel_daykeyed,
     )
+
+    for fn in (streaming_funnel, streaming_funnel_daykeyed):
+        try:
+            fn(spark, pristine_dir).collect()
+        except Exception:  # noqa: BLE001 - measured pass reports failures
+            pass
 
     out: dict = {}
     for label, d in (("pristine", pristine_dir), ("skew", skew_dir)):
@@ -535,7 +546,9 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from _guards import validate_sf_dir
+    src = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                          else "/root/testdata/sf0.001")
     tier_arg = sys.argv[2] if len(sys.argv) > 2 else "both"
     only = set(sys.argv[3:])
     tiers: dict[str, int | None] = {"empty": 0, "one_row": 1, "nulls": None}
@@ -583,6 +596,12 @@ def main() -> int:
 def _dump_last_result() -> None:
     out = os.environ.get("DEGEN_SWEEP_OUT")
     if out and LAST_RESULT:
+        from _guards import guard_artifact_overwrite
+        n_pass = sum(t.get("pass", 0) for t in LAST_RESULT.values()
+                     if isinstance(t, dict))
+        n_fail = sum(t.get("fail", 0) for t in LAST_RESULT.values()
+                     if isinstance(t, dict))
+        guard_artifact_overwrite(out, total=n_pass + n_fail, errors=n_fail)
         with open(out, "w") as fh:
             json.dump(LAST_RESULT, fh, indent=1)
         print(f"wrote {out}", flush=True)

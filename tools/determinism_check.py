@@ -29,7 +29,9 @@ from check_oracle import normalize  # noqa: E402  (same canon rules)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from _guards import validate_sf_dir
+    sf_dir = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                             else "/root/testdata/sf0.001")
     only = set(sys.argv[2:])
 
     spark = get_session("determinism-check")

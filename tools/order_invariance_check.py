@@ -51,7 +51,9 @@ def permute_tables(src: str, dst: str) -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from _guards import validate_sf_dir
+    sf_dir = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                             else "/root/testdata/sf0.01")
     only = set(sys.argv[2:])
 
     spark = get_session("order-invariance")

@@ -54,6 +54,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from _guards import guard_artifact_overwrite, validate_sf_dir  # noqa: E402
 
 FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 PYTHON_MARKS = (
@@ -295,7 +298,8 @@ def _classify_bnlj(plan: str) -> str:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = validate_sf_dir(sys.argv[1] if len(sys.argv) > 1
+                         else "/root/testdata/sf0.01")
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/PLAN_SWEEP_r06.json"
 
     import __spark_entry__ as entry
@@ -384,6 +388,7 @@ def main() -> None:
         for name, d in sorted(drift.items()):
             print(f"  {name}: {d['was']} -> {d['now']}")
 
+    guard_artifact_overwrite(out_path, total=len(qs), errors=len(errors))
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"total={result['total']} scanned={result['scanned']} "
