@@ -181,79 +181,71 @@ _EXTRA_ORACLES: dict[str, str] = {
 # rotation carries a driver-green row from an earlier round, so the
 # union of all rounds' CORRECTNESS files covers the whole registry.
 _FIRST_WINDOW: list[str] = [
-    # --- round-11 window: finish the staleness ladder (VERDICT r10
-    # item 1). Registry FROZEN at 285. Slots: (a) the two queries whose
-    # code changed this round — interarrival_stats gained the decimal
-    # headroom guard (ADVICE r10; both engines now raise identically
-    # past n*s2 >= 1e38) and streaming_funnel's module gained the
-    # day-keyed escape-hatch twin (the funnel query itself is
-    # byte-identical, included as insurance since the judge's
-    # touched-query rule outranks staleness); (b) ALL 23 remaining
-    # r3-era driver rows; (c) 24 of the 33 r4-era rows,
-    # alphabetically. After this round no registry row's driver row is
-    # older than r4, and only 9 r4 rows remain (streaming_late_data —
-    # displaced when the skew90 ewma catch pulled streaming_ewma into
-    # the touched set — plus streaming_latest_state,
-    # streaming_sessionize, streaming_sliding_stats, streaming_upsert,
-    # supplier_return_rate, triangle_count, upsert_merge,
-    # winsorized_stats) — the natural r12 window seed. ---
-    # (a) r11-touched: interarrival_stats (decimal headroom guard),
-    # streaming_ewma + ewma_smooth (floor-based 6-dp rounding, the
-    # skew90 half-boundary catch; ewma_smooth sits in cohort (c)),
-    # streaming_funnel (module gained the day-keyed twin; the query
-    # itself is byte-identical, included as insurance)
-    "interarrival_stats",
-    "streaming_ewma",
-    "streaming_funnel",
-    # (b) the full r3-era cohort (23)
-    "dedup_minhash_survivors",
-    "edit_distance_pairs",
-    "epoch_mix_plan",
-    "hash_split",
-    "hll_user_overlap",
-    "lsh_incremental_pairs",
-    "markov_transitions",
-    "mix_sample",
-    "pack_sequences",
-    "pagerank_coactivity",
-    "project_embeddings",
-    "retention_cohorts",
-    "rolling_anomaly",
-    "scd2_build",
-    "skew_salted_join",
-    "snapshot_diff",
-    "span_leakage",
-    "streaming_decontaminate",
-    "streaming_multi_source_union",
-    "streaming_stream_join",
-    "unigram_logprob",
-    "vocab_growth",
-    "weighted_sample",
-    # (c) r4-era rows, alphabetical fill to 50
-    "bm25_retrieval",
-    "cdc_chunk_dedup",
-    "conversion_ab_test",
-    "daily_percentile_bands",
-    "dedup_cascade_report",
-    "ewma_smooth",
-    "exact_median_twopass",
-    "join_cardinality_estimate",
-    "json_extract_stats",
-    "k_anonymity_audit",
-    "lang_id_confusion",
-    "latest_state_pivot",
-    "length_bucket_plan",
-    "lpa_communities",
-    "order_backlog_timeline",
-    "partition_skew_report",
-    "quantile_binning",
-    "rate_timeline",
-    "revenue_concentration",
-    "revenue_trend",
-    "rfm_features",
-    "scd2_pointintime_join",
-    "seasonal_adjust",
-    "session_paths",
+    # --- round-12 window: the staleness ladder's final rung (VERDICT
+    # r11 item 1). Registry FROZEN at 285; no registry query's code
+    # changed this round (the r12 diff adds the sessionize day-keyed
+    # escape-hatch TWIN in streaming/stateful.py — not a registry row —
+    # plus tools/bench hardening), so the window is pure rotation:
+    # (a) all 9 remaining r4-era rows (the seed named by VERDICT r11;
+    # streaming_sessionize doubles as the touched-module insurance row
+    # since its module gains the day-keyed twin, mirroring how r11
+    # included streaming_funnel when the funnel twin landed);
+    # (b) ALL 40 r5-era rows; (c) the first r6-era row alphabetically
+    # to fill slot 50. After this round no driver row is older than r6
+    # except the 27 remaining r6 rows - the natural r13 seed.
+    # (a) the 9 r4-era rows
+    "streaming_late_data",
+    "streaming_latest_state",
+    "streaming_sessionize",
+    "streaming_sliding_stats",
+    "streaming_upsert",
+    "supplier_return_rate",
+    "triangle_count",
+    "upsert_merge",
+    "winsorized_stats",
+    # (b) the full r5-era cohort (40)
+    "benford_audit",
+    "bounce_rate",
+    "class_balance_weights",
+    "cohort_ltv",
+    "containment_pairs",
+    "cross_split_leakage",
+    "cusum_drift",
+    "dataset_card_report",
+    "dedup_consensus",
+    "dedup_savings_curve",
+    "dup_graph_degrees",
+    "embedding_outliers",
+    "feature_hashing",
+    "fulfillment_lag_hist",
+    "gap_fill_locf",
+    "group_sample_topk",
+    "holt_trend",
+    "jaccard_histogram",
+    "joint_histogram",
+    "l_diversity_audit",
+    "label_noise_audit",
+    "lsh_param_sweep",
+    "mad_outliers",
+    "matryoshka_fidelity",
+    "oov_rate",
+    "part_growth_movers",
+    "readability_scores",
+    "repeat_purchase_gaps",
+    "seasonal_anomaly_alerts",
+    "segment_migration",
+    "session_cooccurrence_lift",
+    "session_depth_dist",
+    "skyline_parts",
+    "sla_compliance",
+    "source_vocab_overlap",
+    "streaming_group_sample",
+    "temporal_split_audit",
+    "ts_feature_table",
+    "uniform_negatives",
+    "weekday_activity_profile",
+    # (c) r6-era fill to 50
+    "abc_classification",
 ]
 # Rotation policy: while the registry grew, ~40 slots went to new /
 # never-driver-checked operators plus ~10 family-flagship re-checks.
