@@ -1229,6 +1229,208 @@ def streaming_sessionize(spark, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Day-keyed sessionize: the key-space escape hatch generalized (r12)
+# ---------------------------------------------------------------------------
+
+SESS_DAY_OUTPUT_SCHEMA = (
+    "user_id long, day int, n_total long, starts array<long>, "
+    "lasts array<long>, ns array<long>, sums array<double>"
+)
+SESS_DAY_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, "
+    "sums array<double>, n_total long"
+)
+
+
+def _update_sessions_day(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Continue this (user, day)'s gap-islands scan: an event extends the
+    open tail session iff its gap from the tail's last event is <= the
+    session gap (the inclusive rule of the islands oracle and of native
+    ``session_window`` merging), else it opens a new sub-session. The
+    full sub-session list stays in state (bounded: a day holds at most
+    day_ms / gap_ms + 1 sessions) and is re-emitted each trigger, so the
+    reader takes the max-``n_total`` emission per key."""
+    from ..operators.advanced import SESSION_GAP_MS
+
+    if state.exists:
+        starts, lasts, ns, sums, n_total = state.get
+        starts, lasts = list(starts), list(lasts)
+        ns, sums = list(ns), list(sums)
+    else:
+        starts, lasts, ns, sums, n_total = [], [], [], [], 0
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ms = rows["ts"].astype("datetime64[ms]").astype("int64")
+    for t, v in zip(ms, rows["value"]):
+        t = int(t)
+        if lasts and t - lasts[-1] <= SESSION_GAP_MS:
+            lasts[-1] = t
+            ns[-1] += 1
+            sums[-1] += float(v)
+        else:
+            starts.append(t)
+            lasts.append(t)
+            ns.append(1)
+            sums.append(float(v))
+        n_total += 1
+    state.update((starts, lasts, ns, sums, int(n_total)))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "day": [int(key[1])],
+            "n_total": [int(n_total)],
+            "starts": [starts],
+            "lasts": [lasts],
+            "ns": [ns],
+            "sums": [sums],
+        }
+    )
+
+
+def streaming_sessionize_daykeyed(spark, sf_dir: str) -> DataFrame:
+    """The hot-key ESCAPE HATCH for ``streaming_sessionize`` (VERDICT
+    r11 item 6), generalizing the r11 funnel pattern from funnels to
+    sessions: same emitted-session report, same in-order multi-trigger
+    replay, but session state keyed on (user_id, epoch day) instead of
+    user_id alone, so one user owning 90 % of the stream costs ~n/30
+    per state key instead of n.
+
+    Why the split is exact: gap-islands sessionization is a chain of
+    pairwise gap tests on time-adjacent events, and a day boundary cuts
+    at most ONE such test per day — the one between the last event of
+    day d and the first event of day d+1. Each (user, day) sub-key
+    therefore scans only its own day's events, and a session-LEVEL
+    islands pass (one window function over sub-session rows, which are
+    session-cardinality, not event-cardinality) re-applies exactly the
+    cut tests: adjacent sub-sessions merge iff the next one's start is
+    at or before the previous one's end (start <= last + gap — the same
+    inclusive rule the event-level scan uses), with min/max/sum rollups
+    reassembling the merged session. The serial-per-key section shrinks
+    from the user's whole history to one day of it; the stitch shuffles
+    only session rows. Key-space DESIGN, not salting, absorbs hot keys
+    in per-key-ordered stateful operators at 100 TB.
+
+    The emitted set matches append-mode semantics by applying the same
+    final-watermark filter as the oracle: sessions whose end precedes
+    the global max event time.
+
+    pytest pins this variant hash-equal to ``streaming_sessionize`` on
+    pristine AND 90 %-hot-key inputs; the skew tiers measure both
+    variants' walls (kept out of the frozen registry like the funnel
+    twin — it shares the islands oracle semantics, so a registry row
+    would duplicate coverage)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..operators.advanced import SESSION_GAP_MS
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.unix_date(F.to_date("ts")).cast("int").alias("day"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ssess_day_") as tmp:
+        path = f"{tmp}/events_by_ts"
+        write_time_ordered_chunks(events, path)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            updates = stream.groupBy("user_id", "day").applyInPandasWithState(
+                _update_sessions_day,
+                outputStructType=SESS_DAY_OUTPUT_SCHEMA,
+                stateStructType=SESS_DAY_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            name = f"ssess_day_{uuid.uuid4().hex[:8]}"
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # final watermark = global max event time (zero-delay watermark)
+        fwm_ms = events.agg(
+            F.max(F.unix_millis("ts")).alias("m")
+        ).first().m
+        if fwm_ms is None:
+            return spark.createDataFrame(
+                [],
+                "user_id long, session_start_ms long, session_end_ms "
+                "long, n_events long, sum_v double",
+            )
+        # last emission per (user, day) = max n_total (monotone), then
+        # explode the sub-session list into session-cardinality rows
+        kw = W.partitionBy("user_id", "day")
+        subs = (
+            spark.table(name)
+            .withColumn("_mx", F.max("n_total").over(kw))
+            .where(F.col("n_total") == F.col("_mx"))
+            .select(
+                "user_id",
+                F.explode(
+                    F.arrays_zip("starts", "lasts", "ns", "sums")
+                ).alias("s"),
+            )
+            .select(
+                "user_id",
+                F.col("s.starts").alias("start_ms"),
+                (F.col("s.lasts") + F.lit(SESSION_GAP_MS)).alias("end_ms"),
+                F.col("s.ns").alias("n_events"),
+                F.col("s.sums").alias("sum_raw"),
+            )
+        )
+        # session-level islands stitch: one window pass over session rows
+        uw = W.partitionBy("user_id").orderBy("start_ms")
+        chained = (
+            subs.withColumn("_prev_end", F.lag("end_ms").over(uw))
+            .withColumn(
+                "_new",
+                (
+                    F.col("_prev_end").isNull()
+                    | (F.col("start_ms") > F.col("_prev_end"))
+                ).cast("int"),
+            )
+            .withColumn(
+                "_chain",
+                F.sum("_new").over(
+                    uw.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+        )
+        return (
+            chained.groupBy("user_id", "_chain")
+            .agg(
+                F.min("start_ms").alias("session_start_ms"),
+                F.max("end_ms").alias("session_end_ms"),
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_raw"), 6).alias("sum_v"),
+            )
+            .where(F.col("session_end_ms") <= F.lit(int(fwm_ms)))
+            .select(
+                "user_id", "session_start_ms", "session_end_ms",
+                "n_events", "sum_v",
+            )
+            .orderBy("user_id", "session_start_ms")
+        )
+
+
+# ---------------------------------------------------------------------------
 # Streaming sliding (hopping) windows: append-mode emission, oracle-checked
 # ---------------------------------------------------------------------------
 

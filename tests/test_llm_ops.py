@@ -630,6 +630,67 @@ def test_streaming_funnel_daykeyed_equals_userkeyed_hot_key(spark, tmp_path):
     assert day_keyed == user_keyed
 
 
+def test_streaming_sessionize_daykeyed_equals_userkeyed(spark):
+    """The (user, day) sub-keyed sessionize escape hatch (VERDICT r11
+    item 6) is EXACT: per-day gap-islands sub-sessions stitched by a
+    session-level islands pass reproduce the native session_window
+    append-mode emission on pristine input."""
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_sessionize,
+        streaming_sessionize_daykeyed,
+    )
+
+    user_keyed = {
+        tuple(r) for r in streaming_sessionize(spark, SF_SMOKE).collect()
+    }
+    day_keyed = {
+        tuple(r)
+        for r in streaming_sessionize_daykeyed(spark, SF_SMOKE).collect()
+    }
+    assert day_keyed == user_keyed
+    assert user_keyed  # non-vacuous: sessions actually emitted
+
+
+def test_streaming_sessionize_daykeyed_equals_userkeyed_hot_key(
+    spark, tmp_path
+):
+    """Same equality under a 90 % hot key: one user owning nearly the
+    whole stream is the shape the day-keyed variant exists for, and the
+    only-one-gap-test-per-day-boundary argument must hold when the hot
+    user has sessions merging across every midnight."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_sessionize,
+        streaming_sessionize_daykeyed,
+    )
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    t = pq.read_table(src)
+    ids = t.column("event_id").to_pylist()
+    hot = pc.min(t.column("user_id")).as_py()
+    mask = pa.array([i % 10 != 0 for i in ids])
+    i = t.schema.get_field_index("user_id")
+    col = pc.if_else(
+        mask, pa.array([hot] * len(t), t.column("user_id").type),
+        t.column("user_id"))
+    skewed = t.set_column(i, t.schema.field(i), col)
+    d = tmp_path / "skew90s"
+    d.mkdir()
+    pq.write_table(skewed, str(d / "events.parquet"))
+
+    user_keyed = {
+        tuple(r) for r in streaming_sessionize(spark, str(d)).collect()
+    }
+    day_keyed = {
+        tuple(r)
+        for r in streaming_sessionize_daykeyed(spark, str(d)).collect()
+    }
+    assert day_keyed == user_keyed
+
+
 def test_retention_cohorts_week0_covers_cohort(spark):
     import pyspark.sql.functions as F
 
