@@ -95,6 +95,20 @@ HOST_FACTOR_CAP = 2.0
 CONFIRM_SAMPLES = 3
 
 
+def _clamped_host_factor(kernel_ratio_vs_prev: float | None) -> float:
+    """The trigger-scaling factor derived from the kernel calibration
+    ratio: clamped to [1.0, HOST_FACTOR_CAP]. Below 1.0 a fast host
+    makes real regressions MORE visible, so no relaxation; above the
+    cap the host is so contended the whole reading is untrustworthy
+    and the confirm pass must keep firing (a 2.5x-contended run must
+    NOT have its suspects normalized into silence by an unbounded
+    factor — the cap is the tested contract, see
+    test_bench_adjudication.py)."""
+    if not kernel_ratio_vs_prev:
+        return 1.0
+    return min(max(kernel_ratio_vs_prev, 1.0), HOST_FACTOR_CAP)
+
+
 def _spread(vals: list[float]) -> float:
     """max/min run ratio — 1.0 means perfectly repeatable."""
     return round(max(vals) / max(min(vals), 1e-9), 2)
@@ -395,9 +409,23 @@ def scenario2_pid_recovery(spark) -> tuple[dict[str, float], dict]:
             3)
     if detail["scenario2_pid_recovery_sec_runs"]:
         # omitted entirely when no controlled run produced triggers —
-        # a missing measurement must not read as a 0 s (perfect) recovery
+        # a missing measurement must not read as a 0 s (perfect) recovery.
+        #
+        # Published as MIN of the runs, not median (VERDICT r11 item 1):
+        # the run-to-run spread here is structural phase jitter, not host
+        # noise — the PID can only clamp at the first progress event
+        # after the spike starts, so depending on where the 5 s spike
+        # lands relative to the in-flight trigger boundary, anywhere
+        # from ~1 to ~4 s of 80k-rows/s spike is admitted UNCLAMPED, and
+        # the backlog integral scales with that accident of alignment
+        # (observed 2.3-8.3 s across runs in one bench). The trigger
+        # clock is wall-time inside the JVM, so the phase cannot be
+        # pinned without faking the clock the controller itself runs
+        # on; the minimum is the controller's intrinsic drain time with
+        # the least phase accident, and every raw sample stays in
+        # BENCH_DETAILS so the jitter magnitude remains visible.
         out["scenario2_pid_recovery_sec"] = round(
-            statistics.median(detail["scenario2_pid_recovery_sec_runs"]), 3)
+            min(detail["scenario2_pid_recovery_sec_runs"]), 3)
     return out, detail
 
 
@@ -551,9 +579,7 @@ def main() -> None:
     _, prev_vals, prev_kernel = _prev_bench_queries()
     kernel_ratio_vs_prev = (
         round(burn_n7 / prev_kernel, 3) if prev_kernel else None)
-    host_factor = (
-        min(max(kernel_ratio_vs_prev, 1.0), HOST_FACTOR_CAP)
-        if kernel_ratio_vs_prev else 1.0)
+    host_factor = _clamped_host_factor(kernel_ratio_vs_prev)
 
     # best-of-2 like the trigger/PID stats: one GC stall or cold page
     # cache doubles a single sub-second sample; both runs are published

@@ -389,7 +389,22 @@ def streaming_funnel_daykeyed(spark, sf_dir: str) -> DataFrame:
     pristine AND hot-key inputs; the skew tier measures both variants'
     walls under the 50 % hot key (kept out of the frozen 285-query
     registry per VERDICT r10 item 7 — it shares ``event_funnel``'s
-    oracle semantics, so a registry row would duplicate coverage)."""
+    oracle semantics, so a registry row would duplicate coverage).
+
+    DEPLOYMENT RULE (measured, FUNNEL_CROSSOVER_r12.json): day-keying
+    multiplies state-group count by the active-day count and pays a
+    per-group overhead, so with a constant 5k-cold-user block it only
+    beats user keying once the hot key holds ~5-8M events over the
+    30-day span — about ONE MILLION events per key per trigger on this
+    host (8M-event hot key over a ~6-trigger replay: day-keyed 37.3 s
+    vs user-keyed 41.7 s; at 4M/trigger-share it still loses 63 s to
+    34 s). Deploy the day-keyed twin when p99 events-per-key-per-
+    trigger approaches ~1M (serial scan time ~0.5 s at the measured
+    fold rate) or when a single key's per-trigger wall dominates the
+    trigger budget; below that, user keying wins on per-group
+    overhead. On a multi-executor cluster the crossover moves DOWN:
+    the user-keyed scan is one task no matter how many executors,
+    while the day sub-keys spread across the fleet."""
     import tempfile
     import uuid
 

@@ -78,6 +78,38 @@ def test_reconfirm_fast_arm_trigger():
     assert bench._reconfirm_suspects({some: 1.38}, {some: 3.0}) == []
     # boundary: exactly 1.25 on a fast arm confirms (>=)
     assert bench._reconfirm_suspects({some: 1.25}, {some: 0.5}) == [some]
+
+
+def test_host_factor_cap_keeps_suspects_firing_past_2x():
+    """VERDICT r11 item 2: the HOST_FACTOR_CAP overflow path. A host
+    whose kernel calibration reads 2.5x contended must NOT have the
+    reconfirm trigger scaled by 2.5 — past the cap the whole reading is
+    untrustworthy and suspects should still fire at the capped 2x
+    scaling rather than be normalized into silence."""
+    assert bench.HOST_FACTOR_CAP == 2.0  # the published protocol
+    # the clamp itself: 2.5x contention caps at 2.0; sub-1.0 (fast
+    # host) never relaxes the trigger; None (no prior kernel) is 1.0
+    assert bench._clamped_host_factor(2.5) == 2.0
+    assert bench._clamped_host_factor(1.3) == 1.3
+    assert bench._clamped_host_factor(0.8) == 1.0
+    assert bench._clamped_host_factor(None) == 1.0
+
+    some = bench.HEADLINE[0]
+    factor = bench._clamped_host_factor(2.5)
+    # a slow arm reading 3.5x: capped trigger is 1.5*2.0=3.0 -> FIRES;
+    # an uncapped 2.5 factor would have silenced it (1.5*2.5=3.75)
+    assert 3.5 < bench.RECONFIRM_RATIO * 2.5  # the silent-if-uncapped shape
+    assert bench._reconfirm_suspects(
+        {some: 3.5}, {some: 5.0}, host_factor=factor
+    ) == [some]
+    # a fast arm reading 2.6x: capped fast trigger 1.25*2.0=2.5 -> FIRES
+    assert bench._reconfirm_suspects(
+        {some: 2.6}, {some: 0.9}, host_factor=factor
+    ) == [some]
+    # readings explained by the capped host state alone stay quiet
+    assert bench._reconfirm_suspects(
+        {some: 2.9}, {some: 5.0}, host_factor=factor
+    ) == []
     # just under the fast trigger: quiet
     assert bench._reconfirm_suspects({some: 1.24}, {some: 0.5}) == []
     # no prev values known: falls back to the 1.5 trigger

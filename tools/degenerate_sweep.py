@@ -276,38 +276,34 @@ def _warmup_pass(spark, src: str, only: set[str]) -> None:
             pass
 
 
-def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
-    """Walls + result equality for the user-keyed ``streaming_funnel``
-    vs its day-keyed escape-hatch twin on pristine AND hot-key input
-    (VERDICT r10 item 2). The twin is not a registry row (registry is
-    frozen; it shares event_funnel's oracle semantics) so the skew tiers
-    measure it here. The tier's registry warmup does NOT cover the
-    day-keyed twin, so both variants get their own unmeasured warmup
-    pass on the pristine dir first (ADVICE r11: a cold first pristine
-    wall biases day_keyed_skew_ratio LOW); each timed pair then runs
-    back-to-back so the walls share host state."""
-    from spark_streaming_testbed_spark.streaming.stateful import (
-        streaming_funnel,
-        streaming_funnel_daykeyed,
-    )
-
-    for fn in (streaming_funnel, streaming_funnel_daykeyed):
+def _measure_variant_pair(
+    spark, pristine_dir: str, skew_dir: str,
+    user_fn, day_fn, label: str,
+) -> dict:
+    """Walls + result equality for a user-keyed stateful op vs its
+    day-keyed escape-hatch twin on pristine AND hot-key input (VERDICT
+    r10 item 2 / r11 item 6). The twins are not registry rows (registry
+    is frozen; they share their batch oracles' semantics) so the skew
+    tiers measure them here. The tier's registry warmup does NOT cover
+    the day-keyed twins, so both variants get their own unmeasured
+    warmup pass on the pristine dir first (ADVICE r11: a cold first
+    pristine wall biases day_keyed_skew_ratio LOW); each timed pair
+    then runs back-to-back so the walls share host state."""
+    for fn in (user_fn, day_fn):
         try:
             fn(spark, pristine_dir).collect()
         except Exception:  # noqa: BLE001 - measured pass reports failures
             pass
 
     out: dict = {}
-    for label, d in (("pristine", pristine_dir), ("skew", skew_dir)):
+    for tier, d in (("pristine", pristine_dir), ("skew", skew_dir)):
         t0 = time.time()
-        a = sorted(tuple(r) for r in streaming_funnel(spark, d).collect())
+        a = sorted(tuple(r) for r in user_fn(spark, d).collect())
         wall_user = round(time.time() - t0, 3)
         t0 = time.time()
-        b = sorted(
-            tuple(r) for r in streaming_funnel_daykeyed(spark, d).collect()
-        )
+        b = sorted(tuple(r) for r in day_fn(spark, d).collect())
         wall_day = round(time.time() - t0, 3)
-        out[label] = {
+        out[tier] = {
             "user_keyed_s": wall_user,
             "day_keyed_s": wall_day,
             "results_equal": a == b,
@@ -316,9 +312,33 @@ def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
     d_ = out["skew"]["day_keyed_s"] / max(out["pristine"]["day_keyed_s"], 1e-9)
     out["user_keyed_skew_ratio"] = round(u, 2)
     out["day_keyed_skew_ratio"] = round(d_, 2)
-    print("\n[funnel-variant] user-keyed vs day-keyed under the hot key:")
+    print(f"\n[{label}-variant] user-keyed vs day-keyed under the hot key:")
     print(json.dumps(out, indent=1), flush=True)
     return out
+
+
+def measure_funnel_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_funnel,
+        streaming_funnel_daykeyed,
+    )
+
+    return _measure_variant_pair(
+        spark, pristine_dir, skew_dir,
+        streaming_funnel, streaming_funnel_daykeyed, "funnel",
+    )
+
+
+def measure_sessionize_variant(spark, pristine_dir: str, skew_dir: str) -> dict:
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        streaming_sessionize,
+        streaming_sessionize_daykeyed,
+    )
+
+    return _measure_variant_pair(
+        spark, pristine_dir, skew_dir,
+        streaming_sessionize, streaming_sessionize_daykeyed, "sessionize",
+    )
 
 
 def _confirm_flag_candidates(spark, src, skew_dir, pristine, skew) -> dict:
@@ -381,11 +401,16 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
             measure_funnel_variant(spark, src, d)
             if not only or "streaming_funnel" in only else None
         )
+        sv = (
+            measure_sessionize_variant(spark, src, d)
+            if not only or "streaming_sessionize" in only else None
+        )
         confirmed = _confirm_flag_candidates(spark, src, d, pristine, skew)
     any_fail = any_fail or skew["fail"] > 0
-    if fv is not None:
-        any_fail = any_fail or not all(
-            fv[k]["results_equal"] for k in ("pristine", "skew"))
+    for variant in (fv, sv):
+        if variant is not None:
+            any_fail = any_fail or not all(
+                variant[k]["results_equal"] for k in ("pristine", "skew"))
     ratios = {
         n: round(skew["walls"][n] / max(pristine["walls"][n], 1e-9), 2)
         for n in skew["walls"]
@@ -439,6 +464,7 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
             if r >= 1.5
         },
         "funnel_variant": fv,
+        "sessionize_variant": sv,
         "flag_confirm_reruns": confirmed,
         "failures": {**pristine["failures"], **skew["failures"]},
     }
@@ -452,6 +478,7 @@ def run_skew(spark, src: str, only: set[str]) -> bool:
 #: queries where a 90 % hot key would first show a wall
 SKEW90_QUERIES = {
     "streaming_funnel",
+    "streaming_sessionize",
     "streaming_ewma",
     "streaming_stateful_totals",
     "streaming_heavy_hitters",
@@ -471,7 +498,8 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
     sf0.1, full contract + wall ratios, on the shuffle-heaviest subset
     only — a sharper signal on the per-key-serial ceiling than the 50 %
     tier, at a fraction of a full-registry sf0.1 run's cost. Also
-    measures the day-keyed funnel escape hatch under the same key."""
+    measures the day-keyed funnel AND sessionize escape hatches under
+    the same key."""
     import json as _json
 
     only = only or set(SKEW90_QUERIES)
@@ -489,11 +517,16 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
             measure_funnel_variant(spark, src, d)
             if "streaming_funnel" in only else None
         )
+        sv = (
+            measure_sessionize_variant(spark, src, d)
+            if "streaming_sessionize" in only else None
+        )
         confirmed = _confirm_flag_candidates(spark, src, d, pristine, skew)
     any_fail = any_fail or skew["fail"] > 0
-    if fv is not None:
-        any_fail = any_fail or not all(
-            fv[k]["results_equal"] for k in ("pristine", "skew"))
+    for variant in (fv, sv):
+        if variant is not None:
+            any_fail = any_fail or not all(
+                variant[k]["results_equal"] for k in ("pristine", "skew"))
     ratios = {
         n: round(skew["walls"][n] / max(pristine["walls"][n], 1e-9), 2)
         for n in skew["walls"] if n in pristine["walls"]
@@ -539,6 +572,7 @@ def run_skew90(spark, src: str, only: set[str]) -> bool:
         "allowlisted": allowlisted,
         "walls": table,
         "funnel_variant": fv,
+        "sessionize_variant": sv,
         "flag_confirm_reruns": confirmed,
         "failures": {**pristine["failures"], **skew["failures"]},
     }
