@@ -1336,7 +1336,14 @@ def streaming_sessionize_daykeyed(spark, sf_dir: str) -> DataFrame:
     pristine AND 90 %-hot-key inputs; the skew tiers measure both
     variants' walls (kept out of the frozen registry like the funnel
     twin — it shares the islands oracle semantics, so a registry row
-    would duplicate coverage)."""
+    would duplicate coverage).
+
+    Deployment: the same crossover economics as the funnel twin apply
+    (see ``streaming_funnel_daykeyed`` and FUNNEL_CROSSOVER_r12.json —
+    day-keying pays per-state-group overhead and only wins once a hot
+    key's per-trigger event volume dominates, ~1M events/key/trigger
+    measured locally, lower on a multi-executor cluster); the skew90
+    tier measures this pair's walls each round alongside the funnel's."""
     import tempfile
     import uuid
 
