@@ -1338,12 +1338,19 @@ def streaming_sessionize_daykeyed(spark, sf_dir: str) -> DataFrame:
     twin — it shares the islands oracle semantics, so a registry row
     would duplicate coverage).
 
-    Deployment: the same crossover economics as the funnel twin apply
-    (see ``streaming_funnel_daykeyed`` and FUNNEL_CROSSOVER_r12.json —
-    day-keying pays per-state-group overhead and only wins once a hot
-    key's per-trigger event volume dominates, ~1M events/key/trigger
-    measured locally, lower on a multi-executor cluster); the skew90
-    tier measures this pair's walls each round alongside the funnel's."""
+    Deployment (measured, SESSIONIZE_CROSSOVER_r12.json): unlike the
+    funnel pair (Python fold vs Python fold, crossover ~1M events/key/
+    trigger — FUNNEL_CROSSOVER_r12.json), the user-keyed baseline here
+    is the native JVM ``session_window`` operator, whose serial per-key
+    scan is an order of magnitude faster than this twin's Python fold —
+    at a 2M-event hot key the native path still wins 13.5 s to 55 s
+    (results hash-equal). Deploy this twin not for local wall-clock but
+    when the native operator's PER-KEY STATE becomes the constraint
+    (one user's open-session state exceeding the state store's
+    comfort, or a single key's trigger wall breaking the latency SLA
+    on a cluster where the day sub-keys would spread across
+    executors); the skew90 tier measures this pair's walls each round
+    alongside the funnel's."""
     import tempfile
     import uuid
 

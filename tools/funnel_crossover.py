@@ -22,6 +22,15 @@ user_id, event_type, value) with timestamps uniform over SPAN_DAYS and
 the view/click/purchase stage mix the funnel scans for.
 
 Usage: python tools/funnel_crossover.py [out.json] [max_hot_millions]
+       [funnel|sessionize]
+
+The optional third argument measures the SESSIONIZE variant pair on the
+same ladder instead: unlike the funnel (Python fold vs Python fold),
+the user-keyed sessionize baseline is the native JVM ``session_window``
+operator, so its serial per-key scan is an order of magnitude faster
+than the day-keyed twin's Python fold — the crossover sits much higher
+(or out of local reach), which is exactly why it must be measured, not
+assumed equal to the funnel's.
 """
 from __future__ import annotations
 
@@ -87,12 +96,24 @@ def build_tier(spark, out_dir: str, hot_events: int) -> int:
     return total
 
 
-def measure(spark, sf_dir: str, check_equal: bool) -> dict:
+def variant_pair(op: str):
+    if op == "sessionize":
+        from spark_streaming_testbed_spark.streaming.stateful import (
+            streaming_sessionize,
+            streaming_sessionize_daykeyed,
+        )
+
+        return streaming_sessionize, streaming_sessionize_daykeyed
+    return streaming_funnel, streaming_funnel_daykeyed
+
+
+def measure(spark, sf_dir: str, op: str) -> dict:
     walls: dict = {}
     results = {}
+    user_fn, day_fn = variant_pair(op)
     for label, fn in (
-        ("user_keyed", streaming_funnel),
-        ("day_keyed", streaming_funnel_daykeyed),
+        ("user_keyed", user_fn),
+        ("day_keyed", day_fn),
     ):
         t0 = time.time()
         rows = fn(spark, sf_dir).collect()
@@ -105,6 +126,7 @@ def measure(spark, sf_dir: str, check_equal: bool) -> dict:
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     max_hot = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 8_000_000
+    op = sys.argv[3] if len(sys.argv) > 3 else "funnel"
 
     spark = get_session("funnel-crossover")
     spark.sparkContext.setLogLevel("ERROR")
@@ -118,13 +140,13 @@ def main() -> int:
         # warmup: compile both variants' plans once, unmeasured
         warm = os.path.join(tmp, "warm")
         build_tier(spark, warm, 10_000)
-        for fn in (streaming_funnel, streaming_funnel_daykeyed):
+        for fn in variant_pair(op):
             fn(spark, warm).collect()
 
         for h in ladder:
             d = os.path.join(tmp, f"hot_{h}")
             total = build_tier(spark, d, h)
-            res = measure(spark, d, check_equal=True)
+            res = measure(spark, d, op)
             res["total_rows"] = total
             res["hot_share"] = round(h / total, 3)
             tiers[h] = res
@@ -140,6 +162,7 @@ def main() -> int:
         None,
     )
     result = {
+        "op": op,
         "cold_users": COLD_USERS,
         "cold_events_per_user": COLD_EVENTS_PER_USER,
         "span_days": SPAN_DAYS,
