@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import fan_out, load_table
 from .text import MD5H_SQL_TEMPLATE, TOKENS_SQL, md5h, with_tokens
 
 import math
@@ -67,7 +67,11 @@ def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     position — O(len²) per doc (measured 11× slower at sf0.1)."""
     from pyspark.ml.feature import NGram
 
-    tok = df.withColumn(
+    # fan_out (r12): the NGram build + array_distinct per document is
+    # the CPU-expensive row-local step of every shingle consumer and
+    # otherwise runs at scan parallelism (one task on the single-row-
+    # group testdata files); no-op once the scan is already parallel
+    tok = fan_out(df, "doc_id").withColumn(
         "tokens", F.coalesce(F.split(F.trim(F.col("text")), " "), F.array())
     )
     grams = NGram(n=n, inputCol="tokens", outputCol="_raw_shingles").transform(tok)
@@ -378,7 +382,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: explode tokens, one conditional SUM per
     bit (Catalyst fuses all 60 into a single aggregation pass), recombine
     positive-vote bits into one bigint."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r12): the md5-per-token-occurrence loop below is the
+    # query's cost and otherwise runs at scan parallelism (one task on
+    # the single-row-group testdata file); keyed on doc_id so the vote
+    # aggregation reuses the exchange
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"))
         .select("doc_id", md5h("t").alias("h"))
@@ -1481,8 +1489,11 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_rows.append((i, pos, ln))
         pos += ln
     segs = spark.createDataFrame(seg_rows, "seg int, st int, ln int")
+    # fan_out (r12): both probe sides below fan each head out ~9-150x
+    # (segments x shifts) before their band join — single-task at scan
+    # parallelism otherwise (single-row-group testdata file)
     docs = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .where(F.length("text") >= EDIT_PREFIX_LEN)
         .select(
             "doc_id",
@@ -1524,11 +1535,19 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # banded verify: 3-arg levenshtein(sa, sb, d) runs the O(len*d)
+    # diagonal-band DP and returns -1 past the bound instead of filling
+    # the full O(len^2) table — exact distance for every pair the d<=8
+    # filter keeps, so the result set is bit-identical while the verify
+    # stage does ~len/(2d+1) ≈ 4.7x less DP work per candidate (measured
+    # 25.5 s → 3.7 s end-to-end at sf0.1, where the 434k-candidate
+    # verify dominated; the r12 optimization round's plan files hold the
+    # before/after)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("dist", F.levenshtein("sa", "sb"))
-        .where(F.col("dist") <= EDIT_MAX_DIST)
+        .withColumn("dist", F.expr(f"levenshtein(sa, sb, {EDIT_MAX_DIST})"))
+        .where(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
     )
@@ -1781,8 +1800,19 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").alias("len")
     )
+    # fan_out (r12): boundary detection runs one md5 per CHARACTER
+    # position — by far the heaviest row-local loop in the dedup family
+    # — and otherwise runs at scan parallelism (one task on the
+    # single-row-group testdata file). Fanned INSIDE this branch only:
+    # fanning the shared ``docs`` made all three union branches below
+    # identically hash-partitioned, and Spark 4.1.2 then elided the
+    # exchange the distinct+window need — which is sound standalone but
+    # silently mis-merged partitions once exchange REUSE rewrote the
+    # branches (result went 500 -> 391 rows; correct again with
+    # spark.sql.exchange.reuse=false). See the fan_out docstring for
+    # the hazard statement; tests/test_fan_out_and_chunks.py pins it.
     bounds = (
-        docs.select(
+        fan_out(docs, "doc_id").select(
             "doc_id", "len",
             F.explode(
                 F.expr(f"sequence(1, greatest(len - {CDC_GRAM} + 1, 1))")

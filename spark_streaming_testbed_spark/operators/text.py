@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import fan_out, load_table
 
 ROUND = 6
 
@@ -42,8 +42,21 @@ def md5h(expr: str) -> Column:
 MD5H_SQL_TEMPLATE = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def with_tokens(df: DataFrame) -> DataFrame:
-    """Whitespace tokenization of ``text`` (single-space corpus)."""
+def with_tokens(df: DataFrame, fan: bool = True) -> DataFrame:
+    """Whitespace tokenization of ``text`` (single-space corpus).
+
+    Applies :func:`~spark_streaming_testbed_spark.session.fan_out`
+    first (keyed on ``doc_id`` when present): nearly every consumer
+    follows with an explode + per-token hash/aggregate hot loop, which
+    otherwise runs at scan parallelism — one task on the single-row-
+    group testdata files (r12 measurement; no-op on streaming frames
+    and on scans that are already parallel, i.e. at cluster scale).
+    Pass ``fan=False`` for consumers whose per-row work is a cheap
+    split feeding an immediate aggregation (the fan-out exchange would
+    carry the text payload for no compute win, and it widens the scan's
+    ReadSchema with the key column)."""
+    if fan and not df.isStreaming and "doc_id" in df.columns:
+        df = fan_out(df, "doc_id")
     return df.withColumn("tokens", F.split(F.trim(F.col("text")), " "))
 
 
@@ -422,10 +435,17 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitionBy(doc_id) — and, because hash(doc_id) clusters every
     # (doc_id, fp) group too, the later distinct — so the exchange is
     # reused, not added (one shuffle total before the output sort).
-    normed = docs.select(
+    # ``fan_out`` (r12): the bare ``repartition("doc_id")`` this used
+    # was AQE-coalesced back to ONE partition (few-MB shuffle), so the
+    # hot loop still ran single-core; the helper pins an explicit
+    # partition count and no-ops once the scan itself is parallel.
+    normed = fan_out(
+        docs.select(
+            "doc_id",
+            F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("norm"),
+        ),
         "doc_id",
-        F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("norm"),
-    ).repartition("doc_id")
+    )
     grams = normed.select(
         "doc_id",
         F.explode(
@@ -1271,7 +1291,11 @@ def epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are a deterministic function of the source name (portable
     md5-derived hash mod 4, plus one) so the plan is reproducible and the
     DuckDB oracle can mirror it without a side table."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # fan=False: the per-row work is one split + size feeding the
+    # source-keyed aggregate — a fan-out exchange would move the text
+    # payload for no compute win and widen ReadSchema with doc_id
+    # (pinned by test_epoch_mix_plan_single_fact_shuffle_and_broadcast)
+    docs = with_tokens(load_table(spark, sf_dir, "documents"), fan=False)
     per_src = (
         docs.select("source", F.size("tokens").alias("n_tokens"))
         .groupBy("source")

@@ -158,6 +158,56 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _ship_engine_to_workers(spark)
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow scan across the cluster before a CPU-heavy
+    row-local stage (explode + md5/regex hot loops).
+
+    The r12 measurement round found every testdata parquet file is ONE
+    row group, so every scan is a single task and each "row-local, no
+    shuffle" pipeline runs its per-row compute on one core until the
+    first exchange (guide §2.5 input skew: "one huge unsplittable
+    file... repartition immediately after the read"). A bare
+    ``repartition(key)`` does NOT fix it: AQE plans it at
+    ``spark.sql.shuffle.partitions`` but then coalesces the few-MB
+    shuffle back to ONE partition (byte-based coalescing cannot see
+    downstream per-row CPU cost) — measured on ``winnow_fingerprints``,
+    whose fan-out comment round 9 believed was working.
+
+    Scale-adaptive, not a local-mode constant: the fan-out only fires
+    when the plan's current partition count is below
+    ``defaultParallelism`` (cores locally, cluster cores at scale). At
+    100 TB a table scan already yields thousands of splits, so this is
+    a no-op there and the input rows are never shuffled; locally it
+    costs one tiny exchange of pre-explode rows (1/fan-out-factor of
+    the exploded volume). The explicit partition count pins the plan
+    against AQE re-coalescing; hash keys (when given) keep placement
+    deterministic and co-partition the stage with a downstream
+    groupBy/window on the same key.
+
+    HAZARD (found r12, cost cdc_chunk_dedup 109 of 500 rows): do NOT
+    feed one fanned frame into several branches of a union that a
+    keyed op (distinct / groupBy / window) then consumes. Spark 4.1.2
+    treats a union of identically-hash-partitioned children as
+    satisfying the child's required distribution and elides the
+    shuffle; that merge is handled correctly standalone, but once
+    exchange REUSE rewrites the branches (the same subtree appearing
+    elsewhere in the query, e.g. both sides of a self-join) the
+    merged-partition bookkeeping breaks and the keyed op runs
+    per-branch — silently wrong results, correct again under
+    spark.sql.exchange.reuse=false. Fan out inside a single branch
+    instead (see cdc_chunk_dedup)."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business (and
+        # ``.rdd`` is undefined on a streaming frame) — no-op
+        return df
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    cols = [F.col(k) for k in keys]
+    return df.repartition(par, *cols) if cols else df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (schema from footer, no inference)."""
     ensure_session_confs(spark)

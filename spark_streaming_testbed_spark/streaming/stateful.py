@@ -248,12 +248,14 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
         # explicit increasing mtimes) — shared helper, see
         # write_time_ordered_chunks below
         write_time_ordered_chunks(events, path)
-        # per-trigger cost is dominated by the stateful shuffle's task
-        # count, not data: run the micro-batches at a narrow partition
-        # width (state is two longs per user; at scale this knob comes
-        # from the checkpoint, not the session default)
+        # key-rich Python replay (one state group per user): the serial
+        # per-group Python cost dominates, so keep the session width —
+        # see wide_replay_width (the r9 "narrow width" rule applies only
+        # to the single-digit-key replays, which still pin 8)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+        )
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -422,7 +424,9 @@ def streaming_funnel_daykeyed(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+        )
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -679,6 +683,9 @@ def write_time_ordered_chunks(events: DataFrame, path: str,
     Returns the number of chunks written."""
     from pyspark.sql import functions as F
 
+    import glob
+    import shutil
+
     day = F.unix_date(F.to_date("ts"))
     bounds = events.select(
         F.min(day).alias("lo"), F.max(day).alias("hi")
@@ -690,20 +697,55 @@ def write_time_ordered_chunks(events: DataFrame, path: str,
     n_out = (hi - lo) // width + 1
     os.makedirs(path, exist_ok=True)
     t_base = time.time()
-    seen: set[str] = set()
+    # ONE partitioned write instead of n_out filtered scan+write jobs
+    # (r12: the per-chunk loop cost ~1.7 s of the replay queries' wall
+    # at sf0.1, all of it re-scanning the same input). The explicit
+    # repartition(n_out, chunk) puts every chunk wholly in one task, so
+    # each __chunk= directory holds exactly ONE file — required: two
+    # files of one chunk would share an mtime and replay in undefined
+    # relative order. NULL-day rows are dropped exactly as the old
+    # per-chunk ``where(chunk == i)`` filters dropped them.
+    staging = path.rstrip("/") + "__staging"
+    (
+        events.withColumn("__chunk", chunk)
+        .where(F.col("__chunk").isNotNull())
+        .repartition(n_out, "__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(staging)
+    )
     for i in range(n_out):
-        (
-            events.where(chunk == F.lit(i))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(path)
+        parts = sorted(
+            glob.glob(os.path.join(staging, f"__chunk={i}", "*.parquet"))
         )
-        for fname in os.listdir(path):
-            if fname.endswith(".parquet") and fname not in seen:
-                full = os.path.join(path, fname)
-                os.utime(full, (t_base + i, t_base + i))
-                seen.add(fname)
+        for j, src in enumerate(parts):
+            dst = os.path.join(path, f"chunk_{i:05d}_{j}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (t_base + i, t_base + i))
+    shutil.rmtree(staging, ignore_errors=True)
     return n_out
+
+
+def wide_replay_width(spark) -> str:
+    """State-shuffle width for a KEY-RICH stateful replay (state keyed
+    per user / (user, day): thousands of groups at bench scale, one per
+    entity at 100 TB).
+
+    Two costs trade off per trigger: every state partition pays a fixed
+    commit (state-store delta file + metadata) whether or not it holds
+    keys, while ``applyInPandasWithState`` pays ~1 ms of Python per
+    GROUP serially within a partition. With single-digit key counts the
+    commit tax dominates — those replays pin a narrow width of 8 (r9
+    measurement: 32 partitions on a 2-key profile replay wasted
+    ~1.3 s/query; re-confirmed r12: the few-key and JVM-state replays
+    all ran slower at 32). With ~1.5k user keys the serial per-group
+    Python dominates instead: the same replays ran ~10-2x faster at the
+    session width (r12, BENCH/OPTIMIZATION_r12.md). So key-rich Python
+    replays keep the SESSION width — cores locally via
+    $SPARK_GRAFT_CPUS, cluster-set at scale — rather than any constant:
+    at 100 TB this knob is frozen into the checkpoint, and under-
+    provisioning it serializes every hot key's Python fold."""
+    return spark.conf.get("spark.sql.shuffle.partitions")
 
 
 def _update_ewma(
@@ -765,7 +807,9 @@ def streaming_ewma(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+        )
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -1368,7 +1412,9 @@ def streaming_sessionize_daykeyed(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+        )
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -1632,7 +1678,9 @@ def streaming_latest_state(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+        )
         try:
             stream = (
                 spark.readStream.schema(events.schema)

@@ -149,9 +149,14 @@ def test_entropy_signals_zero_compute_shuffles(spark):
     plan = plan_of(entropy_signals(spark, SF_SMOKE))
     import re
 
-    # only the output sort's range partitioning exchanges data — the
-    # entropy math itself is row-local (the zero-shuffle claim)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # the entropy math itself is row-local (the zero-shuffle claim):
+    # besides the output sort's range partitioning, the only exchange
+    # allowed is with_tokens' scale-adaptive fan-out (r12) — an
+    # explicit REPARTITION_BY_NUM that widens the narrow local scan
+    # before the per-row lambda folds and is a no-op at cluster scale
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    fan_outs = plan.count("REPARTITION_BY_NUM")
+    assert exchanges - fan_outs == 1 and fan_outs <= 1
     assert "HashAggregate" not in plan
 
 
@@ -515,8 +520,13 @@ def test_hll_register_build_is_partial_aggregated(spark):
 
     plan = plan_of(hll_shingle_estimate(spark, SF_SMOKE))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # partial-final pairs around every Exchange
-    assert plan.count("HashAggregate") >= plan.count("Exchange")
+    # partial-final pairs around every planner-inserted Exchange; the
+    # explicit REPARTITION_BY_NUM fan-out (r12, with_tokens) widens the
+    # narrow local scan before the shingle hot loop and carries no
+    # aggregate — exclude it from the pairing invariant
+    assert plan.count("HashAggregate") >= (
+        plan.count("Exchange") - plan.count("REPARTITION_BY_NUM")
+    )
 
 
 def test_link_prediction_avoids_cartesian_and_broadcasts_degrees(spark):
