@@ -247,14 +247,16 @@ def streaming_funnel(spark, sf_dir: str) -> DataFrame:
         # time-ordered multi-trigger replay (absolute epoch-day chunks,
         # explicit increasing mtimes) — shared helper, see
         # write_time_ordered_chunks below
-        write_time_ordered_chunks(events, path)
-        # key-rich Python replay (one state group per user): the serial
-        # per-group Python cost dominates, so keep the session width —
-        # see wide_replay_width (the r9 "narrow width" rule applies only
-        # to the single-digit-key replays, which still pin 8)
+        # key-rich Python replay (one state group per user): width
+        # derived from the measured key count — see wide_replay_width
+        # (the r9 "narrow width" rule applies only to the
+        # single-digit-key replays, which still pin 8)
+        _, n_keys = write_time_ordered_chunks(
+            events, path, key_cols=("user_id",)
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+            "spark.sql.shuffle.partitions", wide_replay_width(spark, n_keys)
         )
         try:
             stream = (
@@ -422,10 +424,12 @@ def streaming_funnel_daykeyed(spark, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="sfunnel_day_") as tmp:
         path = f"{tmp}/events_by_ts"
-        write_time_ordered_chunks(events, path)
+        _, n_keys = write_time_ordered_chunks(
+            events, path, key_cols=("user_id", "day")
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+            "spark.sql.shuffle.partitions", wide_replay_width(spark, n_keys)
         )
         try:
             stream = (
@@ -673,23 +677,31 @@ EWMA_STATE_SCHEMA = "s double, n long, last double"
 
 
 def write_time_ordered_chunks(events: DataFrame, path: str,
-                              n_chunks: int = 6) -> int:
+                              n_chunks: int = 6,
+                              key_cols: tuple | None = None):
     """Write ``events`` as ~n_chunks parquet chunk files whose
     MODIFICATION times strictly increase in event-time order, so the
     file-stream source replays them as in-order micro-batches. Chunks
     cut on an absolute epoch-day bucket derived from the data's actual
     min/max span (any span, any month boundary), and every file gets an
     explicit utime — replay order never depends on write latency.
-    Returns the number of chunks written."""
+    Returns the number of chunks written; with ``key_cols`` given, the
+    same bounds scan also estimates the replay's state-key cardinality
+    (``approx_count_distinct`` rides in the one aggregate job, so the
+    width heuristic in ``wide_replay_width`` costs no extra pass) and
+    the return becomes ``(n_chunks, n_keys)``."""
     from pyspark.sql import functions as F
 
     import glob
     import shutil
 
     day = F.unix_date(F.to_date("ts"))
-    bounds = events.select(
-        F.min(day).alias("lo"), F.max(day).alias("hi")
-    ).first()
+    aggs = [F.min(day).alias("lo"), F.max(day).alias("hi")]
+    if key_cols is not None:
+        aggs.append(
+            F.approx_count_distinct(F.struct(*key_cols)).alias("nk")
+        )
+    bounds = events.select(*aggs).first()
     lo = 0 if bounds.lo is None else int(bounds.lo)
     hi = lo if bounds.hi is None else int(bounds.hi)
     width = max(1, -(-(hi - lo + 1) // n_chunks))
@@ -723,10 +735,19 @@ def write_time_ordered_chunks(events: DataFrame, path: str,
             shutil.move(src, dst)
             os.utime(dst, (t_base + i, t_base + i))
     shutil.rmtree(staging, ignore_errors=True)
+    if key_cols is not None:
+        return n_out, int(bounds.nk)
     return n_out
 
 
-def wide_replay_width(spark) -> str:
+#: target state groups per partition for the width heuristic below —
+#: the r12 width sweep on the 1.5k-key EWMA replay measured a U-curve
+#: (8 partitions: 8.4 s, 16: 6.1 s, 32: 7.4 s); ~96 groups/partition
+#: reproduces its optimum and stays far from both failure modes.
+REPLAY_GROUPS_PER_PARTITION = 96
+
+
+def wide_replay_width(spark, n_keys: int | None = None) -> str:
     """State-shuffle width for a KEY-RICH stateful replay (state keyed
     per user / (user, day): thousands of groups at bench scale, one per
     entity at 100 TB).
@@ -738,14 +759,27 @@ def wide_replay_width(spark) -> str:
     commit tax dominates — those replays pin a narrow width of 8 (r9
     measurement: 32 partitions on a 2-key profile replay wasted
     ~1.3 s/query; re-confirmed r12: the few-key and JVM-state replays
-    all ran slower at 32). With ~1.5k user keys the serial per-group
-    Python dominates instead: the same replays ran ~10-2x faster at the
-    session width (r12, BENCH/OPTIMIZATION_r12.md). So key-rich Python
-    replays keep the SESSION width — cores locally via
-    $SPARK_GRAFT_CPUS, cluster-set at scale — rather than any constant:
-    at 100 TB this knob is frozen into the checkpoint, and under-
-    provisioning it serializes every hot key's Python fold."""
-    return spark.conf.get("spark.sql.shuffle.partitions")
+    all ran slower at 32).
+
+    For the key-rich Python replays the width is DERIVED FROM THE
+    MEASURED KEY COUNT (guide §2: scale partitioning from the data,
+    not a constant): ``n_keys / REPLAY_GROUPS_PER_PARTITION``, clamped
+    to [8, session width]. The r12 per-trigger breakdown
+    (q.recentProgress durationMs) showed why neither extreme wins: at
+    the session width (32) the aggregate per-trigger state-store
+    commit was 5-8 s vs 0.6-1.0 s at 16 — the commit tax is
+    super-linear in empty-ish partitions — while at 8 the serial
+    per-group Python fold under-parallelizes (width sweep:
+    8.4/6.1/7.4 s at 8/16/32 on the 1.5k-key EWMA replay). At 100 TB
+    the entity count (millions+) saturates the clamp to the session
+    width, so the cluster deployment still gets full parallelism and
+    the knob frozen into the checkpoint is the right one; callers
+    without a key estimate keep the session width."""
+    session_w = spark.conf.get("spark.sql.shuffle.partitions")
+    if n_keys is None:
+        return session_w
+    want = -(-int(n_keys) // REPLAY_GROUPS_PER_PARTITION)
+    return str(max(8, min(int(session_w), want)))
 
 
 def _update_ewma(
@@ -805,10 +839,12 @@ def streaming_ewma(spark, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="sewma_") as tmp:
         path = f"{tmp}/events_by_ts"
-        write_time_ordered_chunks(events, path)
+        _, n_keys = write_time_ordered_chunks(
+            events, path, key_cols=("user_id",)
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+            "spark.sql.shuffle.partitions", wide_replay_width(spark, n_keys)
         )
         try:
             stream = (
@@ -1410,10 +1446,12 @@ def streaming_sessionize_daykeyed(spark, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="ssess_day_") as tmp:
         path = f"{tmp}/events_by_ts"
-        write_time_ordered_chunks(events, path)
+        _, n_keys = write_time_ordered_chunks(
+            events, path, key_cols=("user_id", "day")
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+            "spark.sql.shuffle.partitions", wide_replay_width(spark, n_keys)
         )
         try:
             stream = (
@@ -1676,10 +1714,12 @@ def streaming_latest_state(spark, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="sls_") as tmp:
         path = f"{tmp}/events_by_ts"
-        write_time_ordered_chunks(events, path)
+        _, n_keys = write_time_ordered_chunks(
+            events, path, key_cols=("user_id",)
+        )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
-            "spark.sql.shuffle.partitions", wide_replay_width(spark)
+            "spark.sql.shuffle.partitions", wide_replay_width(spark, n_keys)
         )
         try:
             stream = (

@@ -104,3 +104,32 @@ def test_time_ordered_chunks_contract(spark):
                 for r in events.where(chunk == F.lit(i)).collect()
             )
             assert got == want, f"chunk {i} row-set drifted"
+
+
+def test_replay_width_scales_with_key_count(spark):
+    from spark_streaming_testbed_spark.streaming.stateful import (
+        REPLAY_GROUPS_PER_PARTITION,
+        wide_replay_width,
+        write_time_ordered_chunks,
+    )
+
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # floor of 8 below, session width above, linear ramp between
+    assert wide_replay_width(spark, 0) == "8"
+    assert wide_replay_width(spark, 8 * REPLAY_GROUPS_PER_PARTITION) == str(
+        min(session_w, 8)
+    )
+    assert wide_replay_width(spark, 10**9) == str(session_w)
+    # no estimate -> session width (legacy callers)
+    assert wide_replay_width(spark) == str(session_w)
+
+    # the chunk writer's key estimate rides the bounds job and lands
+    # within HLL tolerance of the true cardinality
+    events = load_table(spark, SF, "events").select("user_id", "ts")
+    truth = events.select("user_id").distinct().count()
+    with tempfile.TemporaryDirectory(prefix="chunks_keys_") as tmp:
+        n, n_keys = write_time_ordered_chunks(
+            events, f"{tmp}/chunks", key_cols=("user_id",)
+        )
+    assert n >= 1
+    assert abs(n_keys - truth) <= max(2, truth * 0.1)
