@@ -937,28 +937,38 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures and the truth set materialize ONCE
     (localCheckpoint); each configuration re-bands the tiny signature
     table (|docs|·b slim rows) and joins slim id pairs. More bands ⇒
-    more candidates ⇒ recall can only rise — asserted in tests."""
-    shingled = (
-        _with_shingles(load_table(spark, sf_dir, "documents"))
-        .where(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .localCheckpoint(eager=True)
-    )
-    exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).withColumn(
-        "h", F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
-    )
-    with_sig = exploded.groupBy("doc_id").agg(*[
-        F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
-        for j in range(MINHASH_K)
-    ]).localCheckpoint(eager=True)
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint(eager=True)
-    n_truth = truth.count()
-    rows = []
-    for n_bands, r in LSH_SWEEP_CONFIGS:
+    more candidates ⇒ recall can only rise — asserted in tests. The
+    signature build, the truth build, and the per-config evaluations
+    are independent DAGs with serial low-parallelism stages, so they
+    run CONCURRENTLY from a driver thread pool (guide §2: overlap
+    independent jobs); the rows list keeps the fixed config order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_sig():
+        shingled = (
+            _with_shingles(load_table(spark, sf_dir, "documents"))
+            .where(F.size("shingles") > 0)
+            .select("doc_id", "shingles")
+            .localCheckpoint(eager=True)
+        )
+        exploded = shingled.select(
+            "doc_id", F.explode("shingles").alias("s")
+        ).withColumn(
+            "h",
+            F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"),
+        )
+        return exploded.groupBy("doc_id").agg(*[
+            F.min(F.expr(_mix_expr("h", j, "spark"))).alias(f"mh{j}")
+            for j in range(MINHASH_K)
+        ]).localCheckpoint(eager=True)
+
+    def _build_truth():
+        truth = ngram_jaccard_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint(eager=True)
+        return truth, truth.count()
+
+    def _eval_config(n_bands, r):
         bands = F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -996,8 +1006,18 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # None (-> SQL NULL) when the corpus has no true near-dup pairs:
         # the DuckDB oracle's `// n_truth` yields NULL on a zero divisor,
         # and a fabricated 0 would mis-read as "measured zero recall"
-        rows.append((n_bands, r, n_cand, n_truth, n_hits,
-                     n_hits * 10000 // n_truth if n_truth else None))
+        return (n_bands, r, n_cand, n_truth, n_hits,
+                n_hits * 10000 // n_truth if n_truth else None)
+
+    with ThreadPoolExecutor(
+        max_workers=1 + len(LSH_SWEEP_CONFIGS)
+    ) as pool:
+        f_truth = pool.submit(_build_truth)
+        with_sig = _build_sig()
+        truth, n_truth = f_truth.result()
+        rows = list(pool.map(
+            lambda cfg: _eval_config(*cfg), LSH_SWEEP_CONFIGS
+        ))
     return spark.createDataFrame(
         rows,
         "bands int, rows_per_band int, n_candidates bigint, "
@@ -1706,21 +1726,31 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     no new shuffle patterns; the report itself is three one-row
     aggregates unioned."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n_total = docs.count()
     # keepers feeds one count and two semi-join sides; pairs feeds a
     # count-bearing join — checkpoint both slim tables so the md5 scan
-    # and the LSH banding run once each (14 s -> ~8 s at sf0.1)
-    keepers = (
-        dedup_exact(spark, sf_dir)
-        .select(F.col("keeper_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    n_keep1 = keepers.count()
-    pairs = (
-        lsh_near_dup_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # and the LSH banding run once each (14 s -> ~8 s at sf0.1). The
+    # three independent materializations (total count, exact-dedup
+    # keepers, LSH pairs) overlap on a driver thread pool (guide §2).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _keepers():
+        k = (
+            dedup_exact(spark, sf_dir)
+            .select(F.col("keeper_doc_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        return k, k.count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_total = pool.submit(docs.count)
+        f_keep = pool.submit(_keepers)
+        pairs = (
+            lsh_near_dup_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        n_total = f_total.result()
+        keepers, n_keep1 = f_keep.result()
     ka = keepers.select(F.col("doc_id").alias("doc_a"))
     kb = keepers.select(F.col("doc_id").alias("doc_b"))
     dropped2 = (
@@ -1924,19 +1954,30 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker costs one equi-join of result sets.
 
     Scale shape: each branch is an existing scale-shaped query; the
-    comparison joins slim (doc_a, doc_b) id pairs only."""
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint(eager=True)
-    n_truth = truth.count()
-    blockers = [
-        ("lsh_bands", lsh_near_dup_pairs(spark, sf_dir)
-         .select("doc_a", "doc_b")),
-        ("sorted_neighborhood", snm_candidate_pairs(spark, sf_dir)
-         .select("doc_a", "doc_b")),
-        ("passjoin_edit", edit_distance_pairs(spark, sf_dir)
-         .select("doc_a", "doc_b")),
+    comparison joins slim (doc_a, doc_b) id pairs only. The four
+    branches (truth + 3 blockers) are INDEPENDENT DAGs, each with
+    serial low-parallelism stages, so they materialize CONCURRENTLY
+    from a driver thread pool (guide §2: fill idle executor slots by
+    overlapping independent jobs) — same frames, same counts, the rows
+    list keeps the fixed blocker order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mat(build):
+        df = build().select("doc_a", "doc_b").localCheckpoint(eager=True)
+        return df, df.count()
+
+    blocker_builds = [
+        ("lsh_bands", lambda: lsh_near_dup_pairs(spark, sf_dir)),
+        ("sorted_neighborhood", lambda: snm_candidate_pairs(spark, sf_dir)),
+        ("passjoin_edit", lambda: edit_distance_pairs(spark, sf_dir)),
     ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_truth = pool.submit(
+            _mat, lambda: ngram_jaccard_pairs(spark, sf_dir))
+        f_cands = [(name, pool.submit(_mat, build))
+                   for name, build in blocker_builds]
+        truth, n_truth = f_truth.result()
+        blockers = [(name, f.result()) for name, f in f_cands]
     def round6_half_away(x: float) -> float:
         # DuckDB round() replica for NON-NEGATIVE inputs (recall
         # ratios in [0, 1] — the floor-based formula would round
@@ -1952,9 +1993,7 @@ def blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (f + 1 if s - f >= 0.5 else f) / 1000000.0
 
     rows = []
-    for name, cand in blockers:
-        cand = cand.localCheckpoint(eager=True)
-        n_cand = cand.count()
+    for name, (cand, n_cand) in blockers:
         n_hit = cand.join(truth, ["doc_a", "doc_b"]).count()
         rows.append((name, n_cand, n_truth, n_hit,
                      round6_half_away(n_hit / n_truth) if n_truth else 0.0))

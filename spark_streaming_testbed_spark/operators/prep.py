@@ -2326,18 +2326,28 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the ones to eyeball before deleting data).
 
     Scale shape: each detector keeps its own scale shape; the consensus
-    is two full-outer joins of slim id-pair lists."""
+    is two full-outer joins of slim id-pair lists. The detector
+    builders run their index materializations (eager localCheckpoints)
+    at build time, so the three builds run CONCURRENTLY from a driver
+    thread pool (guide §2: overlap independent jobs); the join DAG
+    below stays lazy and unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .dedup import lsh_near_dup_pairs, ngram_jaccard_pairs
 
-    jac = ngram_jaccard_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("sig_jaccard")
-    )
-    lsh = lsh_near_dup_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("sig_lsh")
-    )
-    cont = containment_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("sig_containment")
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_jac = pool.submit(ngram_jaccard_pairs, spark, sf_dir)
+        f_lsh = pool.submit(lsh_near_dup_pairs, spark, sf_dir)
+        f_cont = pool.submit(containment_pairs, spark, sf_dir)
+        jac = f_jac.result().select(
+            "doc_a", "doc_b", F.lit(1).alias("sig_jaccard")
+        )
+        lsh = f_lsh.result().select(
+            "doc_a", "doc_b", F.lit(1).alias("sig_lsh")
+        )
+        cont = f_cont.result().select(
+            "doc_a", "doc_b", F.lit(1).alias("sig_containment")
+        )
     merged = (
         jac.join(lsh, ["doc_a", "doc_b"], "full_outer")
         .join(cont, ["doc_a", "doc_b"], "full_outer")
