@@ -1113,7 +1113,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation), so no max-df cap is needed. Unlike a suffix array the
     window length is fixed, which is exactly what makes it a single
     data-parallel pass at 100 TB."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
     wins = (
         docs.where(F.size("tokens") >= SPAN_K)
         .select(
@@ -1187,7 +1187,7 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-locally, and the cut/rebuild is an anti-join plus ordered
     re-aggregation all co-partitioned on doc_id. Duplicated volume, not
     corpus volume, drives the intermediate size; nothing is pairwise."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
     wins = (
         docs.where(F.size("tokens") >= SPAN_K)
         .select(
@@ -1414,7 +1414,7 @@ def span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, window-hash) pairs first — one hash aggregate — so the
     per-hash source list is tiny (#sources, not #docs); the pair
     expansion joins those slim lists, never document rows."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
     wins = (
         docs.where(F.size("tokens") >= SPAN_K)
         .select(

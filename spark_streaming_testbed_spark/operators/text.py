@@ -42,19 +42,27 @@ def md5h(expr: str) -> Column:
 MD5H_SQL_TEMPLATE = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def with_tokens(df: DataFrame, fan: bool = True) -> DataFrame:
+def with_tokens(df: DataFrame, fan: bool = False) -> DataFrame:
     """Whitespace tokenization of ``text`` (single-space corpus).
 
-    Applies :func:`~spark_streaming_testbed_spark.session.fan_out`
-    first (keyed on ``doc_id`` when present): nearly every consumer
-    follows with an explode + per-token hash/aggregate hot loop, which
-    otherwise runs at scan parallelism — one task on the single-row-
-    group testdata files (r12 measurement; no-op on streaming frames
-    and on scans that are already parallel, i.e. at cluster scale).
-    Pass ``fan=False`` for consumers whose per-row work is a cheap
-    split feeding an immediate aggregation (the fan-out exchange would
-    carry the text payload for no compute win, and it widens the scan's
-    ReadSchema with the key column)."""
+    With ``fan=True``, applies
+    :func:`~spark_streaming_testbed_spark.session.fan_out` first
+    (keyed on ``doc_id`` when present) so a downstream per-row hot
+    loop runs at cluster parallelism instead of scan parallelism (one
+    task on the single-row-group testdata files; no-op on streaming
+    frames and on scans that are already parallel, i.e. at cluster
+    scale).
+
+    The default is ``fan=False``: an r12 A/B sweep of all 34 consumers
+    (fan vs no-fan interleaved, min of 3, sf0.1) showed the fan-out
+    exchange — which carries the full text payload — LOSES for ~25 of
+    them (worst: heavy_hitters +1.1 s, source_report +0.6 s,
+    unigram_logprob +0.6 s) because their per-row work is a cheap
+    split/explode feeding an immediate aggregate, and the blanket
+    default from earlier in the round was paying a text shuffle for no
+    compute win. Only consumers whose per-token loop is genuinely
+    CPU-heavy opt in (entropy_signals' lambda folds -1.4 s, the
+    span-window family in dedup.py -0.6..-1.4 s)."""
     if fan and not df.isStreaming and "doc_id" in df.columns:
         df = fan_out(df, "doc_id")
     return df.withColumn("tokens", F.split(F.trim(F.col("text")), " "))
@@ -1527,7 +1535,7 @@ def entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts come from higher-order array functions over the row's own
     tokens, letter counts from 26 fused regexp_count columns, all
     whole-stage codegen."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
     n = F.size("tokens")
     tok_ent = F.expr(
         "aggregate(transform(array_distinct(tokens), "
