@@ -57,7 +57,8 @@ def _mix_expr(h: str, j: int, dialect: str) -> str:
     return f"(({x} % {lo}) * {hi} + ({x} // {lo}))"
 
 
-def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def _with_shingles(df: DataFrame, n: int = SHINGLE_N,
+                   fan: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per document (row-local, no shuffle).
 
     Built with ``pyspark.ml.feature.NGram`` (a JVM sliding iterator) rather
@@ -71,7 +72,7 @@ def _with_shingles(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     # the CPU-expensive row-local step of every shingle consumer and
     # otherwise runs at scan parallelism (one task on the single-row-
     # group testdata files); no-op once the scan is already parallel
-    tok = fan_out(df, "doc_id").withColumn(
+    tok = (fan_out(df, "doc_id") if fan else df).withColumn(
         "tokens", F.coalesce(F.split(F.trim(F.col("text")), " "), F.array())
     )
     grams = NGram(n=n, inputCol="tokens", outputCol="_raw_shingles").transform(tok)
@@ -301,7 +302,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     lower a pair's score (documented recall tradeoff; ``lsh_near_dup_pairs``
     is the production path for large corpora). The cap does not bind at the
     test scales (max observed df at sf0.01 is 4)."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    # fan=False (r12 A/B, 18 shingle consumers, interleaved min-of-3 at
+    # sf0.1): THIS consumer's explode lands in an eager localCheckpoint
+    # whose write already spreads across cores, so the extra text-payload
+    # exchange only costs here — and it costs again in every composite
+    # that reuses this pair table (dedup_clusters/_star, cluster_report,
+    # cluster_canonicals, dedup_savings_curve, jaccard_histogram,
+    # dup_graph_degrees, minhash_estimate_error: -0.2..-0.6 s each).
+    # The LSH/containment consumers keep the default fan=True (their
+    # per-row loops are hotter and won the same A/B).
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"), fan=False)
     base = docs.where(F.size("shingles") > 0).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
