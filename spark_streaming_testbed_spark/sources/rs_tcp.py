@@ -280,6 +280,13 @@ def rs_tcp_roundtrip(spark, sf_dir: str):
 
     plan = parse_plan(_FIXED_RAMP_PLAN_JSON)
     server = RsDemandServer(plan, mode="demand")
+    # the running aggregation has TWO state keys (values 7 and 8), so
+    # the session's 32 state partitions are pure per-trigger commit tax
+    # over the ~7-trigger demand replay — pin the narrow width the other
+    # few-key profile replays use (r12 A/B: 6.0 s -> 3.8 s at sf0.1; at
+    # scale this knob is frozen into the query's checkpoint)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         register(spark)
         stream = (
@@ -298,6 +305,7 @@ def rs_tcp_roundtrip(spark, sf_dir: str):
         q.stop()
         return spark.table(name).orderBy("value")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         server.close()
 
 

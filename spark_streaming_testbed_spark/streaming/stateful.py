@@ -149,15 +149,24 @@ def streaming_stateful_totals(spark, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="stateful_") as tmp:
         stream = profile_stream(spark, plan, tmp, seconds_per_file=2)
         name = f"sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            running_totals(stream)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # the cycle plan has TWO state keys (values 4 and 5): pin the
+        # narrow state width the other few-key profile replays use so
+        # each trigger commits 4 state partitions, not 32 (r12 A/B:
+        # 3.3 s -> 2.2 s at sf0.1; frozen into the checkpoint at scale)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                running_totals(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         w = W.partitionBy("value").orderBy(F.col("n_batches").desc())
         return (
             spark.table(name)
