@@ -1290,7 +1290,10 @@ def streaming_sessionize(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r12 width A/B (interleaved, 4 reps at sf0.1): 4 beats 8 on
+        # every rep here — the per-trigger state commit tax outweighs
+        # the extra parallelism at this key profile
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -1583,7 +1586,10 @@ def streaming_sliding_stats(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r12 width A/B (interleaved, 4 reps at sf0.1): 4 beats 8 on
+        # every rep here — the per-trigger state commit tax outweighs
+        # the extra parallelism at this key profile
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             stream = (
                 spark.readStream.schema(events.schema)
@@ -1808,7 +1814,10 @@ def streaming_topk_users(spark, sf_dir: str) -> DataFrame:
         path = f"{tmp}/events_by_ts"
         write_time_ordered_chunks(events, path)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r12 width A/B (interleaved, 4 reps at sf0.1): 4 beats 8 on
+        # every rep here — the per-trigger state commit tax outweighs
+        # the extra parallelism at this key profile
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             stream = (
                 spark.readStream.schema(events.schema)
