@@ -11,17 +11,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import fan_out, load_table
 from ..sources import loglake
 
 #: value domain for the synthesized execution lines
 N_VALUES = 5
 
 
-def _exec_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exec_lines(spark: SparkSession, sf_dir: str,
+                fan: bool = False) -> DataFrame:
     """Reference-format ``batch result:`` lines derived from events
-    (format mirrors SimpleStreamingApp.scala:106-108)."""
+    (format mirrors SimpleStreamingApp.scala:106-108).
+
+    ``fan=True`` widens the narrow local events scan before the
+    regex-parse hot loop (r12 A/B: wins for the plain roundtrip, loses
+    for the dedup/pivot consumers whose parse feeds straight into an
+    aggregate that shuffles anyway)."""
     ev = load_table(spark, sf_dir, "events")
+    if fan:
+        ev = fan_out(ev, "event_id")
     time_ms = F.unix_millis("ts")
     batch_ms = (F.floor(time_ms / 5000) * 5000).cast("bigint")
     return ev.select(
@@ -65,7 +73,7 @@ WHERE regexp_matches(line, '[^\d]*(\d+)\t(\d+)\t(\d+)\t(\d+)\t(\d+).*')
 
 def loglake_execution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize → parse roundtrip of the execution family (S7/F3 + P1)."""
-    parsed = loglake.parse_execution(_exec_lines(spark, sf_dir))
+    parsed = loglake.parse_execution(_exec_lines(spark, sf_dir, fan=True))
     return parsed.orderBy("time_ms", "value", "stream_id")
 
 
@@ -142,7 +150,10 @@ LOGLAKE_STACKED_PIVOT_ORACLE = _stacked_oracle()
 def loglake_memory_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory-line roundtrip incl. the MB→KB unit branch (P6/P7): events
     with even ids serialize as KB, odd as MB."""
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out (r12 A/B: 2.7 -> 1.9 s at sf0.1): the ,SSS timestamp
+    # format + regex parse is a row-local hot loop that otherwise runs
+    # at the narrow local scan's parallelism
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     unit = F.when(F.col("event_id") % 2 == 0, "KB").otherwise("MB")
     lines = ev.select(
         F.concat(
@@ -181,7 +192,9 @@ SELECT * FROM parsed ORDER BY time_ms, free_kb
 def loglake_per_second_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dropped-values per-second rollup (A3, TestData.scala:20-35): synth
     'to deliver N values to client K' lines, parse, 1s tumbling sum."""
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out (r12 A/B: 1.8 -> 1.5 s at sf0.1): same regex-parse hot
+    # loop as the memory roundtrip
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     lines = ev.select(
         F.concat(
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS"), F.lit("+0000"),
