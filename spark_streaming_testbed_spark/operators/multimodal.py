@@ -209,8 +209,14 @@ def _build_png_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def png_assets(spark: SparkSession, sf_dir: str,
+               fan: bool = False) -> DataFrame:
     """documents -> real PNG binary payloads (Arrow-batched encode).
+
+    ``fan=True`` widens the narrow local documents scan before the
+    encode (r12 A/B over the five consumers: only the full pixel-level
+    decode is CPU-heavy enough to win, 1.8 -> 1.6 s at sf0.1; the
+    header/meta consumers lose the text-payload exchange).
 
     No content, no asset: a NULL-text document is dropped rather than
     encoded — ``str(None)`` used to rasterize the literal characters
@@ -222,6 +228,10 @@ def png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("doc_id", "n_chars", "text")
     )
+    if fan:
+        from ..session import fan_out
+
+        docs = fan_out(docs, "doc_id")
     return docs.mapInPandas(_build_png_assets, schema="doc_id long, payload binary")
 
 
@@ -552,7 +562,7 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel anywhere in the decode path breaks the hash. Closes the
     encode → compress → filter → decode loop at the PIXEL level, not
     just the header."""
-    assets = png_assets(spark, sf_dir)
+    assets = png_assets(spark, sf_dir, fan=True)
     return assets.mapInPandas(
         _pixel_stats, schema=PIXEL_STATS_SCHEMA
     ).orderBy("doc_id")

@@ -545,9 +545,12 @@ def test_link_prediction_avoids_cartesian_and_broadcasts_degrees(spark):
 
 def test_pixel_stats_is_two_chained_pandas_maps_no_shuffle(spark):
     """Pixel statistics must be a straight pipeline: columnar scan →
-    encode mapInPandas → decode/reduce mapInPandas → sort. Payload bytes
-    must never cross a shuffle — the only Exchange allowed is the final
-    orderBy's range partitioning on the tiny stats rows."""
+    encode mapInPandas → decode/reduce mapInPandas → sort. PAYLOAD bytes
+    must never cross a shuffle — the allowed Exchanges are the final
+    orderBy's range partitioning on the tiny stats rows and the r12
+    scale-adaptive fan-out (REPARTITION_BY_NUM), which sits UPSTREAM of
+    the encode map and therefore carries document text, never the
+    encoded payload."""
     from spark_streaming_testbed_spark.operators.multimodal import (
         multimodal_pixel_stats,
     )
@@ -556,5 +559,8 @@ def test_pixel_stats_is_two_chained_pandas_maps_no_shuffle(spark):
     tree = plan.split("(1) Scan")[0]  # formatted output repeats nodes
     assert tree.count("MapInPandas") == 2
     assert "Join" not in plan and "HashAggregate" not in plan
-    # exactly the one sort exchange, nothing upstream of the maps
-    assert tree.count("Exchange") <= 1
+    # one sort exchange + at most the pre-encode fan-out; nothing else
+    # (the REPARTITION_BY_NUM marker lives in the details section of the
+    # formatted output, not the tree header — count it on the full plan)
+    fan_outs = min(1, plan.count("REPARTITION_BY_NUM"))
+    assert tree.count("Exchange") - fan_outs <= 1
