@@ -564,3 +564,23 @@ def test_pixel_stats_is_two_chained_pandas_maps_no_shuffle(spark):
     # formatted output, not the tree header — count it on the full plan)
     fan_outs = min(1, plan.count("REPARTITION_BY_NUM"))
     assert tree.count("Exchange") - fan_outs <= 1
+
+
+def test_loglake_roundtrip_fan_policy(spark):
+    """r12 fan-out policy for the loglake family: the regex-parse hot
+    loops that won the A/B (memory roundtrip, plain execution
+    roundtrip, per-second rollup) carry exactly one scale-adaptive
+    fan-out exchange before the parse; the consumers whose parse feeds
+    straight into an aggregate (execution dedup, stacked pivot) must
+    stay on the narrow scan — their aggregate shuffles anyway and the
+    extra exchange measured as a pure loss."""
+    from spark_streaming_testbed_spark.operators import loglake_queries as L
+
+    for fanned in (L.loglake_memory_roundtrip,
+                   L.loglake_execution_roundtrip,
+                   L.loglake_per_second_rollup):
+        plan = plan_of(fanned(spark, SF_SMOKE))
+        assert plan.count("REPARTITION_BY_NUM") == 1, fanned.__name__
+    for narrow in (L.loglake_execution_dedup, L.loglake_stacked_pivot):
+        plan = plan_of(narrow(spark, SF_SMOKE))
+        assert plan.count("REPARTITION_BY_NUM") == 0, narrow.__name__
