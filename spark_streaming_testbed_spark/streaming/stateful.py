@@ -595,20 +595,36 @@ def streaming_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         os.makedirs(path, exist_ok=True)
         N_CHUNKS = 4
         t_base = time.time()
-        seen: set[str] = set()
-        for i in range(N_CHUNKS):
-            (
-                docs.where(F.col("doc_id") % N_CHUNKS == i)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(path)
+        # ONE partitioned write instead of N_CHUNKS filtered scan+write
+        # jobs (r12, same rewrite as write_time_ordered_chunks: the
+        # per-chunk loop re-scanned the input four times). The explicit
+        # repartition(N, chunk) puts each chunk wholly in one task, so
+        # every __chunk= directory holds exactly ONE file — replay
+        # order carries no correctness weight here (see docstring), but
+        # the file count fixes the trigger count, which the per-trigger
+        # MG summaries DO depend on.
+        import glob as _glob
+        import shutil as _shutil
+
+        staging = f"{tmp}/docs_chunks__staging"
+        (
+            docs.withColumn(
+                "__chunk", (F.col("doc_id") % N_CHUNKS).cast("int")
             )
-            for fname in os.listdir(path):
-                if fname.endswith(".parquet") and fname not in seen:
-                    os.utime(
-                        os.path.join(path, fname), (t_base + i, t_base + i)
-                    )
-                    seen.add(fname)
+            .repartition(N_CHUNKS, "__chunk")
+            .write.mode("overwrite")
+            .partitionBy("__chunk")
+            .parquet(staging)
+        )
+        for i in range(N_CHUNKS):
+            parts = sorted(
+                _glob.glob(os.path.join(staging, f"__chunk={i}", "*.parquet"))
+            )
+            for j, src in enumerate(parts):
+                dst = os.path.join(path, f"chunk_{i:05d}_{j}.parquet")
+                _shutil.move(src, dst)
+                os.utime(dst, (t_base + i, t_base + i))
+        _shutil.rmtree(staging, ignore_errors=True)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(HH_BUCKETS))
         try:
