@@ -1059,21 +1059,35 @@ def write_interleaved_chunks(events: DataFrame, path: str,
     arrival order the late-data contract is about."""
     from pyspark.sql import functions as F
 
+    import glob
+    import shutil
+
     os.makedirs(path, exist_ok=True)
     t_base = time.time()
-    seen: set[str] = set()
-    for i in range(n_chunks):
-        (
-            events.where(F.col("event_id") % n_chunks == i)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(path)
+    # ONE partitioned write instead of n_chunks filtered scan+write jobs
+    # (r12, same rewrite as write_time_ordered_chunks): repartition on
+    # the chunk id so each __chunk= directory holds exactly ONE file —
+    # the file count fixes the trigger count, and which rows share a
+    # micro-batch (event_id % n_chunks) is the late-data contract.
+    staging = path.rstrip("/") + "__staging"
+    (
+        events.withColumn(
+            "__chunk", (F.col("event_id") % n_chunks).cast("int")
         )
-        for fname in os.listdir(path):
-            if fname.endswith(".parquet") and fname not in seen:
-                full = os.path.join(path, fname)
-                os.utime(full, (t_base + i, t_base + i))
-                seen.add(fname)
+        .repartition(n_chunks, "__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(staging)
+    )
+    for i in range(n_chunks):
+        parts = sorted(
+            glob.glob(os.path.join(staging, f"__chunk={i}", "*.parquet"))
+        )
+        for j, src in enumerate(parts):
+            dst = os.path.join(path, f"chunk_{i:05d}_{j}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (t_base + i, t_base + i))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def streaming_late_data(spark, sf_dir: str) -> DataFrame:
