@@ -1540,6 +1540,14 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts = spark.range(-EDIT_MAX_DIST, EDIT_MAX_DIST + 1).select(
         F.col("id").cast("int").alias("sh")
     )
+    # multi-match-aware substring selection (PASS-JOIN §4.2): with equal
+    # lengths, segment i (0-based) of a matching head can only sit
+    # shifted by |sh| <= min(i, d-i) in the other head — fewer than i
+    # edits before it or fewer than d-i after it would leave some other
+    # segment untouched at a smaller shift first. Cuts the probe fan-out
+    # from ~150 to 41 rows/doc with zero false negatives (brute-forced
+    # over 13k random/adversarial pairs at d<=8 before adoption; the
+    # oracle re-verified end-to-end at sf0.01/0.001).
     b = (
         docs.crossJoin(F.broadcast(segs))
         .crossJoin(F.broadcast(shifts))
@@ -1547,6 +1555,8 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st") + F.col("sh") >= 1)
             & (F.col("st") + F.col("sh") + F.col("ln") - 1
                <= EDIT_PREFIX_LEN)
+            & (F.abs("sh")
+               <= F.least(F.col("seg"), F.lit(EDIT_MAX_DIST) - F.col("seg")))
         )
         .select(
             "doc_id", "seg",
