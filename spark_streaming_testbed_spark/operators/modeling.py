@@ -475,9 +475,15 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce. Determinism: degree sums are exact-in-double integers, the
     closed-form correlation performs identical IEEE ops in both engines,
     and sqrt is correctly-rounded per IEEE 754; output floor-quantized
-    to millionths."""
+    to millionths.
+
+    The edge list is localCheckpointed ONCE (r12): it feeds the degree
+    aggregate and the xy join, and without materialization each
+    consumer's lineage re-derives the co-activity self-join from the
+    scan (6 parquet scans in the round-start plan) — the build-once
+    shape the rest of the graph family uses."""
     ev = _t(spark, sf_dir, "events")
-    edges = _coactivity_edges(ev)
+    edges = _coactivity_edges(ev).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     xy = (
         edges.join(
@@ -1664,9 +1670,15 @@ def link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (df-cap analog). Existing edges leave via a broadcast
     anti-join; endpoint degrees attach via broadcast; the final cut is
     TakeOrdered(20) with a full deterministic tie-break. Integer
-    arithmetic end to end."""
+    arithmetic end to end.
+
+    The edge list is localCheckpointed ONCE (r12): six consumers (both
+    wedge sides, the anti-join, the degree aggregate reused three ways)
+    each re-derived the co-activity self-join from the scan otherwise
+    (12 parquet scans / 24 exchanges in the round-start plan) — the
+    build-once shape the rest of the graph family uses."""
     ev = _t(spark, sf_dir, "events")
-    edges = _coactivity_edges(ev)
+    edges = _coactivity_edges(ev).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     centers = deg.where(F.col("deg") <= LP_HUB_CAP).select(
         F.col("src").alias("w")
