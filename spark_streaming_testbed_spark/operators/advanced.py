@@ -350,7 +350,14 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id and joined co-partitioned to the previous stage's anchor
     timestamp; the per-stage right side only shrinks. No per-user event
     lists are ever materialized (collect_list funnels die on power
-    users), and no window over the raw event stream."""
+    users), and no window over the raw event stream.
+
+    Each stage's anchor table is localCheckpointed (r12): stage k's
+    anchors are consumed twice (the stage-k count and the stage-k+1
+    join), so without materialization stage 3's lineage re-derived
+    stages 1-2 and the union re-derived stage 1 again — 7 scans of the
+    event log for a 3-stage funnel, growing quadratically with stage
+    count. The anchor tables are user-cardinality and only shrink."""
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
@@ -364,7 +371,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         anchors = hits.groupBy("user_id").agg(
             F.min("ts").alias("anchor_ts")
-        )
+        ).localCheckpoint(eager=True)
         stage_counts.append(anchors.agg(
             F.count(F.lit(1)).alias("users")
         ).select(F.lit(stage).alias("stage"), "users"))
@@ -1474,10 +1481,17 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the rounded r; ties break on (user_a, user_b)."""
     ev = load_table(spark, sf_dir, "events")
     day = F.unix_date(F.to_date("ts"))
+    # localCheckpoint (r12): the daily-count table feeds the bounds
+    # action, the per-user stats (both pair sides) and both series
+    # sides of the inner product — five consumers that each re-derived
+    # the groupBy from the scan otherwise (6 scans in the round-start
+    # plan). It is user x active-day cardinality, far smaller than the
+    # event log.
     cells = (
         ev.select(F.col("user_id"), day.alias("day"))
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     bounds = cells.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")

@@ -2036,8 +2036,11 @@ def recs_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the rec lists are anchor-bounded by construction;
     both metrics are one aggregate over them plus a broadcast join to
     the part dimension for brands and a 1-row catalog count. Integer
-    basis points."""
-    recs = also_bought_topn(spark, sf_dir)
+    basis points. The rec-list table is localCheckpointed (r12): the
+    brand-diversity chain and the distinct-reco count both consume it,
+    and without materialization each re-derived the full also_bought
+    co-occurrence build (8 scans in the round-start plan)."""
+    recs = also_bought_topn(spark, sf_dir).localCheckpoint(eager=True)
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand")
     )

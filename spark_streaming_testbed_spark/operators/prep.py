@@ -3131,7 +3131,11 @@ def session_cooccurrence_lift(
 
     Scale shape: sessions reduce to distinct (session, type) first;
     the pair join is keyed on the session id and the type sets are
-    bounded (|types|² pairs total); counts only."""
+    bounded (|types|² pairs total); counts only. The session table is
+    localCheckpointed (r12): it feeds the total count, the per-type
+    counts and both sides of the pair join — without materialization
+    each consumer re-derived the session_window aggregate from the
+    scan (5 scans in the round-start plan)."""
     ev = _t(spark, sf_dir, "events")
     sessions = (
         ev.groupBy(
@@ -3146,6 +3150,7 @@ def session_cooccurrence_lift(
             ).alias("sid"),
             "types",
         )
+        .localCheckpoint(eager=True)
     )
     present = sessions.select(
         "sid", F.explode("types").alias("etype")
