@@ -1489,6 +1489,25 @@ _EDIT_OVERLAP_T = _EDIT_GRAMS - EDIT_Q * EDIT_MAX_DIST
 _EDIT_PREFIX_K = _EDIT_GRAMS - _EDIT_OVERLAP_T + 1
 
 
+def _edit_hist_classes() -> list[str]:
+    """Partition printable ASCII (32..126) into 16 regex character
+    classes by code%16 — the histogram alphabet for the verify-stage
+    count-filter bound (see edit_distance_pairs). A partition is all
+    the bound needs; characters outside 32..126 fall in no class and
+    only weaken the L1 (never invalidate it)."""
+    import re as _re
+
+    return [
+        "[" + "".join(
+            _re.escape(chr(c)) for c in range(32, 127) if c % 16 == j
+        ) + "]"
+        for j in range(16)
+    ]
+
+
+_EDIT_HIST_CLASSES = _edit_hist_classes()
+
+
 def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by edit distance on the 80-char document
     head: every pair of docs whose heads are within ``EDIT_MAX_DIST``
@@ -1577,8 +1596,41 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # character-class histogram lower bound (r12): partition printable
+    # ASCII into 16 classes by code%16 and count each class per head
+    # with one codegen'd regexp_replace (16 narrow int columns, no
+    # arrays, no lambdas). Any single edit changes at most two class
+    # counts by 1 each (a substitution leaves one class and enters
+    # another; an indel touches one), so lev(a,b) >= L1(hist_a,
+    # hist_b)/2 — chars outside the listed classes are simply
+    # uncounted, which only SHRINKS L1 and keeps the bound valid. Pairs
+    # with L1 > 2d provably exceed the distance cap and skip the banded
+    # DP entirely (the CASE guard short-circuits levenshtein): at sf0.1
+    # the bound kills 135.9k of 141.3k candidates (96 %), and the
+    # templated survivors are the ones the exact verify must score
+    # anyway. Interleaved min-of-4: 2.87 -> 1.79 s, identical rows.
+    hist_cols = [
+        (
+            F.lit(EDIT_PREFIX_LEN)
+            - F.length(F.regexp_replace("s", cls, ""))
+        ).cast("int").alias(f"hc{j}")
+        for j, cls in enumerate(_EDIT_HIST_CLASSES)
+    ]
+    dh = docs.select("doc_id", "s", *hist_cols)
+    sa = dh.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"),
+        *[F.col(f"hc{j}").alias(f"ha{j}")
+          for j in range(len(_EDIT_HIST_CLASSES))],
+    )
+    sb = dh.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"),
+        *[F.col(f"hc{j}").alias(f"hb{j}")
+          for j in range(len(_EDIT_HIST_CLASSES))],
+    )
+    l1 = sum(
+        F.abs(F.col(f"ha{j}") - F.col(f"hb{j}"))
+        for j in range(len(_EDIT_HIST_CLASSES))
+    )
     # banded verify: 3-arg levenshtein(sa, sb, d) runs the O(len*d)
     # diagonal-band DP and returns -1 past the bound instead of filling
     # the full O(len^2) table — exact distance for every pair the d<=8
@@ -1590,7 +1642,15 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("dist", F.expr(f"levenshtein(sa, sb, {EDIT_MAX_DIST})"))
+        .withColumn("_l1", l1)
+        .withColumn(
+            "dist",
+            F.expr(
+                f"CASE WHEN _l1 <= {2 * EDIT_MAX_DIST} "
+                f"THEN levenshtein(sa, sb, {EDIT_MAX_DIST}) "
+                "ELSE -1 END"
+            ),
+        )
         .where(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
